@@ -212,3 +212,722 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "join_left_nulls",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) big
+      ON c_custkey = o_custkey
+    """,
+    tags=("join", "B6"),
+)
+def join_left_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers (null order side)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) big
+      RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+    tags=("join", "B6"),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (same result set as join_left_nulls, exercising the
+    right-outer physical path)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT hc.nk AS nk_cust, hc.n_cust, hs.nk AS nk_supp, hs.n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+          WHERE c_acctbal > 4000.0 GROUP BY c_nationkey) hc
+    FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier
+          WHERE s_acctbal > 0.0 GROUP BY s_nationkey) hs
+      ON hc.nk = hs.nk
+    """,
+    tags=("join", "B6"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls possible on either side."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 4000.0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0.0)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        c.nk.alias("nk_cust"), "n_cust", s.nk.alias("nk_supp"), "n_supp"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    SEMI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') u
+      ON c_custkey = o_custkey
+    """,
+    tags=("join", "B6"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one urgent order.
+    Semi joins only shuffle the distinct keys of the right side — at scale,
+    prefer them over join+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) big
+      ON c_custkey = o_custkey
+    """,
+    tags=("join", "B6"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no large orders — the
+    gap-detection idiom for CDC completeness checks."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, s_suppkey FROM region CROSS JOIN supplier",
+    tags=("join", "B6"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (both sides tiny — broadcast nested loop)."""
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    return r.crossJoin(s).select("r_name", "s_suppkey")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    """,
+    tags=("join", "B6"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed equi + theta join: the equi key (nationkey) hashes; the range
+    predicate is applied post-match, so this is NOT a nested loop — it
+    shuffles on the equi key like any hash join."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal)
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF JOIN (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "B6", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest order at-or-before each purchase event, per key)
+    via the union+window operator in ``operators/asof.py`` — one shuffle on
+    the key, no range explosion. Right side deduped to one row per
+    (key, ts) so tie-breaks are deterministic. Oracle: DuckDB native ASOF."""
+    from ..operators.asof import asof_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        e, o, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        right_payload=["o_orderkey"], how="inner",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+@query(
+    "expand_customer_flat",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice, c_custkey, c_name, c_mktsegment, n_name
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    """,
+    tags=("join", "B6", "A6"),
+)
+def expand_customer_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``expand=customer`` relation expansion
+    (ChargeOverSourceConnectorConfig.java:273-289) as an engine-side
+    denormalizing join. Both dimensions broadcast — zero shuffle of the
+    fact table at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey", "o_orderdate", "o_totalprice",
+            "c_custkey", "c_name", "c_mktsegment", "n_name",
+        )
+    )
+
+
+@query(
+    "expand_items_nested",
+    oracle="""
+    SELECT o_orderkey,
+           to_json(list_sort(list({'ln': l_linenumber, 'pk': l_partkey, 'qty': CAST(l_quantity AS INT)}))) AS items_json,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey % 100 = 0
+    GROUP BY o_orderkey
+    """,
+    tags=("join", "B6", "A6", "nested"),
+)
+def expand_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``expand=invoice_items``-style 1-N denormalization: child rows
+    nested into the parent as a sorted JSON array (collect_list + struct).
+    Sorting makes the aggregation order-independent — required both for the
+    oracle hash and for deterministic output under AQE."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.to_json(F.array_sort(F.collect_list(item))).alias("items_json"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (B7): stats, count_distinct, rollup / cube / grouping sets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+      count(*) AS n_orders,
+      count(DISTINCT o_custkey) AS n_customers,
+      min(o_totalprice) AS min_price,
+      max(o_totalprice) AS max_price,
+      {SQL_DSUM("CAST(o_totalprice AS DECIMAL(18,2))")} AS sum_price,
+      {SQL_DAVG("o_totalprice")} AS avg_price,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_price_sq
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "B7"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate scan: count / exact count_distinct / min / max /
+    exact decimal sum + avg / sum-of-squares (the variance building block,
+    kept exact so stddev derived from it is bit-stable cross-engine).
+
+    Scale: count_distinct is the one expensive agg here (two-phase shuffle
+    on (group, custkey)); everything else partial-aggregates map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    p = dec2("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            dsum(p).alias("sum_price"),
+            davg("o_totalprice").alias("avg_price"),
+            F.round(F.sum(p * p), 0).cast("double").alias("sum_price_sq"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # approximate: HLL sketches differ across engines by design
+    tags=("agg", "B7", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counting: constant memory per group vs count_distinct's
+    expanded shuffle. No oracle (sketch results are engine-specific);
+    the unit test bounds its error against the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT n_name, c_mktsegment, count(*) AS n_cust,
+           grouping(n_name) AS g_nation, grouping(c_mktsegment) AS g_segment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    """,
+    tags=("agg", "B7", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP with grouping indicators."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("long").alias("g_segment"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM("CAST(l_quantity AS DECIMAL(18,2))")} AS sum_qty,
+           count(*) AS n,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "B7", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k grouping combinations via CUBE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum(dec2("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, {SQL_DSUM("CAST(o_totalprice AS DECIMAL(18,2))")} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "B7", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-status, per-priority, grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               {SQL_DSUM("CAST(o_totalprice AS DECIMAL(18,2))")} AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Dedup (B8) + windows (B9) + top-k / sort / limit / offset (B10).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_latest_wins",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    tags=("dedup", "B8", "A7"),
+)
+def dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins compaction per key — the downstream consumer of the
+    reference's record keys (ChargeOverSourceTask.java:394-449): keep the
+    newest record per entity id. Deterministic tie-break on event_id.
+    Single shuffle on the key; at scale this is the standard CDC-topic
+    compaction job."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("dedup", "B8"),
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct on a column subset (hash-aggregate dedup)."""
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@query(
+    "window_rank_funcs",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+      row_number() OVER w AS rn,
+      rank()       OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      ntile(4)     OVER w AS quartile,
+      lag(value)   OVER w AS prev_value,
+      lead(value)  OVER w AS next_value,
+      first_value(event_id) OVER w AS first_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "B9"),
+)
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + offset window functions over a deterministic total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@query(
+    "window_running_agg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_sum,
+      count(*) OVER w AS running_n,
+      min(value) OVER w AS running_min,
+      max(value) OVER w AS running_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "B9"),
+)
+def window_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregates over a rows frame (exact decimal running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(dec2("value")).over(w).cast("double").alias("running_sum"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.min("value").over(w).alias("running_min"),
+        F.max("value").over(w).alias("running_max"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY event_id
+        RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+    FROM events
+    """,
+    tags=("window", "B9"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering key (value-based neighborhood)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rangeBetween(-50, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(dec2("value")).over(w).cast("double").alias("near_sum"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("window", "B9", "sessionization"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap flag + running sum → session ids (30-min
+    inactivity gap), then per-session aggregates. Two window passes over
+    one shuffle partition-by user_id; no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 5
+    """,
+    tags=("window", "B10"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per priority (window + filter — the distributed top-k
+    idiom; no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    tags=("sort", "B10", "A3", "A4"),
+)
+def sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit/offset — the engine-side equivalent of the
+    reference's ordered pagination (``order=field:ASC`` + ``limit/offset``,
+    ChargeOverApiClient.java:86-116). Deterministic via unique tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (B11).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT 'click' AS src, user_id, value FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'purchase' AS src, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("setop", "B11"),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset union with a source tag — the multi-entity stream merge
+    (one topic per entity unioned into one analytics relation)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("src"), "user_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("src"), "user_id", "value"
+    )
+    return clicks.unionByName(purchases)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("setop", "B11"),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (users who both clicked and purchased)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click").select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "purchase").select("user_id"))
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop", "B11"),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (clickers who never errored)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "click").select("user_id")
+        .subtract(ev.filter(F.col("event_type") == "error").select("user_id"))
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT event_type FROM events WHERE user_id < 50
+    EXCEPT ALL
+    SELECT event_type FROM events WHERE user_id >= 100
+    """,
+    tags=("setop", "B11"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (bag semantics — per-occurrence subtraction)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 50).select("event_type")
+        .exceptAll(ev.filter(F.col("user_id") >= 100).select("event_type"))
+    )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+      count(*) FILTER (WHERE event_type = 'click')    AS click,
+      count(*) FILTER (WHERE event_type = 'error')    AS error,
+      count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "B7", "pivot"),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with an explicit value list. Pinning the pivot
+    values keeps the schema static — mandatory at scale (no extra pass to
+    discover values) and for streaming."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@query(
+    "unpivot_order_stats",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+             max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM s
+    UNION ALL SELECT o_orderstatus, 'total', total FROM s
+    UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM s
+    """,
+    tags=("B11", "unpivot"),
+)
+def unpivot_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via DataFrame.unpivot/melt."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum(dec2("o_totalprice")).alias("total"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        "o_orderstatus", ["n_orders", "total", "max_price"], "metric", "value"
+    )

@@ -1,0 +1,256 @@
+"""Scalar function surface (SURVEY.md §2.B B12): string / regex / datetime /
+math / array / JSON functions, plus the A15 string-cast transform.
+
+Lineage: the reference's only scalar functions are datetime format/parse
+(``ChargeOverSourceTask.java:371-375,465-472``) and JSON stringification
+(``StringCast.java:90-96``); schemaless field access maps to
+``get_json_object``. Everything here is built-in ``pyspark.sql.functions``
+(JVM codegen, no Python in the hot path).
+
+Cross-engine notes baked into the oracles:
+* DuckDB ``dayofweek`` is 0-based (Sunday=0), Spark is 1-based → ``+1``.
+* Spark ``log`` = natural log = DuckDB ``ln``; results rounded to 8 dp
+  because libm implementations may differ in the last ulp.
+* Spark ``split`` is regex-based and keeps empty strings — matches
+  DuckDB ``string_split`` on single-space delimiters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..transforms import apply_chain
+from .registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+      concat(c_name, '#', c_mktsegment) AS tagged,
+      upper(c_name) AS up, lower(c_mktsegment) AS lo,
+      substring(c_name, 1, 8) AS prefix,
+      length(c_name) AS name_len,
+      trim('  ' || c_name || ' ') AS trimmed,
+      replace(c_name, 'Customer', 'Cust') AS replaced,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+      reverse(c_mktsegment) AS seg_rev,
+      repeat('-', 3) || c_mktsegment AS dashed,
+      strpos(c_name, 'er') AS er_pos,
+      translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr
+    FROM customer
+    """,
+    tags=("scalar", "B12", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over customer names."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_mktsegment")).alias("tagged"),
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.concat(F.repeat(F.lit("-"), 3), F.col("c_mktsegment")).alias("dashed"),
+        F.instr(F.col("c_name"), "er").alias("er_pos"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_tr"),
+    )
+
+
+@query(
+    "scalar_regex_funcs",
+    oracle="""
+    SELECT doc_id,
+      regexp_extract(text, '([a-z]+)', 1) AS first_word,
+      regexp_replace(text, '\\s+', '_', 'g') AS squashed,
+      regexp_matches(text, 'spark') AS mentions_spark,
+      len(regexp_extract_all(text, '[a-z]+')) AS n_words
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("scalar", "B12", "regex"),
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract / replace / match / extract_all (patterns kept in the
+    Java∩RE2 common subset so both engines agree)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", r"\s+", "_").alias("squashed"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+"), 0)).alias("n_words"),
+    )
+
+
+@query(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT event_id, ts,
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+      date_trunc('hour', ts) AS hour_start,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted,
+      year(ts) AS y, month(ts) AS m, day(ts) AS d,
+      hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+      dayofweek(ts) + 1 AS dow,
+      CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
+      date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_ny,
+      CAST(ts AS DATE) + 7 AS week_later
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("scalar", "B12", "datetime"),
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime battery — trunc / format / extract / diff / add. The
+    reference's entire datetime surface (fixed-format strings + tz pinning,
+    ChargeOverSourceTask.java:371-375) generalized to typed timestamps."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        "ts",
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("formatted"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.dayofweek("ts").alias("dow"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_ny"
+        ),
+        F.date_add(F.col("ts").cast("date"), 7).alias("week_later"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT o_orderkey,
+      abs(o_totalprice - 250000.0) AS dist_mid,
+      round(o_totalprice, -3) AS round_k,
+      CAST(floor(o_totalprice) AS BIGINT) AS fl, CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+      sqrt(o_totalprice) AS sq,
+      o_totalprice * o_totalprice AS sq2,
+      round(ln(o_totalprice), 8) AS log_rounded,
+      o_orderkey % 7 AS mod7,
+      greatest(o_totalprice, 100000.0) AS hi,
+      least(o_totalprice, 100000.0) AS lo,
+      CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS sgn
+    FROM orders WHERE o_orderkey < 5000
+    """,
+    tags=("scalar", "B12", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. sqrt is IEEE-correctly-rounded (safe to compare
+    exactly); ln is not guaranteed to the last ulp → rounded to 8 dp."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_mid"),
+        F.round(F.col("o_totalprice"), -3).alias("round_k"),
+        F.floor("o_totalprice").alias("fl"),
+        F.ceil("o_totalprice").alias("ce"),
+        F.sqrt("o_totalprice").alias("sq"),
+        (F.col("o_totalprice") * F.col("o_totalprice")).alias("sq2"),
+        F.round(F.log("o_totalprice"), 8).alias("log_rounded"),
+        (F.col("o_orderkey") % 7).alias("mod7"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("hi"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("lo"),
+        F.signum(F.col("o_totalprice") - 250000.0).alias("sgn"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      string_split(text, ' ')[1] AS first_tok,
+      string_split(text, ' ')[len(string_split(text, ' '))] AS last_tok,
+      array_to_string(list_sort(string_split(text, ' '))[1:3], '-') AS sorted3,
+      len(list_distinct(string_split(text, ' '))) AS n_unique
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("scalar", "B12", "array"),
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery over tokenized text: size / contains / index /
+    sort+slice / distinct-count (explode-free; all vectorized)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), "-").alias("sorted3"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id, props,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      json_extract_string(props, '$.missing') AS missing_field,
+      CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("scalar", "B12", "json", "A15"),
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-bound JSON field access — the engine-side equivalent of reading
+    arbitrary fields of the reference's schemaless Map payloads
+    (ChargeOverSourceTask.java:421-432): unknown fields stay accessible
+    without a declared schema."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        "props",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+        F.when(F.try_parse_json(F.col("props")).isNotNull(), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_valid"),
+    )
+
+
+@query(
+    "string_cast_transform",
+    oracle="""
+    SELECT event_id,
+      to_json(user_id) AS user_id,
+      to_json(event_type) AS event_type,
+      CASE WHEN props IS NOT NULL THEN to_json(props) END AS props
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("transform", "A15", "B14"),
+)
+def string_cast_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference SMT (StringCast.java:51-85) applied through the
+    config-driven transform chain: configured fields become their JSON
+    string form in place — numbers bare ("13"), strings JSON-quoted
+    ("\\"click\\""), nulls preserved, missing fields ('nonexistent')
+    silently skipped. Pure withColumn ops → whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = apply_chain(
+        ev,
+        [{"name": "string_cast", "fields": ["user_id", "event_type", "props", "nonexistent"]}],
+    )
+    return out.select("event_id", "user_id", "event_type", "props")

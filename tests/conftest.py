@@ -51,10 +51,16 @@ def _norm(v):
     """Normalize a cell for cross-engine comparison."""
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v  # exact: the driver hashes, so we demand bit-equality
+        # Tag the type: the driver hashes, so 1 (int) vs 1.0 (float) must
+        # NOT compare equal here even though Python says they do.
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, _dt.date):
