@@ -24,9 +24,17 @@ from mk_kafka_connect_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "filter_range_halfopen",
-    "filter_predicates",
-    "projection_computed",
+    "expand_customer_flat",
+    "dedup_latest_wins",
+    "window_running_agg",
+    "sessionize_events",
+    "agg_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "multimodal_decode",
 ]
 
 

@@ -1,0 +1,293 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2.B B15;
+north-star LLM-pipeline surface).
+
+Five families, all expressed on DataFrame built-ins (no Python in the hot
+path), all deterministic cross-engine (see ``functions/hashing.py``):
+
+* exact           — hash group-by on content, keep canonical (min-id) doc
+* minhash_lsh     — shingle → MinHash signature (per-row array math, no
+                    shuffle) → banded LSH bucketing (one shuffle on band
+                    key) → candidate pairs → signature-estimated Jaccard
+* simhash         — 32-bit per-doc fingerprint from token-hash bit votes;
+                    near-dup candidates via band-equality + hamming ≤ k
+* ngram_jaccard   — EXACT Jaccard on distinct shingles via shingle-key
+                    self-join (the ground-truth oracle for the approximate
+                    families; O(pairs-sharing-a-shingle), not O(n²))
+* embedding near-dup — see ``operators/similarity.py`` (cosine threshold)
+
+Scale notes (100 TB): signature computation is embarrassingly parallel;
+the only shuffles are on (band_idx, band_hash) — uniformly distributed by
+construction — and the shingle join, whose hot keys (stop-shingles) should
+be frequency-capped (``max_shingle_freq``) exactly like skewed join salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, minhash_params, poly_hash, shingles, words
+
+__all__ = [
+    "exact_dedup",
+    "shingle_hashes",
+    "minhash_signature",
+    "minhash_signatures_agg",
+    "lsh_candidate_pairs",
+    "minhash_near_dups",
+    "simhash_fingerprint",
+    "simhash_near_dups",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one canonical row (min id) per distinct content value.
+    Map-side partial agg collapses duplicates before the shuffle."""
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles hashed to int64 — the MinHash input.
+    Adds column ``sh`` (array<long>, distinct hashed shingles)."""
+    sh = F.array_distinct(shingles(text_col, n))
+    hashed = F.transform(sh, lambda s: _poly_hash_lambda(s))
+    return df.withColumn("sh", hashed)
+
+
+def _poly_hash_lambda(s):
+    chars = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % MERSENNE_P
+    )
+
+
+def minhash_signature(df: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per row from the ``sh`` column: for each affine
+    permutation j, sig[j] = min over shingles of (a_j*h + b_j) mod P.
+
+    Per-row array form — O(|sh| × num_hashes) higher-order-function
+    arithmetic. Prefer ``minhash_signatures_agg`` in pipelines: HOFs are
+    interpreted (not codegen'd) AND Catalyst's projection collapse inlines
+    the ``sh`` expression into every signature component, re-folding every
+    shingle hash ``num_hashes`` times."""
+    params = minhash_params(num_hashes)
+
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % MERSENNE_P
+
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(F.col("sh"), _perm(a, b))),
+                F.lit(MERSENNE_P),
+            )
+            for a, b in params
+        ]
+    )
+    return df.withColumn("sig", sig)
+
+
+def minhash_signatures_agg(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """Scalable MinHash: explode distinct shingles, hash each ONCE, then
+    compute all permutation minima as grouped aggregates.
+
+    Why this shape wins at scale: the per-shingle char fold runs exactly
+    once (the array form re-evaluates it per permutation after projection
+    collapse), the 32 ``min`` aggregates are plain codegen'd arithmetic
+    with map-side partial aggregation, and the one shuffle is on the doc
+    id. Returns (id_col, sig array<long>)."""
+    params = minhash_params(num_hashes)
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(shingles(text_col, n))).alias("_s"),
+    )
+    exh = ex.select(id_col, _poly_hash_lambda(F.col("_s")).alias("_h"))
+    aggs = [
+        F.coalesce(
+            F.min((F.col("_h") * a + b) % MERSENNE_P), F.lit(MERSENNE_P)
+        ).alias(f"_sig{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    wide = exh.groupBy(id_col).agg(*aggs)
+    return wide.select(
+        id_col, F.array(*[F.col(f"_sig{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band are candidates.
+
+    One explode (×bands) + one shuffle on (band_idx, band_key) + self-join
+    within buckets. Band keys are near-uniform, so bucket sizes stay small
+    and the join never explodes — the 100 TB-safe formulation of near-dup
+    detection (vs O(n²) all-pairs)."""
+    rows = num_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band_idx, "
+                f"concat_ws(',', slice(sig, b * {rows} + 1, {rows})) AS band_key))"
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    filter by signature-estimated Jaccard (fraction of equal components).
+    Returns (id_a, id_b, est_jaccard)."""
+    sig_slim = minhash_signatures_agg(df, text_col, id_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sig_slim, id_col, num_hashes, bands)
+    a = sig_slim.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sig_slim.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", est)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprint(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash: per token-hash bit, vote ±1 per occurrence;
+    fingerprint bit i = (vote_i > 0). Adds ``simhash`` (long).
+
+    Explode-and-aggregate formulation: each token is hashed ONCE, the 32
+    bit-vote sums are codegen'd grouped aggregates (vote_i = 2·ones_i − n),
+    one shuffle on the doc id with map-side partials — linear at 100 TB."""
+    ex = df.select(
+        F.col(id_col), F.explode_outer(words(F.col(text_col))).alias("_t")
+    )
+    exh = ex.select(id_col, _poly_hash_lambda(F.col("_t")).alias("_h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(1)).alias(f"_ones{i}")
+        for i in range(32)
+    ] + [F.count(F.col("_h")).alias("_n")]
+    wide = exh.groupBy(id_col).agg(*aggs)
+    sim = None
+    for i in range(32):
+        bit = F.when(
+            F.coalesce(F.col(f"_ones{i}"), F.lit(0)) * 2 - F.col("_n") > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    fp = wide.select(id_col, sim.alias("simhash"))
+    return df.join(fp, id_col)
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: candidates share at least one of four 8-bit bands
+    (pigeonhole guarantees hamming ≤ 3 pairs always share a band), then
+    exact hamming filter via bit_count(xor). Returns (id_a, id_b, hamming)."""
+    fp = simhash_fingerprint(df, text_col, id_col).select(id_col, "simhash")
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band_idx, shiftright(simhash, b * 8) & 255 AS band_key))"
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming")
+    return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via shingle-key self-join:
+
+        |A ∩ B| from a join on distinct shingles, |A ∪ B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_freq`` drops stop-shingles appearing in more than that
+    many docs — the skew guard that keeps the join linear-ish at scale
+    (a shingle shared by k docs contributes k² join rows).
+    Returns (id_a, id_b, jaccard)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
+    )
+    if max_shingle_freq is not None:
+        freq_ok = (
+            ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("s")
+        )
+        ex = ex.join(freq_ok, "s")
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+    ).alias("jaccard")
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )

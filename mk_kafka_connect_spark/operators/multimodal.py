@@ -1,0 +1,132 @@
+"""Multimodal column support (SURVEY.md §2.B B15): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+Pandas functions over ``mapInPandas``.
+
+The Spark-side plumbing is real and tested: binary payload column + typed
+metadata struct, declared output schemas, Arrow batch iteration,
+partition-preserving row multiplication for frame sampling. The *codec*
+step is stubbed: real decoders (PIL / soundfile / av) are not in this
+environment, so ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless the library import succeeds, and the
+pipelines default to ``fake_decode`` — a deterministic byte-level feature
+extractor that exercises the identical batch path.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling, no
+driver collect); binary payloads stay off the shuffle path unless
+explicitly repartitioned; metadata-only predicates (mime, n_bytes) prune
+before any decode work runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_fake_binary",
+    "fake_decode_features",
+    "frame_sample",
+    "decode_image",
+    "decode_audio",
+]
+
+FEATURE_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, header_hex string, "
+    "checksum long, width int, height int"
+)
+
+
+def attach_fake_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a multimodal-shaped relation from a text fixture: ``payload``
+    (binary, utf-8 bytes standing in for image bytes) + metadata struct —
+    the schema a real ingest (s3 object + sidecar metadata) would have."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic byte-level 'decode': length, 8-byte header hex,
+    additive checksum, and fake dimensions derived from both. Stands in
+    for a real image decode with the same batch shape and cost profile."""
+    for pdf in it:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        checksum = payloads.map(lambda b: sum(b) % 1_000_000_007)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": n_bytes,
+                "header_hex": payloads.map(lambda b: b[:8].hex().upper()),
+                "checksum": checksum,
+                "width": (n_bytes % 640 + 16).astype("int32"),
+                "height": (checksum % 480 + 16).astype("int32"),
+            }
+        )
+
+
+def fake_decode_features(bin_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    Input schema: (doc_id, payload binary, meta struct<mime,n_bytes>)."""
+    flat = bin_df.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+    return flat.mapInPandas(_fake_decode_batch, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(bin_df: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
+    """Video-style frame sampling: slice each payload into ``n_frames``
+    evenly spaced byte windows, one output row per frame (explode — the
+    same row-multiplication shape as real frame extraction). Pure columnar
+    ops; no Python."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx")
+    exploded = bin_df.select("doc_id", "payload", idx)
+    n = F.octet_length("payload")
+    offset = (F.col("frame_idx") * F.greatest((n / n_frames).cast("int"), F.lit(1))) + 1
+    return exploded.select(
+        "doc_id",
+        "frame_idx",
+        F.substring(F.col("payload"), offset, frame_bytes).alias("frame_bytes"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - env-gated
+    """Real image decode — stub: PIL is not available in this container.
+    Cited contract: returns (width, height, mode, pixel array)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires Pillow; use fake_decode_features "
+            "for the plumbing path"
+        ) from e
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return img.size[0], img.size[1], img.mode, img
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - env-gated
+    """Real audio decode — stub: soundfile not in this container."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real audio decode requires soundfile; use fake_decode_features "
+            "for the plumbing path"
+        ) from e
+    import io
+
+    import soundfile as sf
+
+    return sf.read(io.BytesIO(payload))

@@ -1,0 +1,440 @@
+"""LLM-data-pipeline query surface (SURVEY.md §2.B B15): dedup (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
+(brute-force + hyperplane-LSH), text analysis.
+
+Every query here — including the MinHash/SimHash/LSH approximate families —
+is oracle-checked: the hashing primitives are explicit integer arithmetic
+(functions/hashing.py), so DuckDB computes bit-identical signatures,
+buckets, and scores. The oracle SQL mirrors each pipeline stage
+mechanically (same constants, same 1-based indexing, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import MERSENNE_P, minhash_params
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from .registry import query
+
+P = MERSENNE_P
+
+# --- DuckDB SQL fragments mirroring functions/hashing.py -------------------
+
+SQL_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({e}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    f"(acc, x) -> (acc * 31 + x) % {P})"
+)
+
+
+def sql_poly(e: str) -> str:
+    return SQL_POLY.format(e=e)
+
+
+def sql_shingles(col: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(string_split({col}, ' ')) >= {n} THEN "
+        f"list_transform(range(1, len(string_split({col}, ' ')) - {n - 2}), "
+        f"i -> {parts}) ELSE [] END"
+    )
+
+
+_SHINGLE_HASHES_CTE = f"""
+  sh AS (
+    SELECT doc_id,
+      list_transform(list_distinct({{shingles}}),
+                     s -> {sql_poly('s')}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)
+  )
+"""
+
+
+def _sql_shingle_cte() -> str:
+    parts3 = " || ' ' || ".join(f"w[i + {k}]" for k in range(3))
+    shingle = (
+        f"CASE WHEN len(w) >= 3 THEN "
+        f"list_transform(range(1, len(w) - 1), i -> {parts3}) ELSE [] END"
+    )
+    return _SHINGLE_HASHES_CTE.format(shingles=shingle)
+
+
+def _sql_minhash_sig(num_hashes: int = 32) -> str:
+    comps = ", ".join(
+        f"coalesce(list_min(list_transform(sh, h -> (h * {a} + {b}) % {P})), {P})"
+        for a, b in minhash_params(num_hashes)
+    )
+    return f"[{comps}]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_unique,
+      len(regexp_extract_all(text, '[a-zA-Z0-9]{1,4}|[^a-zA-Z0-9\s]')) AS n_subword,
+      CAST(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text", "B15"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish subword regex estimate)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.token_stats(d, "text").select(
+        "doc_id", "n_tokens", "n_unique", "n_subword", "avg_token_len"
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) AS n_stop,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq
+      FROM documents)
+    SELECT doc_id,
+      n_punct / n_chars AS punct_ratio,
+      n_stop / n_tok AS stop_ratio,
+      n_uniq / n_tok AS uniq_ratio,
+      least(n_tok / 100.0, 1.0) * 0.25
+        + (1.0 - n_punct / n_chars) * 0.25
+        + least(n_stop / n_tok * 5.0, 1.0) * 0.2
+        + n_uniq / n_tok * 0.3 AS quality
+    FROM t
+    """,
+    tags=("text", "B15"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics → composite score (exact-int ratios)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.quality_score(d, "text").select(
+        "doc_id", "punct_ratio", "stop_ratio", "uniq_ratio", "quality"
+    )
+
+
+def _sql_hits(lang: str) -> str:
+    wl = ", ".join(f"'{w}'" for w in TX.STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({wl})))"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+        {_sql_hits('en')} AS hits_en, {_sql_hits('de')} AS hits_de,
+        {_sql_hits('es')} AS hits_es, {_sql_hits('fr')} AS hits_fr
+      FROM documents)
+    SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr,
+      CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) <= 0 THEN 'und'
+           WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+           WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+           WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+           ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+    tags=("text", "B15"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.lang_id(d, "text").select(
+        "doc_id", "lang", "hits_en", "hits_de", "hits_es", "hits_fr", "lang_pred"
+    )
+
+
+_SQL_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+      md5({_SQL_NORM_TEXT}) AS fp_md5,
+      {sql_poly(_SQL_NORM_TEXT)} AS fp_poly
+    FROM documents
+    """,
+    tags=("text", "B15"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprints: md5 + rolling polynomial hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.fingerprint(d, "text").select("doc_id", "fp_md5", "fp_poly")
+
+
+# ---------------------------------------------------------------------------
+# Dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT props, min(event_id) AS event_id, count(*) AS n_copies
+    FROM events GROUP BY props
+    """,
+    tags=("dedup", "B15", "B8"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: canonical (min-id) row per distinct payload."""
+    ev = load_table(spark, sf_dir, "events")
+    return D.exact_dedup(ev, "props", "event_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id AS doc, unnest(list_distinct(
+        CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+          list_transform(range(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2])
+        ELSE [] END)) AS s
+      FROM documents),
+    freq_ok AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+    exf AS (SELECT ex.doc, ex.s FROM ex JOIN freq_ok USING (s)),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM exf GROUP BY doc),
+    common AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+      FROM exf a JOIN exf b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(n_common AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common JOIN sizes x ON id_a = x.doc JOIN sizes y ON id_b = y.doc
+    WHERE CAST(n_common AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_common AS DOUBLE) >= 0.8
+    """,
+    tags=("dedup", "B15"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup pairs (threshold 0.8) — the ground
+    truth the approximate families are measured against."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_sql_shingle_cte()},
+    sigs AS (SELECT doc_id, {_sql_minhash_sig(32)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+      FROM sigs, unnest(range(0, 8)) t(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+        CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 32 AS est_jaccard
+      FROM cands JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+    """,
+    tags=("dedup", "B15", "minhash"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4 rows) near-dup pairs, est-Jaccard ≥
+    0.7. Signatures are per-row array math; the only shuffle is the band
+    bucket join. Oracle-checked bit-for-bit (deterministic integer
+    hashing)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dups(
+        d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.7
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, list_transform(string_split(text, ' '),
+                                    t -> {sql_poly('t')}) AS th
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(0, 32), i ->
+          CASE WHEN list_sum(list_transform(th, h -> ((h >> i) & 1) * 2 - 1)) > 0
+               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+      FROM th),
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx, (simhash >> (b * 8)) & 255 AS band_key
+      FROM fp, unnest(range(0, 4)) t(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    tags=("dedup", "B15", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs with hamming ≤ 3 via 4×8-bit band
+    candidates (pigeonhole-complete for this radius)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(d, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.
+# ---------------------------------------------------------------------------
+
+_SQL_QUANT = "list_transform({e}, x -> CAST(round(x * 10000) AS BIGINT))"
+_SQL_DOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)"
+_SQL_NORM = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, {_SQL_QUANT.format(e='embedding')} AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, {_SQL_QUANT.format(e='embedding')} AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        {_SQL_DOT.format(a='qv', b='cv')} /
+        ({_SQL_NORM.format(v='qv')} * {_SQL_NORM.format(v='cv')}) AS cosine
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity", "B15"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 10 query vectors (quantized-int scoring —
+    bit-identical cross-engine; deterministic tie-break on neighbor id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 10), k=10
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT a.id AS id_a, b.id AS id_b,
+      {_SQL_DOT.format(a='a.v', b='b.v')} /
+      ({_SQL_NORM.format(v='a.v')} * {_SQL_NORM.format(v='b.v')}) AS cosine
+    FROM v a JOIN v b ON a.id < b.id
+    WHERE {_SQL_DOT.format(a='a.v', b='b.v')} /
+          ({_SQL_NORM.format(v='a.v')} * {_SQL_NORM.format(v='b.v')}) >= 0.3
+    """,
+    tags=("dedup", "similarity", "B15"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact over a bounded id range;
+    the unbounded scale path is LSH-bucket-then-verify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.3, id_cap=300)
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=None,  # verified against brute force by recall test instead
+    tags=("similarity", "B15", "lsh"),
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via 16-bit hyperplane LSH signatures.
+    Deterministic (integer-mix hyperplanes); checked by a
+    recall-vs-bruteforce test rather than a SQL oracle.
+
+    Radius 7 here because the fixture embeddings are near-random (max
+    pairwise cosine ~0.5): weak signal needs a wide probe (~40% of
+    signature space) for 0.6+ recall. Clustered production embeddings
+    reach that recall at radius 2-4, probing <4% — which is the scale
+    win this operator exists for."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 10), k=10, num_planes=16, hamming_radius=7
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, 'image/fake' AS mime,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        upper(hex(CAST(substring(text, 1, 8) AS BLOB))) AS header_hex,
+        CAST(list_sum(list_transform(string_split(text, ''),
+             c -> CAST(ascii(c) AS BIGINT))) % 1000000007 AS BIGINT) AS checksum
+      FROM documents)
+    SELECT doc_id, mime, n_bytes, header_hex, checksum,
+      CAST(n_bytes % 640 + 16 AS INT) AS width,
+      CAST(checksum % 480 + 16 AS INT) AS height
+    FROM b
+    """,
+    tags=("multimodal", "B15", "B14"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: text fixture → binary payload +
+    metadata struct → Arrow-batched mapInPandas feature extraction
+    (deterministic fake decode; real codecs are env-gated stubs — see
+    operators/multimodal.py). The oracle recomputes the byte-level
+    features in SQL (payloads are ascii, so char ops == byte ops)."""
+    from ..operators.multimodal import attach_fake_binary, fake_decode_features
+
+    d = load_table(spark, sf_dir, "documents")
+    return fake_decode_features(attach_fake_binary(d))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nb, text FROM documents
+               WHERE doc_id < 100)
+    SELECT doc_id, f AS frame_idx,
+      upper(hex(CAST(substring(text, CAST(f * greatest(nb // 4, 1) + 1 AS INT), 32) AS BLOB))) AS frame_hex
+    FROM n, unnest(range(0, 4)) t(f)
+    """,
+    tags=("multimodal", "B15"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: 4 evenly spaced 32-byte windows per
+    payload, one row per frame (the row-multiplication shape of real frame
+    extraction). Compared via hex so the oracle sees identical bytes."""
+    from ..operators.multimodal import attach_fake_binary, frame_sample
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    frames = frame_sample(attach_fake_binary(d), n_frames=4, frame_bytes=32)
+    return frames.select(
+        "doc_id", "frame_idx", F.upper(F.hex("frame_bytes")).alias("frame_hex")
+    )

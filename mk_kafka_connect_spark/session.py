@@ -61,6 +61,16 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # Python DataSource / UDF workers are separate processes that must be
+    # able to import this package. Locally, exporting PYTHONPATH covers the
+    # spawned workers; on a cluster, ship the package with --py-files (this
+    # is a no-op there).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

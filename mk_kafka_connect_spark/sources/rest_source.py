@@ -1,0 +1,236 @@
+"""Paginated-REST CDC DataSource for Spark (the reference connector's A1
+surface re-expressed as a Spark 4 Python DataSource).
+
+Batch: ``spark.read.format("paginated_rest").options(**opts).load()`` —
+one input partition per entity (the Spark-native version of the
+reference's task fan-out, ``ChargeOverSourceConnector.java:55-69``; where
+the reference recommends ``tasks.max=1``, Spark reads entities in parallel
+across executors for free).
+
+Streaming: ``spark.readStream.format("paginated_rest")`` via
+``SimpleDataSourceStreamReader`` whose offset JSON carries the same
+7-field per-entity state the reference serializes into every record
+(``ChargeOverSourceTask.java:34-52,405-416``): resume is exact to the page
+boundary, and gap recovery falls out of the micro-batch contract exactly
+as it does from Connect's offset storage.
+
+Output schema (the typed envelope around schemaless payloads,
+SURVEY.md §1.2):
+
+    entity string, key string, payload string (raw JSON),
+    _ingestion_timestamp long (epoch ms, Task.java:427),
+    _load_mode string (INITIAL_LOAD | INCREMENTAL_LOAD)
+
+Rows missing their id field are DROPPED, like ``Task.java:396-401``.
+Scale: each entity partition streams pages through a generator — no page
+list materialization; per-executor memory is one page (≤500 rows).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import RestSourceConfig
+from .rest_client import RestClient
+
+__all__ = ["PaginatedRestDataSource", "REST_SCHEMA", "register"]
+
+REST_SCHEMA = StructType(
+    [
+        StructField("entity", StringType()),
+        StructField("key", StringType()),
+        StructField("payload", StringType()),
+        StructField("_ingestion_timestamp", LongType()),
+        StructField("_load_mode", StringType()),
+    ]
+)
+
+
+def _record_row(entity: str, rec: dict, id_field: str, load_mode: str):
+    """createSourceRecord (Task.java:394-449): extract key, drop keyless
+    rows, wrap payload as JSON, stamp metadata."""
+    rid = rec.get(id_field)
+    if rid is None:
+        return None  # Task.java:396-401 — skip records without an id
+    return (
+        entity,
+        json.dumps({id_field: rid}),  # key map, Task.java:431-432
+        json.dumps(rec, sort_keys=True),
+        int(time.time() * 1000),  # _ingestion_timestamp, Task.java:427
+        load_mode,
+    )
+
+
+class _EntityPartition(InputPartition):
+    def __init__(self, entity: str, start: str | None, end: str | None, offset: int):
+        self.entity = entity
+        self.start = start
+        self.end = end
+        self.offset = offset
+
+
+class _RestBatchReader(DataSourceReader):
+    def __init__(self, cfg: RestSourceConfig, options: dict):
+        self.cfg = cfg
+        self.options = options
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One partition per entity (A17 fan-out done Spark-natively).
+        return [
+            _EntityPartition(
+                e,
+                self.cfg.initial_datetimes.get(e),
+                self.options.get("end_datetime"),
+                0,
+            )
+            for e in self.cfg.entities
+        ]
+
+    def read(self, partition: _EntityPartition) -> Iterator[tuple]:
+        cfg = self.cfg
+        client = RestClient(
+            cfg.base_url,
+            cfg.username,
+            cfg.password,
+            timeout_s=cfg.request_timeout_s,
+            max_retries=cfg.max_retries,
+        )
+        e = partition.entity
+        for _, page in client.fetch_all(
+            e,
+            cfg.datetime_field(e),
+            partition.start,
+            partition.end,
+            cfg.batch_size,
+            cfg.entity_query_params(e),
+            start_offset=partition.offset,
+        ):
+            for rec in page.records:
+                row = _record_row(e, rec, cfg.id_field(e), "INITIAL_LOAD")
+                if row is not None:
+                    yield row
+
+
+class _RestStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream: each batch drains everything newer than the
+    per-entity watermark, freezing the upper bound at batch start
+    (half-open window [last, end), Task.java:245-262). The offset dict is
+    the 7-field EntityState per entity."""
+
+    def __init__(self, cfg: RestSourceConfig, options: dict):
+        self.cfg = cfg
+        self.options = options
+        self._clock = lambda: time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+
+    def initialOffset(self) -> dict:
+        # Fresh start: from configured initial datetime or "now"
+        # (Task.java:117-129).
+        now = self._clock()
+        return {
+            e: {
+                "load_mode": "INITIAL_LOAD",
+                "last_processed_datetime": self.cfg.initial_datetimes.get(e, now),
+                "batch_end_datetime": None,
+                "next_scheduled_run": 0,
+                "current_offset": 0,
+                "is_processing_batch": False,
+                "retry_count": 0,
+            }
+            for e in self.cfg.entities
+        }
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        cfg = self.cfg
+        client = RestClient(
+            cfg.base_url,
+            cfg.username,
+            cfg.password,
+            timeout_s=cfg.request_timeout_s,
+            max_retries=cfg.max_retries,
+        )
+        end_dt = self._clock()  # freeze upper bound, Task.java:245-262
+        rows: list[tuple] = []
+        new_offset: dict = {}
+        for e, st in start.items():
+            mode = st["load_mode"]
+            for _, page in client.fetch_all(
+                e,
+                cfg.datetime_field(e),
+                st["last_processed_datetime"],
+                end_dt,
+                cfg.batch_size,
+                cfg.entity_query_params(e),
+                start_offset=int(st.get("current_offset", 0)),
+            ):
+                for rec in page.records:
+                    row = _record_row(e, rec, cfg.id_field(e), mode)
+                    if row is not None:
+                        rows.append(row)
+            # completeBatch (Task.java:267-291): watermark advances to the
+            # frozen bound; INITIAL → INCREMENTAL after first drain.
+            new_offset[e] = {
+                **st,
+                "load_mode": "INCREMENTAL_LOAD",
+                "last_processed_datetime": end_dt,
+                "batch_end_datetime": None,
+                "current_offset": 0,
+                "is_processing_batch": False,
+                "retry_count": 0,
+            }
+        return iter(rows), new_offset
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Replay for recovery: re-read [start.last, end.last) per entity —
+        # the "no data ever skipped" guarantee (CO-README:512-525).
+        it, _ = self.read(
+            {
+                e: {**st, "current_offset": 0}
+                for e, st in start.items()
+            }
+        )
+        return it
+
+
+class PaginatedRestDataSource(DataSource):
+    """``format("paginated_rest")`` — options mirror the reference's
+    property names (url, entities, batch.size, max.retries,
+    incremental.datetime.fields, entity.id.fields, initial.datetimes,
+    entity.query.params, topic.prefix...)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "paginated_rest"
+
+    def schema(self) -> StructType:
+        return REST_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        cfg = RestSourceConfig.from_options(dict(self.options))
+        if not cfg.base_url:
+            raise ValueError("paginated_rest: 'url' option is required")
+        return _RestBatchReader(cfg, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        cfg = RestSourceConfig.from_options(dict(self.options))
+        if not cfg.base_url:
+            raise ValueError("paginated_rest: 'url' option is required")
+        return _RestStreamReader(cfg, dict(self.options))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(PaginatedRestDataSource)

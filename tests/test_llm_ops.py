@@ -1,0 +1,89 @@
+"""Semantic tests for the LLM-pipeline operators beyond oracle parity:
+approximate methods are measured against exact ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mk_kafka_connect_spark.catalog import load_table
+from mk_kafka_connect_spark.operators import dedup as D
+from mk_kafka_connect_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_minhash_finds_true_near_dups(spark):
+    """Every exact-Jaccard ≥0.9 pair must be caught by MinHash-LSH at
+    threshold 0.7 (recall on strong dups), and est-Jaccard should be
+    close to the exact value on those pairs."""
+    docs = load_table(spark, SF, "documents")
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.9).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    found = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in D.minhash_near_dups(docs, "text", "doc_id", threshold=0.7).collect()
+    }
+    missed = set(truth) - set(found)
+    assert not missed, f"MinHash-LSH missed strong dups: {missed}"
+    for pair, jac in truth.items():
+        assert abs(found[pair] - jac) < 0.35
+
+
+def test_simhash_flags_near_dups(spark):
+    """SimHash hamming≤3 should also catch the strongest dups (same token
+    multiset ⇒ identical fingerprint)."""
+    docs = load_table(spark, SF, "documents")
+    truth = set(
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.95).collect()
+    )
+    sim = set(
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dups(docs, "text", "doc_id", max_hamming=3).collect()
+    )
+    # SimHash is a different signal (token bags vs shingle sets): require
+    # substantial overlap, not equality.
+    if truth:
+        caught = len(truth & sim) / len(truth)
+        assert caught >= 0.5, f"simhash recall on strongest dups too low: {caught}"
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """Hyperplane-LSH top-10 must reach ≥60% average recall of the exact
+    top-10 at radius 7 (16 planes; wide probe because the fixture
+    embeddings are near-random — see sim_topk_lsh docstring)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    approx = S.cosine_topk_lsh(emb, queries, k=10, hamming_radius=7).collect()
+    from collections import defaultdict
+
+    e, a = defaultdict(set), defaultdict(set)
+    for r in exact:
+        e[r.query_id].add(r.neighbor_id)
+    for r in approx:
+        a[r.query_id].add(r.neighbor_id)
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"LSH recall too low: {avg:.2f} ({recalls})"
+
+
+def test_exact_dedup_counts(spark):
+    ev = load_table(spark, SF, "events")
+    out = D.exact_dedup(ev, "props", "event_id")
+    total = out.agg(F.sum("n_copies")).first()[0]
+    assert total == ev.count()  # partition of the input
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL sketch must be within 5% of the exact distinct count (rsd=2%)."""
+    li = load_table(spark, SF, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.05

@@ -1,0 +1,163 @@
+"""Source-contract tests for the paginated REST DataSource — the scenarios
+from the reference's docs (CO-README:477-533): pagination, range filter
+pushdown, retry/backoff, 429 handling, keyless-row drop, streaming resume."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mk_kafka_connect_spark.sources.config import RestSourceConfig, parse_entity_map
+from mk_kafka_connect_spark.sources.rest_client import RestClient
+from mk_kafka_connect_spark.sources.rest_source import register
+
+from .fake_rest_server import FakeRestServer
+
+
+def _rows(entity: str, n: int, start_day: int = 1):
+    return [
+        {
+            "id": i,
+            "name": f"{entity}-{i}",
+            "mod_datetime": f"2024-01-{start_day + i // 10:02d} 00:00:{i % 60:02d}",
+        }
+        for i in range(n)
+    ]
+
+
+# --- client unit tests ------------------------------------------------------
+
+
+def test_pagination_loop():
+    with FakeRestServer({"customer": _rows("customer", 25)}) as srv:
+        client = RestClient(srv.url, max_retries=0)
+        pages = list(client.fetch_all("customer", "mod_datetime", None, None, limit=10))
+        assert [p.total_fetched for _, p in pages] == [10, 10, 5]
+        assert [o for o, _ in pages] == [0, 10, 20]
+        assert not pages[-1][1].has_more
+
+
+def test_range_filter_pushdown():
+    with FakeRestServer({"customer": _rows("customer", 30)}) as srv:
+        client = RestClient(srv.url, max_retries=0)
+        page = client.fetch_page(
+            "customer", "mod_datetime", "2024-01-02 00:00:00", "2024-01-03 00:00:00", 0, 100
+        )
+        assert page.total_fetched == 10  # ids 10..19 are on day 2
+        assert all(
+            "2024-01-02" <= r["mod_datetime"] < "2024-01-03" for r in page.records
+        )
+        # The URL carried the escaped half-open conditions:
+        assert any("GTE" in r and "LT" in r for r in srv.requests)
+
+
+def test_retry_with_backoff_then_success():
+    sleeps = []
+    with FakeRestServer({"customer": _rows("customer", 3)}) as srv:
+        srv.fail_next(2)
+        client = RestClient(srv.url, max_retries=3, sleeper=sleeps.append)
+        page = client.fetch_page_with_retry("customer", "mod_datetime", None, None, 0, 10)
+        assert page.total_fetched == 3
+    # 2^0=1s then 2^1=2s (+ ≤10% jitter), Task.java:329-337
+    assert len(sleeps) == 2
+    assert 1.0 <= sleeps[0] <= 1.1 and 2.0 <= sleeps[1] <= 2.2
+
+
+def test_rate_limit_fixed_wait():
+    sleeps = []
+    with FakeRestServer({"customer": _rows("customer", 3)}) as srv:
+        srv.rate_limit_next(1)
+        client = RestClient(srv.url, max_retries=1, sleeper=sleeps.append)
+        page = client.fetch_page_with_retry("customer", "mod_datetime", None, None, 0, 10)
+        assert page.total_fetched == 3
+    assert sleeps == [60.0]  # Task.java:314-324
+
+
+def test_retries_exhausted_raises():
+    with FakeRestServer({"customer": _rows("customer", 3)}) as srv:
+        srv.fail_next(5)
+        client = RestClient(srv.url, max_retries=2, sleeper=lambda s: None)
+        with pytest.raises(Exception):
+            client.fetch_page_with_retry("customer", "mod_datetime", None, None, 0, 10)
+
+
+def test_connection_probe():
+    with FakeRestServer({"customer": _rows("customer", 1)}) as srv:
+        assert RestClient(srv.url).test_connection()
+    assert not RestClient("http://127.0.0.1:9", max_retries=0).test_connection()
+
+
+# --- config parity (A18) ----------------------------------------------------
+
+
+def test_entity_map_splits_on_first_colon():
+    m = parse_entity_map("customer:2024-01-01 00:00:00,invoice:2024-02-01 00:00:00")
+    assert m["customer"] == "2024-01-01 00:00:00"  # Config.java:241-267
+
+
+def test_batch_size_range_validation():
+    with pytest.raises(ValueError):
+        RestSourceConfig(base_url="x", batch_size=501)  # Config.java:53-58
+    with pytest.raises(ValueError):
+        RestSourceConfig(base_url="x", batch_size=0)
+
+
+def test_initial_datetime_validation():
+    with pytest.raises(ValueError):
+        RestSourceConfig(base_url="x", initial_datetimes={"customer": "01/02/2024"})
+
+
+# --- DataSource end-to-end through spark.read -------------------------------
+
+
+def test_batch_datasource_reads_entities(spark):
+    data = {
+        "customer": _rows("customer", 12),
+        "invoice": _rows("invoice", 5),
+    }
+    data["customer"][3] = {"name": "keyless", "mod_datetime": "2024-01-01 00:00:03"}
+    with FakeRestServer(data) as srv:
+        register(spark)
+        df = (
+            spark.read.format("paginated_rest")
+            .option("url", srv.url)
+            .option("entities", "customer,invoice")
+            .option("batch.size", "5")
+            .load()
+        )
+        rows = df.collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r.entity, []).append(r)
+    assert len(by_entity["customer"]) == 11  # keyless row dropped (Task.java:396-401)
+    assert len(by_entity["invoice"]) == 5
+    sample = by_entity["invoice"][0]
+    assert json.loads(sample.key) == {"id": json.loads(sample.payload)["id"]}
+    assert sample._load_mode == "INITIAL_LOAD"
+    assert sample._ingestion_timestamp > 0
+
+
+def test_streaming_datasource_microbatch(spark, tmp_path):
+    data = {"customer": _rows("customer", 8)}
+    with FakeRestServer(data) as srv:
+        register(spark)
+        stream = (
+            spark.readStream.format("paginated_rest")
+            .option("url", srv.url)
+            .option("entities", "customer")
+            .option("batch.size", "5")
+            .option("initial.datetimes", "customer:2024-01-01 00:00:00")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rest_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM rest_stream").collect()
+    assert len(got) == 8
+    assert all(r._load_mode == "INITIAL_LOAD" for r in got)
