@@ -1,0 +1,142 @@
+"""Streaming query surface (SURVEY.md §2.B B13): each query REPLAYS the
+bounded events fixture through a real Structured Streaming pipeline
+(file source → watermark → stateful op → AvailableNow drain → memory sink)
+and is oracle-checked against the equivalent batch SQL — the
+replay-equivalence strategy from SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..streaming import windows as SW
+from .registry import query
+
+
+@query(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "B13"),
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 10-min watermark, drained
+    via AvailableNow — must equal the batch time-bucket aggregate."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    return SW.run_to_memory(SW.tumbling_counts(ev, "1 hour"), "complete")
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    WITH g AS (SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS h,
+                      count(*) AS n
+               FROM events GROUP BY 1)
+    SELECT w.wstart, sum(g.n) AS n FROM (
+      SELECT h AS wstart FROM g UNION SELECT h - INTERVAL '1 hour' FROM g) w
+    JOIN g ON g.h >= w.wstart AND g.h < w.wstart + INTERVAL '2 hours'
+    GROUP BY w.wstart
+    """,
+    tags=("streaming", "B13"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h windows (each event in 2 windows); oracle rebuilds
+    the sliding sums from hourly buckets."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    return SW.run_to_memory(SW.sliding_counts(ev, "2 hours", "1 hour"), "complete")
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    tags=("streaming", "B13", "session"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven session windows (30-min gap) via ``session_window`` —
+    oracle is the batch lag/cumsum sessionization (identical semantics:
+    session_window merges events strictly closer than the gap)."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    return SW.run_to_memory(SW.session_windows(ev, "30 minutes"), "complete")
+
+
+@query(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "B13", "dedup"),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-backed streaming dropDuplicates on the record key (fixture
+    keys are unique, so the invariant checked is pass-through-exactly-once
+    — duplicates injected in unit tests instead, where arrival order is
+    controlled)."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_to_memory(SW.streaming_dedup(ev), "append")
+    return out.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "B13", "join"),
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ broadcast static dimension, then aggregate."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return SW.run_to_memory(SW.stream_static_join(ev, cust), "complete")
+
+
+@query(
+    "streaming_stateful_running",
+    oracle="""
+    SELECT user_id, count(*) AS n_seen, max(value) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "B13", "B14", "stateful"),
+)
+def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    count/max/exact-total in explicit group state. After the bounded drain
+    the state equals the batch aggregate."""
+    from ..streaming.stateful import running_user_stats
+
+    ev = SW.read_events_stream(spark, sf_dir)
+    out = SW.run_to_memory(running_user_stats(ev), "update")
+    # "update" mode emits one row per key per batch; keep the final row
+    # per user (AvailableNow may split the file into several batches).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

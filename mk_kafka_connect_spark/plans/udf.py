@@ -1,0 +1,131 @@
+"""UDF surface (SURVEY.md §2.B B14): the four Python extension mechanisms —
+row UDF, vectorized pandas_udf, grouped applyInPandas, and a Python UDTF —
+each oracle-checked. The reference's entire UDF story is one SMT
+(``StringCast.java``); the engine exposes the general machinery with the
+performance ranking made explicit: built-ins ≫ pandas_udf ≫ row UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "udf_row_python",
+    oracle="""
+    SELECT o_orderkey,
+      CASE WHEN o_totalprice >= 300000 THEN 'high'
+           WHEN o_totalprice >= 100000 THEN 'mid'
+           ELSE 'low' END AS bucket
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    tags=("udf", "B14"),
+)
+def udf_row_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the slow path (per-row serde), kept in
+    the surface for parity; anything hot belongs in built-ins/pandas_udf."""
+
+    @F.udf(T.StringType())
+    def bucket(price: float) -> str:
+        if price >= 300000:
+            return "high"
+        if price >= 100000:
+            return "mid"
+        return "low"
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select("o_orderkey", bucket("o_totalprice").alias("bucket"))
+
+
+@query(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT o_orderkey,
+      round(o_totalprice * 0.075 + least(o_totalprice, 100000) * 0.01, 2) AS fee
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    tags=("udf", "B14", "pandas"),
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas_udf (~10-100× the row UDF): the
+    whole batch computes as numpy ops. Arithmetic mirrors the oracle
+    expression order so doubles are bit-identical."""
+
+    @pandas_udf(T.DoubleType())
+    def fee(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        raw = price * 0.075 + price.clip(upper=100000.0) * 0.01
+        # Half-away-from-zero to match SQL round(): pandas .round() is
+        # banker's (half-to-even) and differs by a cent on .5 boundaries.
+        return np.floor(raw * 100 + 0.5) / 100
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select("o_orderkey", fee("o_totalprice").alias("fee"))
+
+
+@query(
+    "udf_grouped_apply",
+    oracle="""
+    SELECT user_id, event_id, value,
+      CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+           AS BIGINT) AS value_rank
+    FROM events WHERE user_id < 30
+    """,
+    tags=("udf", "B14", "applyInPandas"),
+)
+def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: whole group in, whole group out — the
+    UDTF-ish shape for per-entity model scoring / imputation. Ranking
+    computed with pandas mirrors the SQL window exactly (deterministic
+    tie-break on event_id)."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # The SQL ordering (value DESC, event_id) is unique, so rank() ==
+        # position; no tie handling needed.
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        return pdf
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "value")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        rank_group, schema="user_id long, event_id long, value double, value_rank long"
+    )
+
+
+@query(
+    "udf_python_udtf",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+    tags=("udf", "B14", "udtf"),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 Python UDTF: one input row → many output rows (tokenizer
+    shape). Lateral-joined against the documents relation."""
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for tok in text.split(" "):
+                yield (tok,)
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.token FROM _udtf_docs, "
+        "LATERAL tokenize_udtf(text) AS t"
+    )

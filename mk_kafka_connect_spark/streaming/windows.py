@@ -1,0 +1,153 @@
+"""Structured Streaming operators (SURVEY.md §2.B B13): bounded-replay
+helpers that run a streaming query over the test fixtures and return the
+result table — the engine's proof that its streaming surface computes the
+same answer as the batch surface (replay-equivalence, the testing strategy
+SURVEY.md §5 declares).
+
+The reference's streaming story is its micro-batch CDC loop
+(``ChargeOverSourceTask.java:135-291``); here that generalizes to real
+event-time windows + watermarks. ``Trigger.AvailableNow`` drains the
+bounded fixture in micro-batches through the SAME code path an unbounded
+Kafka-fed deployment would run.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.exact import dec2
+
+__all__ = [
+    "read_events_stream",
+    "run_to_memory",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_windows",
+    "streaming_dedup",
+    "stream_static_join",
+]
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (ns → µs timestamps,
+    same truncation as the batch catalog loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        # File streaming sources require a directory; select just the
+        # events table out of the fixture dir with a glob.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_memory(
+    result: DataFrame, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Drain a bounded stream with Trigger.AvailableNow into a memory sink
+    and return the final table. Unique query name + throwaway checkpoint
+    per run (the driver may call the same query repeatedly)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregate with a watermark — the
+    streaming generalization of the reference's batch windows (late data
+    within the watermark still lands in its window; the reference instead
+    re-covers ranges on the next poll, CO-README:512-525)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding window (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("wstart"), "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Data-driven session windows per user (session_window merges events
+    within ``gap`` of each other — identical semantics to the batch
+    lag/cumsum sessionization in plans/relational.py)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup on the record key — state-backed
+    dropDuplicates with a watermark bound on state size (B13; the
+    streaming form of the compaction the reference's keys exist for)."""
+    return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream ⋈ static dimension (broadcast; no state) → per-segment
+    aggregate — the enrich-then-aggregate CDC consumer pattern."""
+    return (
+        events.join(
+            F.broadcast(customers),
+            events.user_id == customers.c_custkey,
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+            # NB: exact count_distinct is unsupported on streams — the
+            # streaming answer is approx_count_distinct or a two-stage
+            # (segment,user) pre-aggregation; kept out of the oracle query.
+        )
+    )

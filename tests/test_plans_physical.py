@@ -1,0 +1,100 @@
+"""Physical-plan posture tests — the 100 TB checklist (SURVEY.md §4):
+filters push into the parquet scan, projections prune the read schema,
+dimension joins broadcast, aggregates partial-aggregate map-side, top-k
+avoids global sorts. A regression here is a scale bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mk_kafka_connect_spark.catalog import load_table
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["filter_range_halfopen"].fn(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThanOrEqual(ts" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Q1 must partial-aggregate before the shuffle (two HashAggregates
+    around one Exchange) — the property that bounds shuffle volume by
+    group count, not row count."""
+    plan = _plan(QUERIES["q1_pricing_summary"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_q3_broadcasts_dimension(spark):
+    plan = _plan(QUERIES["q3_shipping_priority"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_expand_join_no_fact_shuffle(spark):
+    """expand_customer_flat: both dims broadcast — the orders scan must
+    not hash-shuffle (no Exchange hashpartitioning over the fact side)."""
+    plan = _plan(QUERIES["expand_customer_flat"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    top-k + merge), not a global Sort."""
+    o = load_table(spark, SF, "orders")
+    df = o.orderBy(F.desc("o_totalprice")).limit(10)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(QUERIES["join_semi"].fn(spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_constant_folding(spark):
+    """Catalyst folds constant expressions at plan time."""
+    df = load_table(spark, SF, "orders").select(
+        (F.lit(2) * F.lit(21)).alias("x"), "o_orderkey"
+    )
+    assert "42" in _optimized(df)
+
+
+def test_dedup_latest_single_shuffle(spark):
+    """Latest-wins compaction: exactly one hash exchange (on the key)."""
+    plan = _plan(QUERIES["dedup_latest_wins"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_partial_aggregation(spark):
+    """The MinHash signature aggregation must partial-aggregate map-side
+    (explode+agg formulation): 32 partial_min before the doc_id shuffle."""
+    from mk_kafka_connect_spark.operators.dedup import minhash_signatures_agg
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(minhash_signatures_agg(docs, "text", "doc_id"))
+    assert "partial_min" in plan
+
+
+def test_whole_stage_codegen_on_scalar_battery(spark):
+    """`*(n)` prefixes mark whole-stage-codegen'd operators."""
+    plan = _plan(QUERIES["scalar_string_funcs"].fn(spark, SF))
+    assert "*(1)" in plan
