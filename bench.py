@@ -24,7 +24,10 @@ from mk_kafka_connect_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "expand_customer_flat",
+    "join_asof",
+    "cdc_merge_upsert",
     "dedup_latest_wins",
     "window_running_agg",
     "sessionize_events",

@@ -88,3 +88,34 @@ def write_entity_partitioned(
     at 100 TB (SURVEY.md §4 'Partition pruning')."""
     cols = ["_entity_type"] + ([date_col] if date_col else [])
     df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """CDC MERGE (upsert + delete) without Delta: apply a change batch to a
+    snapshot.
+
+    1. compact the change batch to latest-per-key (order_col desc),
+    2. anti-join the snapshot against change keys (rows not touched),
+    3. union with the surviving (non-delete) change rows.
+
+    Semantics match ``MERGE INTO ... WHEN MATCHED UPDATE / DELETE / WHEN
+    NOT MATCHED INSERT`` with latest-wins on the batch. Two shuffles on
+    the key (compaction + anti-join); at scale, bucketing the snapshot on
+    the key removes its shuffle entirely — this is the SCD-1 building
+    block the reference's keyed CDC streams exist to feed."""
+    latest = compact_latest(changes, key_cols, order_col)
+    untouched = snapshot.join(latest.select(*key_cols), key_cols, "left_anti")
+    if delete_col is not None:
+        surviving = latest.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    else:
+        surviving = latest
+    surviving = surviving.select(*snapshot.columns)
+    return untouched.unionByName(surviving)

@@ -1,0 +1,270 @@
+"""Advanced relational coverage: multi-join chains, subqueries (EXISTS /
+IN / scalar), HAVING, conditional aggregation, exact percentiles, CDC
+merge-upsert, skew-salted aggregation — rounding out SURVEY.md §2.B
+B6/B7 and the CDC consumer path (A7's keys feeding SCD-1 apply).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import SQL_DSUM, dec2, dsum, one_minus
+from .registry import query
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+      {SQL_DSUM("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))")} AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "B6", "B7"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table join chain with a cross-table equality
+    (customer.nation = supplier.nation). All dimensions broadcast; the
+    only shuffles are the fact-fact join on l_orderkey and the final
+    small aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(dec2("l_extendedprice") * one_minus("l_discount")).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+    """,
+    tags=("subquery", "B6"),
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst rewrites it to the same left-semi join
+    the explicit form produces; declared via SQL to exercise the subquery
+    front door."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_adv_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_adv_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM _adv_part
+        WHERE EXISTS (SELECT 1 FROM _adv_lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "subquery_in_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+      AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    tags=("subquery", "B4"),
+)
+def subquery_in_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (→ semi join) + uncorrelated scalar subquery (→
+    broadcast scalar). avg() compares identically cross-engine here
+    because it only gates a > predicate on clean 2-decimal data."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_adv_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_adv_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM _adv_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM _adv_customer WHERE c_acctbal > 9000.0)
+          AND o_totalprice > (SELECT avg(o_totalprice) FROM _adv_orders)
+        """
+    )
+
+
+@query(
+    "agg_having_filter",
+    oracle=f"""
+    SELECT o_custkey, count(*) AS n_orders,
+      {SQL_DSUM("CAST(o_totalprice AS DECIMAL(18,2))")} AS total_spend,
+      count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+    tags=("agg", "B7", "having"),
+)
+def agg_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + conditional (FILTER) aggregation."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec2("o_totalprice")).alias("total_spend"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+                "n_urgent"
+            ),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "agg_case_when_buckets",
+    oracle="""
+    SELECT
+      CASE WHEN o_totalprice >= 300000 THEN 'high'
+           WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS bucket,
+      o_orderstatus,
+      count(*) AS n,
+      CAST(min(o_orderdate) AS TIMESTAMP) AS first_order,
+      CAST(max(o_orderdate) AS TIMESTAMP) AS last_order
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("agg", "B7"),
+)
+def agg_case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN derived grouping key + min/max over timestamps."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS p50_qty,
+      quantile_cont(l_quantity, 0.9) AS p90_qty,
+      quantile_disc(l_extendedprice, 0.5) AS p50_price_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "B7", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles: continuous (interpolated — Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``) and discrete. The 100 TB path is
+    ``approx_percentile`` (t-digest, engine-specific, tested rows-only
+    elsewhere); exact percentiles stay oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias(
+            "p50_price_disc"
+        ),
+    )
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, value, event_type = 'error' AS is_delete,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00') t
+      WHERE rn = 1),
+    snapshot AS (
+      SELECT user_id, min(event_id) AS event_id, CAST(0.0 AS DOUBLE) AS value
+      FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY user_id)
+    SELECT s.user_id, s.event_id, s.value FROM snapshot s
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
+    UNION ALL
+    SELECT user_id, event_id, value FROM latest WHERE NOT is_delete
+    """,
+    tags=("cdc", "B8", "merge"),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply (SCD-1): a change batch (events after 1-20, with
+    'error' rows as deletes) applied to a snapshot (state before 1-20) —
+    upsert latest-per-key, drop deletes, keep untouched rows. The operator
+    the reference's keyed CDC topics exist to feed."""
+    from ..operators.cdc import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    snapshot = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("event_id"), F.lit(0.0).alias("value"))
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("event_type") == "error").alias("is_delete"),
+        "ts",
+    )
+    merged = merge_upsert(
+        snapshot, changes.withColumn("_ord", F.struct("ts", "event_id")),
+        ["user_id"], "_ord", delete_col="is_delete",
+    )
+    return merged.select("user_id", "event_id", "value")
+
+
+@query(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+      {SQL_DSUM("CAST(value AS DECIMAL(18,2))")} AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("skew", "B7", "scale"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a LOW-cardinality (worst-skew)
+    key: counts/sums per (key, salt) then per key. Same answer as the
+    direct group-by — decimal sums make the two-phase reassociation
+    exact — with the hot key spread over 16 reducers in phase 1."""
+    from ..operators.skew import salted_agg_sum, salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = salted_count(ev, ["event_type"], salt_buckets=16)
+    sums = salted_agg_sum(
+        ev, ["event_type"], dec2("value"), "total_dec", salt_buckets=16
+    )
+    return counts.join(sums, "event_type").select(
+        "event_type", "n", F.round(F.col("total_dec"), 2).cast("double").alias("total")
+    )

@@ -254,3 +254,49 @@ def string_cast_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"name": "string_cast", "fields": ["user_id", "event_type", "props", "nonexistent"]}],
     )
     return out.select("event_id", "user_id", "event_type", "props")
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+      ['k'] AS prop_keys,
+      [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_values,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("scalar", "B12", "map"),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse the schemaless JSON payload into a
+    typed map, then map_keys / map_values / element access — the late-
+    binding Map<String,Object> posture of the reference
+    (ChargeOverSourceTask.java:421-432) with declared types."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+@query(
+    "scalar_posexplode",
+    oracle="""
+    SELECT t.doc_id, u.s.pos AS pos, u.s.tok AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 50) t,
+    unnest(list_transform(range(1, len(t.w) + 1),
+                          i -> {'pos': i, 'tok': t.w[i]})) u(s)
+    """,
+    tags=("scalar", "B12", "explode"),
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per (position, token) — the generator/UDTF
+    shape on the built-in fast path (1-based positions to match SQL)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")

@@ -59,6 +59,8 @@ class RestSourceConfig:
     request_timeout_s: float = 30.0
 
     def __post_init__(self) -> None:
+        if not self.entities:
+            raise ValueError("entities must be a non-empty list")
         if not 1 <= self.batch_size <= 500:  # Range.between(1,500), Config.java:56
             raise ValueError(f"batch_size must be in [1, 500], got {self.batch_size}")
         if self.max_retries < 0:
