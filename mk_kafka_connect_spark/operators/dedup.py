@@ -261,6 +261,10 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops stop-shingles appearing in more than that
     many docs — the skew guard that keeps the join linear-ish at scale
     (a shingle shared by k docs contributes k² join rows).
+
+    (Measured: hashing shingles to int64 join keys does NOT pay here —
+    the dominant cost is the pair group-by after the join, and the
+    interpreted char-fold adds ~20%; string keys kept.)
     Returns (id_a, id_b, jaccard)."""
     ex = df.select(
         F.col(id_col).alias("doc"),

@@ -268,3 +268,48 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(sums, "event_type").select(
         "event_type", "n", F.round(F.col("total_dec"), 2).cast("double").alias("total")
     )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*)
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+    tags=("subquery", "B4", "B7"),
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer average) — Catalyst
+    de-correlates it into an aggregate + join; the exact-decimal average
+    keeps the comparison threshold bit-identical cross-engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_adv2_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice FROM _adv2_orders o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*)
+          FROM _adv2_orders i WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
+    "agg_approx_quantiles",
+    oracle=None,  # t-digest/GK sketches are engine-specific by design
+    tags=("agg", "B7", "approx"),
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB quantile path (bounded-memory sketch,
+    single pass, mergeable across partitions). Rows-only in the driver;
+    the unit test bounds its error against the exact percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias(
+            "approx_p50_p95"
+        ),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    )
