@@ -46,6 +46,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncate to microsecond timestamps — the same ns→us truncation DuckDB
     applies, so both engines see identical values.
     """
+    # Defensive: the caller's session may not have been built by
+    # session.get_spark (e.g. the round driver's own session). Timestamp
+    # semantics MUST be UTC for oracle parity (SURVEY.md §7 risk register),
+    # and both confs are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

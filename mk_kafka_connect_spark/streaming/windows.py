@@ -48,6 +48,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (ns → µs timestamps,
     same truncation as the batch catalog loader)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         # File streaming sources require a directory; select just the
