@@ -100,7 +100,11 @@ def minhash_signatures_agg(
     once (the array form re-evaluates it per permutation after projection
     collapse), the 32 ``min`` aggregates are plain codegen'd arithmetic
     with map-side partial aggregation, and the one shuffle is on the doc
-    id. Returns (id_col, sig array<long>)."""
+    id. Returns (id_col, sig array<long>).
+
+    (Measured: an Arrow pandas_udf for the char fold is 2× SLOWER than
+    this interpreted HOF at 260k shingles — Arrow transfer dominates;
+    don't "optimize" it that way.)"""
     params = minhash_params(num_hashes)
     ex = df.select(
         F.col(id_col),
