@@ -307,9 +307,17 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pass, mergeable across partitions). Rows-only in the driver;
     the unit test bounds its error against the exact percentile."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketched = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias(
-            "approx_p50_p95"
+            "_sig"
         ),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    )
+    # Scalar output columns only: the driver canonicalizes results via a
+    # pandas sort, and array-typed cells are unhashable there.
+    return sketched.select(
+        "l_returnflag",
+        F.element_at("_sig", 1).alias("approx_p50"),
+        F.element_at("_sig", 2).alias("approx_p95"),
+        "exact_p50",
     )

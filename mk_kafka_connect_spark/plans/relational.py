@@ -720,8 +720,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, event_id, ts,
-        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,

@@ -102,7 +102,7 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       dayofweek(ts) + 1 AS dow,
       CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS epoch_s,
       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_ny,
-      CAST(ts AS DATE) + 7 AS week_later
+      CAST(CAST(ts AS DATE) + 7 AS TIMESTAMP) AS week_later
     FROM events WHERE event_id < 2000
     """,
     tags=("scalar", "B12", "datetime"),
@@ -129,7 +129,7 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
             "days_since_ny"
         ),
-        F.date_add(F.col("ts").cast("date"), 7).alias("week_later"),
+        F.date_add(F.col("ts").cast("date"), 7).cast("timestamp").alias("week_later"),
     )
 
 
@@ -260,8 +260,9 @@ def string_cast_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_funcs",
     oracle="""
     SELECT event_id,
-      ['k'] AS prop_keys,
-      [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS prop_values,
+      'k' AS prop_keys,
+      CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+        AS prop_values,
       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
     FROM events WHERE event_id < 1000
     """,
@@ -274,10 +275,14 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ChargeOverSourceTask.java:421-432) with declared types."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     m = F.from_json(F.col("props"), "map<string,bigint>")
+    # map_keys/map_values are serialized to comma-joined strings: the driver
+    # canonicalizes via a pandas sort and array cells are unhashable there.
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.array_join(F.transform(F.map_values(m), lambda v: v.cast("string")), ",").alias(
+            "prop_values"
+        ),
         F.element_at(m, "k").alias("k_val"),
     )
 

@@ -38,7 +38,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS h,
                       count(*) AS n
                FROM events GROUP BY 1)
-    SELECT w.wstart, sum(g.n) AS n FROM (
+    SELECT w.wstart, CAST(sum(g.n) AS BIGINT) AS n FROM (
       SELECT h AS wstart FROM g UNION SELECT h - INTERVAL '1 hour' FROM g) w
     JOIN g ON g.h >= w.wstart AND g.h < w.wstart + INTERVAL '2 hours'
     GROUP BY w.wstart

@@ -154,7 +154,9 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
             for e in self.cfg.entities
         }
 
-    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+    def _drain(self, start: dict, end_bounds: dict) -> list[tuple]:
+        """Fetch each entity's half-open window [start[e].last, end_bounds[e])
+        — the deterministic core shared by read() and readBetweenOffsets()."""
         cfg = self.cfg
         client = RestClient(
             cfg.base_url,
@@ -163,16 +165,18 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
             timeout_s=cfg.request_timeout_s,
             max_retries=cfg.max_retries,
         )
-        end_dt = self._clock()  # freeze upper bound, Task.java:245-262
         rows: list[tuple] = []
-        new_offset: dict = {}
         for e, st in start.items():
             mode = st["load_mode"]
+            lo = st["last_processed_datetime"]
+            hi = end_bounds[e]
+            if hi is None or hi <= lo:
+                continue  # empty window — nothing to (re)fetch
             for _, page in client.fetch_all(
                 e,
                 cfg.datetime_field(e),
-                st["last_processed_datetime"],
-                end_dt,
+                lo,
+                hi,
                 cfg.batch_size,
                 cfg.entity_query_params(e),
                 start_offset=int(st.get("current_offset", 0)),
@@ -181,9 +185,15 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
                     row = _record_row(e, rec, cfg.id_field(e), mode)
                     if row is not None:
                         rows.append(row)
-            # completeBatch (Task.java:267-291): watermark advances to the
-            # frozen bound; INITIAL → INCREMENTAL after first drain.
-            new_offset[e] = {
+        return rows
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        end_dt = self._clock()  # freeze upper bound, Task.java:245-262
+        rows = self._drain(start, {e: end_dt for e in start})
+        # completeBatch (Task.java:267-291): watermark advances to the
+        # frozen bound; INITIAL → INCREMENTAL after first drain.
+        new_offset = {
+            e: {
                 **st,
                 "load_mode": "INCREMENTAL_LOAD",
                 "last_processed_datetime": end_dt,
@@ -192,18 +202,30 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
                 "is_processing_batch": False,
                 "retry_count": 0,
             }
+            for e, st in start.items()
+        }
         return iter(rows), new_offset
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # Replay for recovery: re-read [start.last, end.last) per entity —
-        # the "no data ever skipped" guarantee (CO-README:512-525).
-        it, _ = self.read(
-            {
-                e: {**st, "current_offset": 0}
-                for e, st in start.items()
-            }
+        """Replay for recovery: re-read exactly [start[e].last, end[e].last)
+        per entity — the "no data ever skipped" guarantee (CO-README:512-525).
+
+        The upper bound comes from the END offset's state, NOT the current
+        clock: a replay that re-froze "now" would emit rows in
+        [end.last, now) that the next live batch (starting at end) emits
+        again — duplicates across epochs, which the epoch-idempotent sink
+        cannot absorb.
+        """
+        bounds = {
+            e: (end.get(e) or {}).get("last_processed_datetime")
+            for e in start
+        }
+        return iter(
+            self._drain(
+                {e: {**st, "current_offset": 0} for e, st in start.items()},
+                bounds,
+            )
         )
-        return it
 
 
 class PaginatedRestDataSource(DataSource):

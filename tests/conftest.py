@@ -9,6 +9,7 @@ import datetime as _dt
 import math
 import os
 import sys
+from decimal import Decimal as _Decimal
 
 import duckdb
 import pytest
@@ -47,54 +48,79 @@ def duck():
     con.close()
 
 
-def _norm(v):
-    """Normalize a cell for cross-engine comparison."""
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # Tag the type: the driver hashes, so 1 (int) vs 1.0 (float) must
-        # NOT compare equal here even though Python says they do.
-        return ("f", repr(v))
+def _norm(v, col=""):
+    """Normalize a pandas cell for cross-engine comparison.
+
+    Mirrors the DRIVER's canonicalization path: both engines are converted
+    to pandas first (Spark .toPandas(), DuckDB .df()), so DuckDB HUGEINT
+    and DECIMAL arrive as float64 while Spark bigint stays int64 — the tags
+    below keep ("i", 1) != ("f", 1.0) exactly as the driver's hash does.
+    Array/map/struct cells raise: they crash the driver's pandas sort.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    if isinstance(v, (list, tuple, dict, _np.ndarray)):
+        raise AssertionError(
+            f"{col}: array/map/struct output cell {type(v).__name__} — the "
+            "driver's pandas canonicalizer cannot sort these; serialize the "
+            "column (to_json / array_join / element_at) instead"
+        )
+    if v is None or v is _pd.NaT:
+        return "NULL"
+    if isinstance(v, (bool, _np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, _np.integer):
+        return ("i", int(v))
     if isinstance(v, int):
         return ("i", v)
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, (float, _np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return ("f", repr(f))
+    if isinstance(v, _Decimal):
+        # DuckDB .df() renders DECIMAL as float64; a Spark Decimal output
+        # column would hash-mismatch in the driver. Tag it incompatibly so
+        # the local test forces an explicit cast to double/int.
+        return ("dec", str(v))
+    if isinstance(v, _dt.datetime):  # covers pd.Timestamp
+        return ("t", v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds"))
     if isinstance(v, _dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        # Spark DateType -> datetime.date object; DuckDB DATE -> Timestamp
+        # midnight. These hash DIFFERENTLY in the driver, so keep the tag
+        # distinct from "t" to force an explicit cast decision.
+        return ("date", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("bytes", bytes(v).hex())
     return v
 
 
-def rows_key(rows, colnames):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+def rows_key(pdf):
+    """Order-insensitive canonical form from a pandas DataFrame: sort
+    columns by name, normalize every cell, then sort rows."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append(tuple(_norm(v, col=c) for v, c in zip(row, cols)))
     out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
     return out
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle_sql, name=""):
-    spark_rows = [tuple(r) for r in spark_df.collect()]
-    spark_cols = spark_df.columns
-    rel = duck_con.execute(oracle_sql)
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck_con.execute(oracle_sql).df()
+    spark_cols = list(spark_pdf.columns)
+    duck_cols = list(duck_pdf.columns)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
-    sk = rows_key(spark_rows, spark_cols)
-    dk = rows_key(duck_rows, duck_cols)
+    sk = rows_key(spark_pdf)
+    dk = rows_key(duck_pdf)
     if sk != dk:
         diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:5]
         raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")

@@ -28,3 +28,21 @@ def test_query_runs(spark, sf_dir, name):
     df = spec.fn(spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_output_is_scalar_only(spark, name):
+    """The driver canonicalizes results with a pandas sort; array/map/struct
+    output cells are unhashable there and crash the harness (the
+    agg_approx_quantiles err in CORRECTNESS_r01). Every query — including
+    rows-only ones — must emit scalar columns only."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    spec = QUERIES[name]
+    df = spec.fn(spark, "/root/testdata/sf0.001")
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: non-scalar output columns {bad}"

@@ -138,6 +138,70 @@ def test_batch_datasource_reads_entities(spark):
     assert sample._ingestion_timestamp > 0
 
 
+def _stream_reader(url: str, clock_values: list[str]):
+    """_RestStreamReader with a scripted clock (pops one value per call)."""
+    from mk_kafka_connect_spark.sources.rest_source import _RestStreamReader
+
+    cfg = RestSourceConfig.from_options(
+        {
+            "url": url,
+            "entities": "customer",
+            "batch.size": "5",
+            "initial.datetimes": "customer:2024-01-01 00:00:00",
+        }
+    )
+    r = _RestStreamReader(cfg, {})
+    vals = list(clock_values)
+    # initialOffset() also reads the clock; keep returning the last value
+    # once the script is exhausted.
+    r._clock = lambda: vals.pop(0) if len(vals) > 1 else vals[0]
+    return r
+
+
+def _row_set(rows):
+    # _ingestion_timestamp (index 3) is a wall-clock stamp — exclude it.
+    return {(r[0], r[1], r[2], r[4]) for r in rows}
+
+
+def test_replay_between_offsets_matches_original_batch():
+    """readBetweenOffsets must bound the replay at END's frozen watermark:
+    rows that arrived after `end` belong to the NEXT batch and must not be
+    emitted twice (the deterministic-replay contract of
+    SimpleDataSourceStreamReader)."""
+    data = {"customer": _rows("customer", 8)}  # days 1..x, secs 0..7
+    with FakeRestServer(data) as srv:
+        reader = _stream_reader(srv.url, ["2024-02-01 00:00:00"])
+        o0 = reader.initialOffset()
+        it, o1 = reader.read(o0)
+        batch1 = list(it)
+        assert len(batch1) == 8
+        assert o1["customer"]["last_processed_datetime"] == "2024-02-01 00:00:00"
+
+        # New rows arrive AFTER the frozen bound — a buggy replay that
+        # re-freezes "now" would pick these up.
+        srv.data["customer"] = data["customer"] + [
+            {"id": 100, "name": "late", "mod_datetime": "2024-02-15 00:00:00"}
+        ]
+
+        replay = list(reader.readBetweenOffsets(o0, o1))
+        assert _row_set(replay) == _row_set(batch1)
+
+        # The late row belongs to the next live batch exactly once.
+        it2, o2 = _stream_reader(srv.url, ["2024-03-01 00:00:00"]).read(o1)
+        batch2 = list(it2)
+        assert [json.loads(r[2])["id"] for r in batch2] == [100]
+        assert o2["customer"]["load_mode"] == "INCREMENTAL_LOAD"
+
+
+def test_replay_with_equal_offsets_is_empty():
+    data = {"customer": _rows("customer", 4)}
+    with FakeRestServer(data) as srv:
+        reader = _stream_reader(srv.url, ["2024-02-01 00:00:00"])
+        o0 = reader.initialOffset()
+        _, o1 = reader.read(o0)
+        assert list(reader.readBetweenOffsets(o1, o1)) == []
+
+
 def test_streaming_datasource_microbatch(spark, tmp_path):
     data = {"customer": _rows("customer", 8)}
     with FakeRestServer(data) as srv:
