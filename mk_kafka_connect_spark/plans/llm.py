@@ -315,7 +315,7 @@ _SQL_NORM = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
     "sim_topk_bruteforce",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, {_SQL_QUANT.format(e='embedding')} AS qv
-               FROM embeddings WHERE vec_id < 10),
+               FROM embeddings WHERE vec_id < 100),
     c AS (SELECT vec_id AS neighbor_id, {_SQL_QUANT.format(e='embedding')} AS cv
           FROM embeddings),
     scored AS (
@@ -332,11 +332,13 @@ _SQL_NORM = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
     tags=("similarity", "B15"),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 for 10 query vectors (quantized-int scoring —
-    bit-identical cross-engine; deterministic tie-break on neighbor id)."""
+    """Exact cosine top-10 for a 100-vector query batch (quantized-int
+    scoring — bit-identical cross-engine; deterministic tie-break on
+    neighbor id). The batch size matches the realistic ANN workload the
+    LSH variant accelerates."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_bruteforce(
-        emb, emb.filter(F.col("vec_id") < 10), k=10
+        emb, emb.filter(F.col("vec_id") < 100), k=10
     )
 
 
@@ -361,24 +363,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.3, id_cap=300)
 
 
+# Hyperplane signature in DuckDB SQL — bit-exact mirror of
+# operators/similarity.py::hyperplane_signatures_agg (same Knuth integer
+# mix, same quantized vectors), so LSH-bucketed operators get a full
+# value-hash oracle, not just a recall check.
+_SQL_HSIG = """CAST(list_sum(list_transform(range(16), p ->
+  CASE WHEN list_sum(list_transform(range(64), i ->
+    {qv}[i+1] * (CASE WHEN ((p*64 + i) * 2654435761) % 4294967296 >= 2147483648
+               THEN 1 ELSE -1 END)
+  )) > 0 THEN 1 << p ELSE 0 END
+)) AS BIGINT)"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS v
+               FROM embeddings),
+    s AS (SELECT id, v, {_SQL_HSIG.format(qv='v')} AS sig FROM v)
+    SELECT a.id AS id_a, b.id AS id_b,
+      {_SQL_DOT.format(a='a.v', b='b.v')} /
+      ({_SQL_NORM.format(v='a.v')} * {_SQL_NORM.format(v='b.v')}) AS cosine
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+      AND {_SQL_DOT.format(a='a.v', b='b.v')} /
+          ({_SQL_NORM.format(v='a.v')} * {_SQL_NORM.format(v='b.v')}) >= 0.3
+    """,
+    tags=("dedup", "similarity", "B15", "lsh"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: LSH bucket-then-verify over the FULL
+    table (no id_cap). Deterministic contract — exactly the pairs with
+    sig-hamming ≤ 2 and quantized cosine ≥ 0.3 — so the DuckDB oracle
+    hash-checks it like any exact operator; the oracle's all-pairs form is
+    the spec, while the Spark plan enumerates 137-mask hamming balls into
+    a shuffled equi-join (no cross product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_lsh(
+        emb, threshold=0.3, num_planes=16, hamming_radius=2, dims=64
+    )
+
+
 @query(
     "sim_topk_lsh",
     oracle=None,  # verified against brute force by recall test instead
     tags=("similarity", "B15", "lsh"),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via 16-bit hyperplane LSH signatures.
-    Deterministic (integer-mix hyperplanes); checked by a
-    recall-vs-bruteforce test rather than a SQL oracle.
+    """Approximate top-10 via hyperplane LSH signatures. Deterministic
+    (integer-mix hyperplanes); checked by a recall-vs-bruteforce test
+    rather than a SQL oracle.
 
-    Radius 7 here because the fixture embeddings are near-random (max
-    pairwise cosine ~0.5): weak signal needs a wide probe (~40% of
-    signature space) for 0.6+ recall. Clustered production embeddings
-    reach that recall at radius 2-4, probing <4% — which is the scale
-    win this operator exists for."""
+    8 planes / radius 4 because the fixture embeddings are near-random
+    (max pairwise cosine ~0.5): weak signal needs a wide probe for 0.7+
+    recall, and FEWER planes reach the same candidate mass with a
+    163-mask ball instead of 16-plane/radius-7's 26,333 (the candidates
+    get exactly rescored either way, so probe cost is what matters).
+    Clustered production embeddings would use more planes and a smaller
+    radius for sharper pruning."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(
-        emb, emb.filter(F.col("vec_id") < 10), k=10, num_planes=16, hamming_radius=7
+        emb, emb.filter(F.col("vec_id") < 100), k=10, num_planes=8, hamming_radius=4
     )
 
 

@@ -54,12 +54,14 @@ def test_simhash_flags_near_dups(spark):
 
 def test_lsh_topk_recall_vs_bruteforce(spark):
     """Hyperplane-LSH top-10 must reach ≥60% average recall of the exact
-    top-10 at radius 7 (16 planes; wide probe because the fixture
+    top-10 at 8 planes / radius 4 (wide probe because the fixture
     embeddings are near-random — see sim_topk_lsh docstring)."""
     emb = load_table(spark, SF, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < 100)
     exact = S.cosine_topk_bruteforce(emb, queries, k=10).collect()
-    approx = S.cosine_topk_lsh(emb, queries, k=10, hamming_radius=7).collect()
+    approx = S.cosine_topk_lsh(
+        emb, queries, k=10, num_planes=8, hamming_radius=4
+    ).collect()
     from collections import defaultdict
 
     e, a = defaultdict(set), defaultdict(set)

@@ -98,3 +98,23 @@ def test_whole_stage_codegen_on_scalar_battery(spark):
     """`*(n)` prefixes mark whole-stage-codegen'd operators."""
     plan = _plan(QUERIES["scalar_string_funcs"].fn(spark, SF))
     assert "*(1)" in plan
+
+
+def test_lsh_topk_probe_is_equi_join(spark):
+    """The LSH probe must be a hash EQUI-join on enumerated bucket ids —
+    a BroadcastNestedLoopJoin over bit_count(xor) would re-scan the whole
+    corpus per query (the round-1 scale-killer)."""
+    df = QUERIES["sim_topk_lsh"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_near_dup_no_cross_product(spark):
+    """Bucket-then-verify near-dup: candidates come from equi-joins on
+    signature buckets; no all-pairs product may appear anywhere."""
+    df = QUERIES["dedup_embedding_lsh"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
