@@ -38,7 +38,10 @@ def enrich_metadata(df: DataFrame, entity: str, load_mode: str) -> DataFrame:
         df.withColumn("_entity_type", F.lit(entity))
         .withColumn(
             "_ingestion_timestamp",
-            (F.unix_timestamp(F.current_timestamp()) * 1000).cast("long"),
+            # True epoch-millis (Task.java:427 System.currentTimeMillis();
+            # unix_timestamp() would truncate to whole seconds while
+            # presenting a millis-scaled value).
+            F.unix_millis(F.current_timestamp()),
         )
         .withColumn("_load_mode", F.lit(load_mode))
     )

@@ -17,11 +17,15 @@ from pyspark.sql import functions as F
 __all__ = ["salted_count", "salted_agg_sum", "salted_broadcast_join"]
 
 
-def _salt(n: int) -> Column:
-    # Deterministic-per-row-ish salt: spread rows without an RNG (rand()
-    # would break retry idempotency — a failed task would re-salt
-    # differently on retry).
-    return (F.monotonically_increasing_id() % n).cast("int")
+def _salt(n: int, cols: Sequence[str] | None = None) -> Column:
+    # Deterministic-PER-ROW salt: hash of the row's columns mod n. A
+    # content hash spreads a single hot key's rows across buckets AND
+    # reproduces exactly on task retry / AQE re-split — unlike rand()
+    # (retry re-salts differently) or monotonically_increasing_id()
+    # (partition-prefixed, so a re-split changes every row's salt).
+    if cols:
+        return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n)).cast("int")
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n)).cast("int")
 
 
 def salted_count(df: DataFrame, key_cols: Sequence[str], salt_buckets: int = 16) -> DataFrame:
@@ -30,7 +34,7 @@ def salted_count(df: DataFrame, key_cols: Sequence[str], salt_buckets: int = 16)
     shuffles only ``keys × buckets`` pre-aggregated rows."""
     key_cols = list(key_cols)
     phase1 = (
-        df.withColumn("_salt", _salt(salt_buckets))
+        df.withColumn("_salt", _salt(salt_buckets, df.columns))
         .groupBy(*key_cols, "_salt")
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
@@ -43,7 +47,7 @@ def salted_agg_sum(
     """Two-phase sum with an arbitrary (decimal-exact) sum expression."""
     key_cols = list(key_cols)
     phase1 = (
-        df.withColumn("_salt", _salt(salt_buckets))
+        df.withColumn("_salt", _salt(salt_buckets, df.columns))
         .groupBy(*key_cols, "_salt")
         .agg(F.sum(sum_col).alias("_partial"))
     )
@@ -60,7 +64,7 @@ def salted_broadcast_join(
     all salt values, join on (key, salt). The small side must be
     broadcast-sized × salt_buckets. Every salted partition gets the hot
     key's dimension row without any single reducer owning the hot key."""
-    big_s = big.withColumn("_salt", _salt(salt_buckets))
+    big_s = big.withColumn("_salt", _salt(salt_buckets, big.columns))
     small_s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))

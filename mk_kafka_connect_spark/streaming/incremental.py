@@ -105,12 +105,18 @@ class IncrementalDriver:
         cron: str = "0 0 0 * * ?",
         initial_datetimes: dict[str, str] | None = None,
         clock: Callable[[], datetime] | None = None,
+        *,
+        cron_timezone: str | None = None,
     ):
         self.store = store
         self.entities = entities
         self.fetch = fetch
         self.sink = sink
         self.cron = cron
+        # cron.timezone (ChargeOverSourceConnectorConfig.java:64-68,164):
+        # the cron's wall-clock fields are interpreted in this zone; the
+        # driver clock stays UTC.
+        self.cron_timezone = cron_timezone
         self.initial_datetimes = initial_datetimes or {}
         self.clock = clock or datetime.utcnow
         self.states = store.load()
@@ -161,7 +167,7 @@ class IncrementalDriver:
             if st.load_mode == INITIAL_LOAD:
                 st.load_mode = INCREMENTAL_LOAD
             st.next_scheduled_run = int(
-                next_fire(self.cron, now).timestamp() * 1000
+                next_fire(self.cron, now, tz=self.cron_timezone).timestamp() * 1000
             )
             self.store.save(self.states)
             processed.append(window)

@@ -46,17 +46,76 @@ def test_cron_step_and_range():
     assert c.next_after(datetime(2024, 3, 5, 18, 0)) == datetime(2024, 3, 6, 9, 0)
 
 
-def test_cron_dow():
-    # Sundays only (cron dow 0): 2024-03-05 is a Tuesday.
-    nxt = CronExpression("0 0 12 ? * 0").next_after(datetime(2024, 3, 5, 0, 0))
+def test_cron_dow_quartz_numbering():
+    # QUARTZ dow: 1=SUN..7=SAT. Sundays only; 2024-03-05 is a Tuesday.
+    nxt = CronExpression("0 0 12 ? * 1").next_after(datetime(2024, 3, 5, 0, 0))
     assert nxt == datetime(2024, 3, 10, 12, 0)
-    assert nxt.weekday() == 6
+    assert nxt.weekday() == 6  # Python Sunday
+    # Mon-Fri = Quartz 2-6: from Friday noon the next is Monday.
+    nxt = CronExpression("0 0 9 ? * 2-6").next_after(datetime(2024, 3, 8, 12, 0))
+    assert nxt == datetime(2024, 3, 11, 9, 0)
+    assert nxt.weekday() == 0
+
+
+def test_cron_dow_zero_rejected():
+    """Unix 0=Sunday is ambiguous against Quartz 1=SUN; it must error
+    (→ the next_fire fallback), not silently fire a day late."""
+    import pytest
+
+    with pytest.raises(ValueError, match="QUARTZ"):
+        CronExpression("0 0 12 ? * 0")
+    assert next_fire("0 0 12 ? * 0", datetime(2024, 3, 5, 10, 0)) == datetime(
+        2024, 3, 6, 10, 0
+    )
 
 
 def test_cron_invalid_falls_back_24h():
     """Task.java:385-388: cron error → +24h."""
     nxt = next_fire("not a cron", datetime(2024, 3, 5, 10, 0))
     assert nxt == datetime(2024, 3, 6, 10, 0)
+
+
+def test_cron_timezone_shipped_config():
+    """The shipped '0 0 2 * * ?' in America/New_York (the whole point of
+    cron.timezone, Config.java:64-68): 02:00 EST = 07:00 UTC."""
+    c = CronExpression("0 0 2 * * ?", tz="America/New_York")
+    nxt = c.next_after(datetime(2024, 1, 10, 0, 0))  # UTC in, UTC out
+    assert nxt == datetime(2024, 1, 10, 7, 0, 0)
+    # Summer (EDT, UTC-4): 02:00 EDT = 06:00 UTC.
+    assert c.next_after(datetime(2024, 7, 10, 0, 0)) == datetime(2024, 7, 10, 6, 0)
+
+
+def test_cron_timezone_spring_forward_gap():
+    """US DST 2024-03-10: 02:00-02:59 EST does not exist — a daily 02:30
+    job skips to the NEXT day's 02:30 EDT (06:30 UTC), like Quartz."""
+    c = CronExpression("0 30 2 * * ?", tz="America/New_York")
+    # 2024-03-09 02:30 EST = 07:30 UTC fires normally:
+    assert c.next_after(datetime(2024, 3, 9, 0, 0)) == datetime(2024, 3, 9, 7, 30)
+    # From just after that fire, the 03-10 occurrence is skipped:
+    assert c.next_after(datetime(2024, 3, 9, 7, 31)) == datetime(2024, 3, 11, 6, 30)
+
+
+def test_cron_timezone_fall_back_single_fire():
+    """US DST end 2024-11-03: 01:30 wall happens twice (EDT 05:30 UTC,
+    EST 06:30 UTC). A daily 01:30 job fires ONCE, on the first pass."""
+    c = CronExpression("0 30 1 * * ?", tz="America/New_York")
+    assert c.next_after(datetime(2024, 11, 3, 0, 0)) == datetime(2024, 11, 3, 5, 30)
+    # After the first (EDT) occurrence the next fire is the NEXT day,
+    # not the repeated EST 01:30:
+    assert c.next_after(datetime(2024, 11, 3, 5, 31)) == datetime(2024, 11, 4, 6, 30)
+
+
+def test_cron_timezone_none_is_wall_clock():
+    """Backward compat: tz=None keeps plain naive wall-clock matching."""
+    assert CronExpression("0 0 2 * * ?").next_after(
+        datetime(2024, 3, 5, 1, 0)
+    ) == datetime(2024, 3, 5, 2, 0)
+
+
+def test_cron_bad_timezone_falls_back():
+    assert next_fire(
+        "0 0 2 * * ?", datetime(2024, 3, 5, 10, 0), tz="Not/AZone"
+    ) == datetime(2024, 3, 6, 10, 0)
 
 
 # --- incremental driver (A11/A12) -------------------------------------------
