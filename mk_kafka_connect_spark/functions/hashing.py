@@ -23,6 +23,8 @@ __all__ = [
     "MERSENNE_P",
     "poly_hash",
     "SQL_POLY_HASH",
+    "md5_mod",
+    "SQL_MD5_MOD",
     "words",
     "SQL_WORDS",
     "shingles",
@@ -54,6 +56,31 @@ def SQL_POLY_HASH(expr: str) -> str:
     )
 
 
+def md5_mod(col: Column) -> Column:
+    """String → int64 in [0, P): the first 60 bits of md5, mod P.
+
+    The Spark side is ONE codegen'd native call chain (md5 → substring →
+    conv → cast) — ~20× the throughput of the interpreted per-character
+    fold on shingle-sized strings, which made the char fold ~50% of the
+    whole minhash pipeline. md5 hex output is identical in Spark and
+    DuckDB, so the value is still exactly reproducible cross-engine
+    (DuckDB parses the same 15 hex chars with a list fold — slower, but
+    the oracle only runs at toy scale). 15 hex chars = 60 bits keeps the
+    conv result inside a signed int64 for both engines."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MERSENNE_P
+    )
+
+
+def SQL_MD5_MOD(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({expr}), 1, 15), ''), "
+        f"c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1)), "
+        f"(acc, x) -> acc * 16 + x) % {MERSENNE_P}"
+    )
+
+
 def words(col: Column) -> Column:
     """Whitespace tokenization (single-space; documents are pre-normalized)."""
     return F.split(col, " ")
@@ -66,14 +93,20 @@ def SQL_WORDS(expr: str) -> str:
 def shingles(col_name: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings (empty when < n words).
 
-    Takes a column NAME (used inside a SQL lambda); 1-based ``element_at``
-    matches DuckDB's 1-based list indexing so both engines enumerate the
-    same shingle sequence."""
-    elems = ", ".join(f"element_at(split({col_name}, ' '), i + {k})" for k in range(n))
+    slice-and-zip formulation: ``arrays_zip(slice(w,1,m), …, slice(w,n,m))``
+    then one concat per shingle. The index-lambda form
+    (``transform(sequence(...), i -> element_at(split(text), i+k))``)
+    re-evaluates the split per element after projection collapse —
+    O(words²) per document, measured 8× slower on the documents table.
+    Here each slice is O(words) and the split is CSE'd once per row."""
+    w = f"split({col_name}, ' ')"
+    m = f"size({w}) - {n - 1}"
+    zips = ", ".join(f"slice({w}, {k + 1}, {m})" for k in range(n))
+    fields = ", ".join(f"s['{k}']" for k in range(n))
     return F.expr(
-        f"CASE WHEN size(split({col_name}, ' ')) >= {n} THEN "
-        f"transform(sequence(1, size(split({col_name}, ' ')) - {n - 1}), "
-        f"i -> concat_ws(' ', {elems})) ELSE array() END"
+        f"CASE WHEN size({w}) >= {n} THEN "
+        f"transform(arrays_zip({zips}), s -> concat_ws(' ', {fields})) "
+        f"ELSE array() END"
     )
 
 

@@ -26,7 +26,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE_P, minhash_params, poly_hash, shingles, words
+from ..functions.hashing import (
+    MERSENNE_P,
+    md5_mod,
+    minhash_params,
+    poly_hash,
+    shingles,
+    words,
+)
 
 __all__ = [
     "exact_dedup",
@@ -51,9 +58,9 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 
 def shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word-n-gram shingles hashed to int64 — the MinHash input.
-    Adds column ``sh`` (array<long>, distinct hashed shingles)."""
+    Adds column ``sh`` (array<long>, distinct md5_mod-hashed shingles)."""
     sh = F.array_distinct(shingles(text_col, n))
-    hashed = F.transform(sh, lambda s: _poly_hash_lambda(s))
+    hashed = F.transform(sh, lambda s: md5_mod(s))
     return df.withColumn("sh", hashed)
 
 
@@ -110,7 +117,10 @@ def minhash_signatures_agg(
         F.col(id_col),
         F.explode_outer(F.array_distinct(shingles(text_col, n))).alias("_s"),
     )
-    exh = ex.select(id_col, _poly_hash_lambda(F.col("_s")).alias("_h"))
+    # md5_mod: native codegen'd shingle hash (the per-char poly fold was
+    # ~50% of minhash wall time; md5 is one JVM call per shingle and is
+    # mirrored exactly by the DuckDB oracle).
+    exh = ex.select(id_col, md5_mod(F.col("_s")).alias("_h"))
     aggs = [
         F.coalesce(
             F.min((F.col("_h") * a + b) % MERSENNE_P), F.lit(MERSENNE_P)
@@ -169,19 +179,53 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     filter by signature-estimated Jaccard (fraction of equal components).
-    Returns (id_a, id_b, est_jaccard)."""
+    Returns (id_a, id_b, est_jaccard).
+
+    The signature array rides THROUGH the band explode into the bucket
+    join, so the signature pipeline (shingle explode + 32 min-aggregates)
+    is computed exactly once and no signature join-backs exist — the
+    naive cands⋈sig_a⋈sig_b formulation re-evaluates the whole signature
+    subtree three times (Spark does not share subtrees across joins).
+    Cost: the band shuffle carries bands× the signature per doc
+    (bands·num_hashes longs ≈ 2 KB/doc), cheaper than two extra shuffles
+    of the signature table at any scale."""
+    rows = num_hashes // bands
     sig_slim = minhash_signatures_agg(df, text_col, id_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sig_slim, id_col, num_hashes, bands)
-    a = sig_slim.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sig_slim.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    banded = sig_slim.select(
+        F.col(id_col),
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band_idx, "
+                f"concat_ws(',', slice(sig, b * {rows} + 1, {rows})) AS band_key))"
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
     est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
         / F.lit(num_hashes)
     ).alias("est_jaccard")
     return (
-        cands.join(a, "id_a").join(b, "id_b")
-        .select("id_a", "id_b", est)
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est,
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 

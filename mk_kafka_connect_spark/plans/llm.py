@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.hashing import MERSENNE_P, minhash_params
+from ..functions.hashing import MERSENNE_P, SQL_MD5_MOD, minhash_params
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
@@ -49,7 +49,7 @@ _SHINGLE_HASHES_CTE = f"""
   sh AS (
     SELECT doc_id,
       list_transform(list_distinct({{shingles}}),
-                     s -> {sql_poly('s')}) AS sh
+                     s -> {SQL_MD5_MOD('s')}) AS sh
     FROM (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)
   )
 """
