@@ -21,10 +21,16 @@ from mk_kafka_connect_spark.plans import QUERIES  # noqa: E402
 from mk_kafka_connect_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family. Extend as families land.
+# dedup_ngram_jaccard and sim_topk_bruteforce are the ORACLE-TIER exact
+# baselines (deliberately naive formulations the approximate families are
+# verified against) — kept in the bench for the comparison, but the scale
+# paths are dedup_minhash_lsh / sim_topk_lsh / dedup_embedding_lsh.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
     "expand_customer_flat",
     "join_asof",
     "cdc_merge_upsert",
@@ -37,6 +43,7 @@ HEADLINE = [
     "text_quality_score",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "dedup_embedding_lsh",
     "multimodal_decode",
 ]
 
