@@ -44,6 +44,7 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_topk_lsh",
     "dedup_embedding_lsh",
+    "bucketed_join_revenue",
     "multimodal_decode",
 ]
 

@@ -6,6 +6,8 @@ B6/B7 and the CDC consumer path (A7's keys feeding SCD-1 apply).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -494,4 +496,44 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(dsum(dec2("l_extendedprice") * one_minus("l_discount")).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+      {SQL_DSUM("CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))")} AS revenue,
+      count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "agg", "B6", "bucketing"),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED tables: lineitem/orders are written
+    bucketBy(8, orderkey) + sortBy once (the amortized shuffle), then the
+    join consumes co-located sorted buckets — the physical plan has no
+    Exchange on either join side (asserted in tests/test_bucketing.py).
+    Results are layout-independent, so the plain-join DuckDB oracle
+    hash-checks it like any other query.
+
+    The broadcast threshold is irrelevant here by design: the test pins
+    the join to sort-merge to prove the bucket layout, but in production
+    the win is the same for any equi-join/groupBy on the bucket key."""
+    from ..operators.bucketing import ensure_bucketed_pair
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".bucketed_cache")
+    li_tbl, o_tbl = ensure_bucketed_pair(spark, sf_dir, cache, num_buckets=8)
+    li, o = spark.table(li_tbl), spark.table(o_tbl)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(dec2("l_extendedprice") * one_minus("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
     )
