@@ -20,6 +20,8 @@ __all__ = [
     "read_kafka_stream",
     "write_kafka_batch",
     "write_kafka_stream",
+    "write_kafka_files",
+    "read_kafka_files",
     "decode_json_topic",
 ]
 
@@ -98,6 +100,37 @@ def write_kafka_stream(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def write_kafka_files(df: DataFrame, path: str) -> None:
+    """Broker-less Kafka-shaped sink: persist (topic, key, value) as
+    BINARY columns in topic-partitioned parquet — the same byte contract
+    ``write.format("kafka")`` would produce (key/value byte arrays,
+    ``ChargeOverSourceTask.java:434-443``), so pipelines and tests
+    exercise real serialization end-to-end without a broker, and the
+    files can be replayed into a real cluster later. Partitioning by
+    topic mirrors topic routing and gives partition pruning on read."""
+    (
+        df.select(
+            F.col("topic"),
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.current_timestamp().alias("timestamp"),
+        )
+        .write.mode("append")
+        .partitionBy("topic")
+        .parquet(path)
+    )
+
+
+def read_kafka_files(spark: SparkSession, path: str, topic: str | None = None) -> DataFrame:
+    """Read a ``write_kafka_files`` layout back in the Kafka SOURCE
+    column shape (topic, key binary, value binary, timestamp) — drop-in
+    input for ``decode_json_topic``. ``topic`` prunes partitions."""
+    df = spark.read.parquet(path)
+    if topic is not None:
+        df = df.filter(F.col("topic") == topic)
+    return df.select("topic", "key", "value", "timestamp")
 
 
 def decode_json_topic(df: DataFrame, schema) -> DataFrame:
