@@ -77,9 +77,25 @@ def ensure_bucketed_pair(
         done = os.path.join(path, "_SUCCESS")
         if spark.catalog.tableExists(tbl) and os.path.exists(done):
             continue  # already materialized this session
-        # Bucket metadata lives in the (in-memory) catalog, so a fresh
-        # session must re-run saveAsTable even if files exist; mode
-        # overwrite keeps this idempotent.
+        if os.path.exists(done):
+            # Files already written by a previous session. Bucket metadata
+            # lives in the (in-memory) catalog, not the parquet footer, so
+            # a fresh session must re-REGISTER — but it must NOT re-WRITE:
+            # at 100 TB the rewrite is the whole shuffle this layout
+            # amortizes. CREATE TABLE ... CLUSTERED BY ... LOCATION points
+            # the catalog at the existing bucket files (bucket ids are
+            # encoded in the file names, which the scan trusts).
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in load_table(spark, sf_dir, src).schema.fields
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {num_buckets} BUCKETS LOCATION '{path}'"
+            )
+            continue
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         write_bucketed(load_table(spark, sf_dir, src), tbl, key, num_buckets, path)
     return li_tbl, o_tbl

@@ -131,18 +131,11 @@ def cosine_topk_bruteforce(
     )
 
 
-def _plane_weight_py(p: int, i: int, dims: int) -> int:
-    """±1 weight for (plane p, dimension i) from a Knuth-multiplicative
-    integer mix — no RNG object, no seed file, reproducible in SQL on any
-    engine (bit 31 of (p·dims + i) · 2654435761 mod 2^32)."""
-    return 1 if ((p * dims + i) * 2654435761) % (1 << 32) >= (1 << 31) else -1
-
-
 def _hyperplane_sig_udf(num_planes: int, dims: int):
     """Arrow-vectorized signature kernel: one integer matmul of the
     quantized batch against the constant ±1 weight matrix, then sign-bits
     packed into a long. Bit-identical to the SQL/DuckDB formulation of
-    the same mix (plans/llm.py::_SQL_HSIG) — int64 math is exact.
+    the same mix (plans/llm.py::_sql_hsig) — int64 math is exact.
 
     (A generated native ±element-sum expression was tried and rejected:
     512+ term expression trees fall out of whole-stage codegen and run

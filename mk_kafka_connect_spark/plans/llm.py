@@ -364,12 +364,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Hyperplane signature in DuckDB SQL — bit-exact mirror of
-# operators/similarity.py::hyperplane_signatures_agg (same Knuth integer
+# operators/similarity.py::_hyperplane_sig_udf (same Knuth integer
 # mix, same quantized vectors), so LSH-bucketed operators get a full
-# value-hash oracle, not just a recall check.
-_SQL_HSIG = """CAST(list_sum(list_transform(range(16), p ->
-  CASE WHEN list_sum(list_transform(range(64), i ->
-    {qv}[i+1] * (CASE WHEN ((p*64 + i) * 2654435761) % 4294967296 >= 2147483648
+# value-hash oracle, not just a recall check. Generated from the SAME
+# (num_planes, dims) parameters the Spark operator takes, so the two
+# sides cannot drift.
+_LSH_NUM_PLANES = 16
+_LSH_DIMS = 64
+
+
+def _sql_hsig(qv: str, num_planes: int = _LSH_NUM_PLANES, dims: int = _LSH_DIMS) -> str:
+    return f"""CAST(list_sum(list_transform(range({num_planes}), p ->
+  CASE WHEN list_sum(list_transform(range({dims}), i ->
+    {qv}[i+1] * (CASE WHEN ((p*{dims} + i) * 2654435761) % 4294967296 >= 2147483648
                THEN 1 ELSE -1 END)
   )) > 0 THEN 1 << p ELSE 0 END
 )) AS BIGINT)"""
@@ -380,7 +387,7 @@ _SQL_HSIG = """CAST(list_sum(list_transform(range(16), p ->
     oracle=f"""
     WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS v
                FROM embeddings),
-    s AS (SELECT id, v, {_SQL_HSIG.format(qv='v')} AS sig FROM v)
+    s AS (SELECT id, v, {_sql_hsig('v')} AS sig FROM v)
     SELECT a.id AS id_a, b.id AS id_b,
       {_SQL_DOT.format(a='a.v', b='b.v')} /
       ({_SQL_NORM.format(v='a.v')} * {_SQL_NORM.format(v='b.v')}) AS cosine
@@ -400,7 +407,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a shuffled equi-join (no cross product)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_lsh(
-        emb, threshold=0.3, num_planes=16, hamming_radius=2, dims=64
+        emb,
+        threshold=0.3,
+        num_planes=_LSH_NUM_PLANES,
+        hamming_radius=2,
+        dims=_LSH_DIMS,
     )
 
 

@@ -191,12 +191,17 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
         end_dt = self._clock()  # freeze upper bound, Task.java:245-262
         rows = self._drain(start, {e: end_dt for e in start})
         # completeBatch (Task.java:267-291): watermark advances to the
-        # frozen bound; INITIAL → INCREMENTAL after first drain.
+        # frozen bound; INITIAL → INCREMENTAL after first drain. The
+        # max() keeps the watermark monotonic even if the driver clock
+        # steps backwards (NTP correction, VM migration): a regressed
+        # watermark would re-emit the [end_dt, prev_watermark) window.
         new_offset = {
             e: {
                 **st,
                 "load_mode": "INCREMENTAL_LOAD",
-                "last_processed_datetime": end_dt,
+                "last_processed_datetime": max(
+                    st["last_processed_datetime"], end_dt
+                ),
                 "batch_end_datetime": None,
                 "current_offset": 0,
                 "is_processing_batch": False,

@@ -193,6 +193,35 @@ def test_replay_between_offsets_matches_original_batch():
         assert o2["customer"]["load_mode"] == "INCREMENTAL_LOAD"
 
 
+def test_watermark_monotonic_under_clock_stepback():
+    """A driver clock that steps backwards (NTP correction, VM migration)
+    must not regress the watermark: a regressed watermark would re-fetch —
+    and re-emit — the window it already processed."""
+    data = {"customer": _rows("customer", 8)}
+    with FakeRestServer(data) as srv:
+        reader = _stream_reader(srv.url, ["2024-02-01 00:00:00"])
+        o0 = reader.initialOffset()
+        it, o1 = reader.read(o0)
+        assert len(list(it)) == 8
+        assert o1["customer"]["last_processed_datetime"] == "2024-02-01 00:00:00"
+
+        # Clock steps BACK a month. The batch window is empty (hi <= lo)
+        # and the watermark must hold at the high-water mark.
+        stepped = _stream_reader(srv.url, ["2024-01-15 00:00:00"])
+        it2, o2 = stepped.read(o1)
+        assert list(it2) == []
+        assert o2["customer"]["last_processed_datetime"] == "2024-02-01 00:00:00"
+
+        # Once the clock recovers past the watermark, ingestion resumes
+        # from the held mark with no duplicates.
+        srv.data["customer"] = data["customer"] + [
+            {"id": 200, "name": "late", "mod_datetime": "2024-02-10 00:00:00"}
+        ]
+        it3, o3 = _stream_reader(srv.url, ["2024-03-01 00:00:00"]).read(o2)
+        assert [json.loads(r[2])["id"] for r in list(it3)] == [200]
+        assert o3["customer"]["last_processed_datetime"] == "2024-03-01 00:00:00"
+
+
 def test_replay_with_equal_offsets_is_empty():
     data = {"customer": _rows("customer", 4)}
     with FakeRestServer(data) as srv:
