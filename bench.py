@@ -29,8 +29,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q9_product_type_profit",
+    "q14_promo_effect",
+    "q19_discount_revenue",
     "expand_customer_flat",
     "join_asof",
     "cdc_merge_upsert",
@@ -59,13 +62,20 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in QUERIES]
 
+    # min-of-N timing: single-shot numbers on shared hardware swing 3×
+    # run-to-run (GC pauses, co-tenant CPU); the minimum of repeated runs
+    # is the standard noise-robust estimator of a query's actual cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
         fn(spark, sf_dir).count()  # warm-up: JIT, parquet footers, broadcast
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
