@@ -292,19 +292,26 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
 
     Scale shape: one aggregation over lineitem (shuffle on l_suppkey, a
-    ~#suppliers-sized result), then the scalar max — a 1-row broadcast —
-    selects the winner(s); supplier broadcasts. The max compares exactly
-    because total_revenue is the exact-decimal rounded double on both
-    sides."""
+    ~#suppliers-sized result), then the max is a WINDOW over that tiny
+    aggregate — NOT a scalar-subquery join, which would re-compute the
+    whole lineitem aggregation for the max (the plan audit showed two
+    full scans). One pass over the fact table total; the empty window
+    partition is safe because the aggregate is #suppliers rows. The max
+    compares exactly because total_revenue is the exact-decimal rounded
+    double on both sides."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00"))
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(dsum(_disc_price()).alias("total_revenue"))
-    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_max_rev"))
+        rev.withColumn(
+            "_max_rev", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
@@ -452,10 +459,15 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SOLE late supplier on finished multi-supplier orders.
 
     Scale shape: Q21's EXISTS/NOT-EXISTS pair over lineitem is
-    re-expressed as one per-order aggregate (distinct suppliers, distinct
-    LATE suppliers) joined back on l_orderkey — two passes over the same
-    orderkey partitioning instead of three correlated self-joins; the
-    lateness flag is computed once. supplier/nation broadcast."""
+    re-expressed as per-order WINDOW aggregates (distinct suppliers,
+    distinct LATE suppliers) over the l_orderkey partition — ONE shuffle
+    and one pass over lineitem⋈orders, where both the classic triple
+    self-join and an aggregate-then-rejoin would scan and shuffle the
+    fact join twice (the plan audit showed exactly that). Set sizes are
+    bounded by suppliers-per-order (~7), so collect_set stays tiny.
+    supplier/nation broadcast."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
@@ -470,14 +482,16 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        lo.filter(F.col("late"))
-        .join(stats, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+            ),
+        )
+        .filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .filter(

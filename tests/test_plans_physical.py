@@ -111,6 +111,63 @@ def test_lsh_topk_probe_is_equi_join(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must compile to ONE LeftSemi join (no duplication of
+    order rows, no correlated re-execution) with a single aggregation
+    exchange after it."""
+    plan = _plan(QUERIES["q4_order_priority"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_is_pure_scan_agg(spark):
+    """Q6 is the canonical scan-filter-aggregate: no join, no hash
+    exchange — partial sums combine map-side and one row crosses the
+    network. All three predicates must reach the parquet scan."""
+    plan = _plan(QUERIES["q6_forecast_revenue"].fn(spark, SF))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_q15_single_fact_scan(spark):
+    """Q15's max-selection must NOT re-compute the revenue aggregate (a
+    scalar-subquery join re-scans lineitem; the window form scans once)."""
+    plan = _plan(QUERIES["q15_top_supplier"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q18_aggregates_before_join(spark):
+    """Q18 must aggregate lineitem first (HAVING prunes to the big-order
+    tail) and join the survivor set — one fact shuffle, customer
+    broadcast, top-k via TakeOrderedAndProject."""
+    plan = _plan(QUERIES["q18_large_volume_customer"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_pass_window(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must run as window aggregates over one
+    l_orderkey partitioning — one scan of lineitem, not the classic triple
+    self-join (nor an aggregate-then-rejoin double scan)."""
+    plan = _plan(QUERIES["q21_suppliers_kept_waiting"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q22_anti_join_no_correlation(spark):
+    """Q22's NOT EXISTS must be a LeftAnti join against the date-pruned
+    orders side; the average threshold is a 1-row broadcast."""
+    plan = _plan(QUERIES["q22_global_sales_opportunity"].fn(spark, SF))
+    assert "LeftAnti" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_lsh_near_dup_no_cross_product(spark):
     """Bucket-then-verify near-dup: candidates come from equi-joins on
     signature buckets; no all-pairs product may appear anywhere."""
