@@ -48,6 +48,9 @@ QUERIES: dict[str, QuerySpec] = {}
 # queries added this round — into those slots. Everything else follows in
 # registration order and stays covered by the pytest oracle-parity suite
 # (tests/test_oracle_parity.py), which runs the same comparison locally.
+# The per-round rotation schedule (which rounds certified which queries,
+# and what to pin next round) is documented in COVERAGE.md §"Driver
+# certification rotation".
 CERTIFICATION_FRONT: tuple[str, ...] = (
     # r1 hash-FAIL, fixed (relational.py CAST) — re-certify first.
     "sessionize_events",
