@@ -46,6 +46,7 @@ HEADLINE = [
     "text_quality_score",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "dedup_embedding_lsh",
     "bucketed_join_revenue",
     "multimodal_decode",

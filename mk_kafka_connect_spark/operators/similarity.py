@@ -41,6 +41,8 @@ __all__ = [
     "hyperplane_signatures",
     "hamming_ball_masks",
     "cosine_topk_lsh",
+    "train_ivf_centroids",
+    "cosine_topk_ivf",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
 ]
@@ -367,3 +369,160 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", cos(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 8,
+    iters: int = 2,
+    sample_mod: int = 1,
+) -> np.ndarray:
+    """Deterministic IVF training: seed centroids are the ``num_cells``
+    corpus vectors with the smallest ``xxhash64(id)`` (a reproducible
+    pseudo-random sample — no RNG object, no seed file), optionally
+    refined with ``iters`` Lloyd iterations.
+
+    Everything is integer math on quantized vectors: the Lloyd update is
+    round(sum(q)/n) per dimension, where the int64 sums are exact and
+    order-independent — so the trained centroids are bit-identical across
+    cluster sizes, partitionings, and reruns. ``sample_mod`` > 1 trains on
+    the deterministic hash-sample ``xxhash64(id) % sample_mod == 0`` (at
+    100 TB you train the quantizer on a sample, never the full corpus).
+
+    Returns a (num_cells × dims) int64 numpy matrix. Collecting it is
+    model-parameter extraction — K·dims longs, a few KB regardless of
+    corpus size — not a data materialization.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("_h", F.xxhash64(F.col("id")))
+    if sample_mod > 1:
+        base = base.filter(F.pmod(F.col("_h"), F.lit(sample_mod)) == 0)
+    seeds = base.orderBy("_h", "id").limit(num_cells).select("qv").collect()
+    cents = np.array([r.qv for r in seeds], dtype=np.int64)
+
+    for _ in range(iters):
+        assign = assign_ivf_cells(base, cents, vec_col="qv", quantized=True)
+        # Exact integer per-dimension sums: explode to (cell, pos, val),
+        # aggregate, rebuild. 64× row expansion of the TRAINING SAMPLE
+        # only; two shuffles per iteration, both keyed small.
+        sums = (
+            assign.select("cell", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault(r.cell, {})[r.pos] = (r.s, r.n)
+        for cell, dims_map in acc.items():
+            for pos, (s, n) in dims_map.items():
+                # round-half-up on exact integers: deterministic
+                new[cell, pos] = (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
+        cents = new
+    return cents
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    quantized: bool = False,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Attach the (top-``nprobe``) nearest-centroid cell ids to every row.
+
+    One Arrow-vectorized pass: each batch does a single (batch × dims) ·
+    (dims × K) integer matmul against the broadcast centroid matrix — no
+    K-way row expansion, no shuffle. Ties break toward the lower cell id
+    (np.argsort is stable), so assignment is deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.astype(np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    Cn[Cn == 0] = 1.0
+    n_cells = C.shape[0]
+    take = min(nprobe, n_cells)
+
+    @pandas_udf("array<int>")
+    def _cells(qv: pd.Series) -> pd.Series:
+        if qv.empty:
+            return pd.Series([], dtype="object")
+        A = np.array(qv.tolist(), dtype=np.float64)
+        An = np.sqrt((A * A).sum(axis=1))
+        An[An == 0] = 1.0
+        cos = (A @ C.T) / (An[:, None] * Cn[None, :])
+        # stable argsort on -cos: nearest first, ties toward lower cell id
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+        return pd.Series(list(order.astype(np.int32)))
+
+    qv = F.col(vec_col) if quantized else quantize(F.col(vec_col))
+    out = df.withColumn("_cells", _cells(qv))
+    if nprobe == 1:
+        return out.withColumn("cell", F.element_at("_cells", 1)).drop("_cells")
+    return out
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to inverted lists once,
+    probe each query's ``nprobe`` nearest cells, rescore exactly.
+
+    Scale shape: the corpus flows through ONE vectorized assignment pass
+    (broadcast K×dims centroid matrix, no expansion) and then only ever
+    participates in hash equi-joins on ``cell`` — candidates per query ≈
+    |C|·nprobe/K, never a corpus scan per query and never a cross
+    product. The same IVF partitioning is reusable across query batches
+    (write the celled corpus once, bucket by cell). Candidate rescoring
+    is the exact quantized cosine, so results are a deterministic subset
+    of brute force — recall measured in tests, like the LSH path."""
+    celled = assign_ivf_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        ),
+        centroids,
+        vec_col="cv",
+        quantized=True,
+        nprobe=1,
+    )
+    probes = (
+        assign_ivf_cells(
+            queries.select(
+                F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+            ),
+            centroids,
+            vec_col="qv",
+            quantized=True,
+            nprobe=nprobe,
+        )
+        .select("query_id", "qv", F.explode("_cells").alias("cell"))
+    )
+    cos = _pair_cosine_udf()
+    scored = (
+        F.broadcast(probes)
+        .join(celled, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

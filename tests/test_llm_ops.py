@@ -74,6 +74,45 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert avg >= 0.6, f"LSH recall too low: {avg:.2f} ({recalls})"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF top-10 at num_cells=8 / nprobe=4 must reach ≥45% average
+    recall of the exact top-10 (the fixture embeddings are near-random,
+    so recall ≈ probed fraction = 1/2; clustered embeddings would do far
+    better). Also: every returned neighbor's cosine must match the exact
+    score — IVF candidates are rescored with the same quantized math."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    cents = S.train_ivf_centroids(emb, num_cells=8, iters=1)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    approx = S.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4).collect()
+    from collections import defaultdict
+
+    e, a = defaultdict(set), defaultdict(set)
+    escore = {}
+    for r in exact:
+        e[r.query_id].add(r.neighbor_id)
+        escore[(r.query_id, r.neighbor_id)] = r.cosine
+    for r in approx:
+        a[r.query_id].add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in escore:
+            assert abs(escore[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.45, f"IVF recall too low: {avg:.2f}"
+
+
+def test_ivf_training_is_deterministic(spark):
+    """Two independent trainings must produce bit-identical centroids
+    (hash-seeded sample + integer-exact Lloyd update — no RNG state)."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    c1 = S.train_ivf_centroids(emb, num_cells=8, iters=2)
+    c2 = S.train_ivf_centroids(emb, num_cells=8, iters=2)
+    assert c1.dtype == np.int64 and c1.shape == (8, 64)
+    assert (c1 == c2).all()
+
+
 def test_exact_dedup_counts(spark):
     ev = load_table(spark, SF, "events")
     out = D.exact_dedup(ev, "props", "event_id")
