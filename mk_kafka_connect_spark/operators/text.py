@@ -13,7 +13,15 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash, words
 
-__all__ = ["STOPWORDS", "token_stats", "quality_score", "lang_id", "fingerprint"]
+__all__ = [
+    "STOPWORDS",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "repetition_stats",
+    "gopher_quality_flags",
+]
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
 # (The documents fixture is synthetic English-ish text with a lang label;
@@ -108,4 +116,85 @@ def fingerprint(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("fp_md5", F.md5(F.col("_norm")))
         .withColumn("fp_poly", poly_hash(F.col("_norm")))
         .drop("_norm")
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Repetition signals (the Gopher/C4-style filters that catch
+    boilerplate and degenerate generations): top-token fraction, duplicate
+    token fraction, duplicate 2-gram fraction.
+
+    All exact-integer ratios over columnar array expressions — codegen'd,
+    per-row, no shuffle; the per-token count is O(unique·tokens) within a
+    row, bounded by document length."""
+    toks = words(F.col(text_col))
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+    )
+    grams2 = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tok - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_g2 = F.size(grams2)
+    n_g2u = F.size(F.array_distinct(grams2))
+    return (
+        df.withColumn("top_token_frac", top_count.cast("double") / n_tok.cast("double"))
+        .withColumn(
+            "dup_token_frac",
+            (n_tok - n_uniq).cast("double") / n_tok.cast("double"),
+        )
+        .withColumn(
+            "dup_2gram_frac",
+            F.when(n_g2 > 0, (n_g2 - n_g2u).cast("double") / n_g2.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 12.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate: word count band, mean word
+    length band, alpha-word fraction, minimum stopword hits, and the
+    conjunction as ``pass_gopher``. Thresholds are parameters (the
+    published rules use 50..100k words etc.; the fixture defaults are
+    scaled to its ~30-word synthetic docs)."""
+    toks = words(F.col(text_col))
+    n_tok = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        .cast("double")
+        / n_tok.cast("double")
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = n_alpha.cast("double") / n_tok.cast("double")
+    n_stop = _hit_count(toks, STOPWORDS["en"])
+    word_count_ok = (n_tok >= min_words) & (n_tok <= max_words)
+    mean_len_ok = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    alpha_ok = alpha_frac >= min_alpha_frac
+    stop_ok = n_stop >= min_stop_hits
+    return (
+        df.withColumn("n_words", n_tok.cast("bigint"))
+        .withColumn("mean_word_len", mean_len)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("word_count_ok", word_count_ok)
+        .withColumn("mean_len_ok", mean_len_ok)
+        .withColumn("alpha_ok", alpha_ok)
+        .withColumn("stop_ok", stop_ok)
+        .withColumn("pass_gopher", word_count_ok & mean_len_ok & alpha_ok & stop_ok)
     )

@@ -182,6 +182,86 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.fingerprint(d, "text").select("doc_id", "fp_md5", "fp_poly")
 
 
+@query(
+    "text_repetition_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(list_max(list_transform(list_distinct(w),
+             d -> len(list_filter(w, t -> t = d)))) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS top_token_frac,
+      CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS dup_token_frac,
+      CASE WHEN len(g2) > 0 THEN
+        CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+      ELSE 0.0 END AS dup_2gram_frac
+    FROM (
+      SELECT doc_id, w,
+        CASE WHEN len(w) >= 2 THEN
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        ELSE [] END AS g2
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+    """,
+    tags=("text", "B15", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: top-token fraction, duplicate
+    token fraction, duplicate 2-gram fraction — the signals that catch
+    boilerplate and degenerate generations. Pure codegen'd array
+    expressions, exact-integer ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(d, "text").select(
+        "doc_id", "top_token_frac", "dup_token_frac", "dup_2gram_frac"
+    )
+
+
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"]) + "]"
+
+
+@query(
+    "text_gopher_quality",
+    oracle=f"""
+    SELECT doc_id, n_words, mean_word_len, alpha_frac,
+      word_count_ok, mean_len_ok, alpha_ok, stop_ok,
+      (word_count_ok AND mean_len_ok AND alpha_ok AND stop_ok) AS pass_gopher
+    FROM (
+      SELECT doc_id, n_words, mean_word_len, alpha_frac,
+        (n_words >= 10 AND n_words <= 1000) AS word_count_ok,
+        (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS mean_len_ok,
+        (alpha_frac >= 0.8) AS alpha_ok,
+        (n_stop >= 2) AS stop_ok
+      FROM (
+        SELECT doc_id,
+          CAST(len(w) AS BIGINT) AS n_words,
+          CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE) AS mean_word_len,
+          CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE) AS alpha_frac,
+          len(list_filter(w, t -> list_contains({_SQL_STOPLIST}, t))) AS n_stop
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+    """,
+    tags=("text", "B15", "quality"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: word-count band, mean-word-length band,
+    alpha-word fraction, stopword floor, and the conjunction flag — the
+    document-filter stage of a training-data pipeline. The thresholds
+    mirror the published rules scaled to the fixture's ~30-word docs; the
+    derived doubles are exact-int ratios so every boolean compares
+    bit-identically cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.gopher_quality_flags(d, "text").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "word_count_ok",
+        "mean_len_ok",
+        "alpha_ok",
+        "stop_ok",
+        "pass_gopher",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup.
 # ---------------------------------------------------------------------------
