@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "bucketed_join_revenue",
     "multimodal_decode",
+    "pipeline_training_data",
 ]
 
 

@@ -600,3 +600,180 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.upper(F.hex("frame_bytes")).alias("frame_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline composition: deterministic splits, decontamination, end-to-end.
+# ---------------------------------------------------------------------------
+
+def _sql_bucket(expr: str, total: int = 10) -> str:
+    from ..functions.hashing import SQL_MD5_MOD
+
+    return f"({SQL_MD5_MOD(expr)}) % {total}"
+
+
+def _sql_split_case(bucket: str) -> str:
+    return (
+        f"CASE WHEN {bucket} < 8 THEN 'train' "
+        f"WHEN {bucket} < 9 THEN 'val' ELSE 'test' END"
+    )
+
+
+@query(
+    "docs_hash_split",
+    oracle=None,  # placeholder replaced just below (needs helper call)
+    tags=("pipeline", "B15", "split"),
+)
+def docs_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8/1/1 train/val/test assignment per document:
+    bucket = md5(id) % 10, a pure map-side projection (no shuffle, no RNG
+    state) — the same doc lands in the same split on every engine, every
+    cluster size, every rerun."""
+    from ..operators.pipeline import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+# The decorator needs the oracle at definition time; patch it in now that
+# the helper exists (QuerySpec is frozen — rebuild the entry).
+def _set_oracle(name: str, sql: str) -> None:
+    from dataclasses import replace
+
+    from .registry import QUERIES
+
+    QUERIES[name] = replace(QUERIES[name], oracle=sql)
+
+
+_set_oracle(
+    "docs_hash_split",
+    f"""
+    SELECT doc_id, {_sql_split_case(_sql_bucket("CAST(doc_id AS VARCHAR)"))} AS split
+    FROM documents
+    """,
+)
+
+
+@query(
+    "docs_decontaminate",
+    oracle=None,  # patched below
+    tags=("pipeline", "B15", "dedup"),
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source <> 'src0') sharing
+    ≥2 distinct 3-gram shingles with any benchmark doc (source = 'src0')
+    are flagged. The benchmark's distinct shingle hashes broadcast; the
+    training corpus streams through one hash-join + one keyed aggregation
+    — no all-pairs comparison anywhere."""
+    from ..operators.pipeline import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return decontaminate(train, bench, "text", "doc_id", n=3, min_overlap=2)
+
+
+def _sql_shingle_hash_list() -> str:
+    from ..functions.hashing import SQL_MD5_MOD
+
+    parts3 = " || ' ' || ".join(f"w[i + {k}]" for k in range(3))
+    raw = (
+        f"CASE WHEN len(w) >= 3 THEN "
+        f"list_transform(range(1, len(w) - 1), i -> {parts3}) ELSE [] END"
+    )
+    return f"list_transform(list_distinct({raw}), s -> {SQL_MD5_MOD('s')})"
+
+
+_set_oracle(
+    "docs_decontaminate",
+    f"""
+    WITH hs AS (
+      SELECT doc_id, source, {_sql_shingle_hash_list()} AS hs
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)),
+    bench AS (SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM hs WHERE source = 'src0')),
+    tr AS (SELECT DISTINCT doc_id, h
+           FROM (SELECT doc_id, unnest(hs) AS h FROM hs WHERE source <> 'src0')),
+    ov AS (SELECT doc_id, count(*) AS n_overlap
+           FROM tr JOIN bench USING (h) GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+      coalesce(o.n_overlap, CAST(0 AS BIGINT)) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN ov o ON d.doc_id = o.doc_id
+    """,
+)
+
+
+@query(
+    "pipeline_training_data",
+    oracle=None,  # patched below
+    tags=("pipeline", "B15", "flagship"),
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data preparation in ONE declarative plan:
+    Gopher quality gate → exact dedup on normalized-text md5 (keep min
+    doc_id) → deterministic 8/1/1 hash split → per (source, split) doc
+    and token counts.
+
+    Every stage is the already-tested operator (gopher_quality_flags,
+    fingerprint, hash_split) composed as DataFrames, so Catalyst fuses
+    the whole pipeline: one scan of documents, one dedup shuffle, one
+    final small aggregation. This is the flagship shape of the engine —
+    corpus in, split-ready stats out, bit-reproducible end to end."""
+    from ..operators.pipeline import hash_split
+    from ..operators.text import fingerprint, gopher_quality_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    passed = (
+        gopher_quality_flags(d, "text")
+        .filter(F.col("pass_gopher"))
+        .select("doc_id", "source", "text", "n_words")
+    )
+    fp = fingerprint(passed, "text")
+    canon = fp.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
+    dd = fp.join(canon.select("doc_id"), "doc_id", "left_semi")
+    return (
+        hash_split(dd, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def _sql_gopher_passed() -> str:
+    return f"""
+      SELECT doc_id, source, text, CAST(len(w) AS BIGINT) AS n_words
+      FROM (
+        SELECT doc_id, source, text, w,
+          CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE) AS mean_len,
+          CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE) AS alpha_frac,
+          len(list_filter(w, t -> list_contains({_SQL_STOPLIST}, t))) AS n_stop
+        FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents))
+      WHERE len(w) >= 10 AND len(w) <= 1000
+        AND mean_len >= 2.0 AND mean_len <= 12.0
+        AND alpha_frac >= 0.8 AND n_stop >= 2
+    """
+
+
+_set_oracle(
+    "pipeline_training_data",
+    f"""
+    WITH passed AS ({_sql_gopher_passed()}),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM passed
+      GROUP BY md5({_SQL_NORM_TEXT})),
+    dd AS (SELECT p.* FROM passed p JOIN canon c ON p.doc_id = c.doc_id),
+    assigned AS (
+      SELECT source, n_words,
+        {_sql_split_case(_sql_bucket("CAST(doc_id AS VARCHAR)"))} AS split
+      FROM dd)
+    SELECT source, split, count(*) AS n_docs,
+      CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY source, split ORDER BY source, split
+    """,
+)

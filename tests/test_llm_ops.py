@@ -113,6 +113,45 @@ def test_ivf_training_is_deterministic(spark):
     assert (c1 == c2).all()
 
 
+def test_hash_split_is_stable_under_corpus_growth(spark):
+    """A document's split must depend only on its id — computing the
+    split over a subset must agree with the full corpus (no sampling
+    state, no reassignment when data is added)."""
+    from mk_kafka_connect_spark.operators.pipeline import hash_split
+
+    d = load_table(spark, SF, "documents")
+    full = {r.doc_id: r.split for r in hash_split(d, "doc_id").select("doc_id", "split").collect()}
+    half = {
+        r.doc_id: r.split
+        for r in hash_split(d.filter(F.col("doc_id") % 2 == 0), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
+    from collections import Counter
+
+    shares = Counter(full.values())
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] > shares["val"] and shares["train"] > shares["test"]
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    """Docs sharing ≥2 distinct 3-gram shingles with the benchmark set are
+    contaminated; the output covers every training doc exactly once."""
+    from mk_kafka_connect_spark.operators.pipeline import decontaminate
+
+    d = load_table(spark, SF, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    out = decontaminate(train, bench, "text", "doc_id", min_overlap=2).collect()
+    assert len(out) == train.count()
+    flagged = [r for r in out if r.contaminated]
+    for r in out:
+        assert r.contaminated == (r.n_overlap >= 2)
+    # the fixture's near-dup planting makes some cross-source overlap certain
+    assert flagged, "expected at least one contaminated doc in the fixture"
+
+
 def test_exact_dedup_counts(spark):
     ev = load_table(spark, SF, "events")
     out = D.exact_dedup(ev, "props", "event_id")
