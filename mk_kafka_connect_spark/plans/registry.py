@@ -89,10 +89,7 @@ CERTIFICATION_FRONT: tuple[str, ...] = (
     "udf_pandas_vectorized",
     "udf_grouped_apply",
     "udf_python_udtf",
-    # Approx aggregates: newly given deterministic bounds-oracles (r3).
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    # New TPC-H-style queries (r3) — need their first driver row.
+    # New TPC-H-style queries (r4) — need their first driver row.
     "q4_order_priority",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -105,11 +102,20 @@ CERTIFICATION_FRONT: tuple[str, ...] = (
     "q19_discount_revenue",
     "q21_suppliers_kept_waiting",
     "q22_global_sales_opportunity",
-    # Regression watch: q3 plan drift chased this round — re-certify.
-    "q3_shipping_priority",
+    # New r4 LLM-pipeline surface — first driver rows.
+    "text_repetition_stats",
+    "text_gopher_quality",
+    "docs_hash_split",
+    "docs_decontaminate",
+    "pipeline_training_data",
+    "sim_topk_ivf",
     # Flagship.
     "q1_pricing_summary",
 )
+# Dropped from the front this round (already covered): q3_shipping_priority
+# (green r1+r2, plan pinned by tests/test_plans_physical.py),
+# agg_approx_distinct / agg_approx_quantiles (no SQL oracle — the driver
+# row would be rows-only; their error-bound pytest checks are stronger).
 
 
 def certification_order() -> list[str]:
