@@ -1,0 +1,54 @@
+"""Blanket scale-smell sweep over EVERY registered query plan.
+
+The per-query posture tests pin specific shapes; this sweep guards the
+whole registry against the silent scale-killers — a cross product or
+nested-loop join sneaking into a new query, or a row-at-a-time Python
+UDF landing in a hot path. Anything flagged must be on the explicit
+allowlist with a reason, or the test fails."""
+
+from __future__ import annotations
+
+import pytest
+
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# name -> reason a smell is deliberate there.
+ALLOWED = {
+    # Oracle-tier exact ground truths (labeled NOT-scale ops in COVERAGE.md).
+    "dedup_embedding_cosine": "bounded all-pairs ground truth",
+    "sim_topk_bruteforce": "exact |Q|x|C| baseline the ANN paths verify against",
+    # Declared operator surface.
+    "join_cross": "the B6 cross-join coverage query itself",
+    "udf_row_python": "deliberate B14 row-UDF surface (paired with vectorized variants)",
+    "udf_python_udtf": "deliberate B14 UDTF surface",
+    # 1-row scalar broadcast: a BNLJ whose build side is a single
+    # aggregate row IS the scalar-subquery plan — not a scale risk.
+    "q22_global_sales_opportunity": "1-row average-threshold broadcast",
+    "subquery_in_scalar": "1-row scalar-subquery broadcast",
+    "subquery_correlated_scalar": "decorrelated scalar may plan as 1-row broadcast",
+}
+
+_BATCH = [
+    (n, s)
+    for n, s in QUERIES.items()
+    if "streaming" not in s.tags and not n.startswith("streaming")
+]
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _BATCH])
+def test_no_unexpected_scale_smells(spark, name):
+    plan = QUERIES[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    smells = []
+    if "CartesianProduct" in plan:
+        smells.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan:
+        smells.append("BroadcastNestedLoopJoin")
+    if "BatchEvalPython" in plan:
+        smells.append("row-at-a-time Python UDF")
+    if smells and name not in ALLOWED:
+        raise AssertionError(
+            f"{name}: unexpected scale smell(s) {smells} — either fix the plan "
+            f"or allowlist with a reason in test_plan_smells.py"
+        )
