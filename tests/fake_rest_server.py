@@ -24,8 +24,10 @@ class FakeRestServer:
     def __init__(self, data: dict[str, list[dict]]):
         self.data = data
         self.requests: list[str] = []
+        self.posted: dict[str, list[dict]] = {}
         self._fail = 0
         self._limit = 0
+        self._lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -59,6 +61,30 @@ class FakeRestServer:
                 limit = int(qs.get("limit", ["100"])[0])
                 page = rows[offset : offset + limit]
                 body = json.dumps({"response": page}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):  # noqa: N802
+                outer.requests.append("POST " + self.path)
+                if outer._fail > 0:
+                    outer._fail -= 1
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                if outer._limit > 0:
+                    outer._limit -= 1
+                    self.send_response(429)
+                    self.end_headers()
+                    return
+                entity = urllib.parse.urlparse(self.path).path.rstrip("/").split("/")[-1]
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                records = payload.get("records", [])
+                with outer._lock:
+                    outer.posted.setdefault(entity, []).extend(records)
+                body = json.dumps({"accepted": len(records)}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
