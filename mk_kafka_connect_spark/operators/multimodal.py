@@ -29,6 +29,7 @@ __all__ = [
     "attach_fake_binary",
     "fake_decode_features",
     "frame_sample",
+    "resize_nearest",
     "decode_image",
     "decode_audio",
 ]
@@ -96,6 +97,44 @@ def frame_sample(bin_df: DataFrame, n_frames: int = 4, frame_bytes: int = 32) ->
         "frame_idx",
         F.substring(F.col("payload"), offset, frame_bytes).alias("frame_bytes"),
     )
+
+
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, resized_hex string"
+
+
+def resize_nearest(bin_df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor 'resize' over the opaque payload: gather
+    ``out_w·out_h`` bytes at positions ``floor(i·n / target)`` — the exact
+    index-mapping gather a real image resize performs, on the byte stand-in.
+
+    Arrow-batched ``mapInPandas`` with a vectorized numpy gather per
+    batch (the real-decoder path would do the same gather on pixel rows);
+    output is hex so the byte result is oracle-comparable."""
+    import numpy as np
+
+    target = out_w * out_h
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for b in pdf["payload"]:
+                n = len(b)
+                if n == 0:
+                    outs.append("")
+                    continue
+                idx = (np.arange(target, dtype=np.int64) * n) // target
+                outs.append(np.frombuffer(b, dtype=np.uint8)[idx].tobytes().hex().upper())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized_hex": outs,
+                }
+            )
+
+    flat = bin_df.select("doc_id", "payload")
+    return flat.mapInPandas(_resize, schema=RESIZE_SCHEMA)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - env-gated

@@ -602,6 +602,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+      upper(hex(CAST(list_reduce(
+        list_transform(range(0, 64),
+          i -> substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)),
+        (a, b) -> a || b) AS BLOB))) AS resized_hex
+    FROM documents WHERE doc_id < 100
+    """,
+    tags=("multimodal", "B15"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize over the opaque payload bytes: the
+    index-mapping gather of a real image resize (floor(i·n/64) for an
+    8×8 target), Arrow-batched, hex-compared byte-exactly against the
+    oracle's substr gather."""
+    from ..operators.multimodal import attach_fake_binary, resize_nearest
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return resize_nearest(attach_fake_binary(d), out_w=8, out_h=8)
+
+
 # ---------------------------------------------------------------------------
 # Pipeline composition: deterministic splits, decontamination, end-to-end.
 # ---------------------------------------------------------------------------
