@@ -350,6 +350,42 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_binned",
+    oracle="""
+    WITH win AS (
+      SELECT DISTINCT date_trunc('day', ts) + INTERVAL 6 HOUR AS w_start,
+                      date_trunc('day', ts) + INTERVAL 18 HOUR AS w_end
+      FROM events)
+    SELECT e.event_id, w.w_start
+    FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+    """,
+    tags=("join", "B6", "range"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join (point ∈ [start, end)) via the binned range
+    join — vanilla Spark plans this as a BroadcastNestedLoopJoin
+    (O(|P|·|I|), re-scanning every point per interval); the binned
+    operator turns it into explode + ONE hash equi-join on the bin id +
+    exact post-filter (tests/test_plans_physical.py pins the shape).
+    Intervals here: each event day's 06:00–18:00 window; oracle is the
+    plain theta join, which DuckDB can afford at fixture scale."""
+    from ..operators.rangejoin import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+        .select(
+            (F.col("d") + F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+            (F.col("d") + F.expr("INTERVAL 18 HOURS")).alias("w_end"),
+        )
+    )
+    return binned_range_join(
+        ev.select("event_id", "ts"), "ts", win, "w_start", "w_end", bin_seconds=6 * 3600
+    ).select("event_id", "w_start")
+
+
+@query(
     "join_asof",
     oracle="""
     SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate

@@ -168,6 +168,16 @@ def test_q22_anti_join_no_correlation(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_range_join_is_binned_equi_join(spark):
+    """The keyless interval join must run as a hash equi-join on bin ids
+    — never the nested-loop scan Spark would pick for the raw theta
+    predicate."""
+    plan = _plan(QUERIES["join_range_binned"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_lsh_near_dup_no_cross_product(spark):
     """Bucket-then-verify near-dup: candidates come from equi-joins on
     signature buckets; no all-pairs product may appear anywhere."""
