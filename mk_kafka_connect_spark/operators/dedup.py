@@ -343,3 +343,64 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", jac)
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list by min-label
+    propagation — the cluster-resolution step between near-dup PAIRS and
+    "keep one doc per cluster".
+
+    Pregel-style loop: every node starts labeled with its own id; each
+    round takes the min of its label and its neighbors' labels; converged
+    when a round changes nothing (≤ graph diameter rounds — near-dup
+    clusters are small, so typically 2-4). Each round is one shuffle of
+    the NODE-sized label table (never the corpus), plus one driver-side
+    convergence count — the standard iterative-graph pattern, not a
+    per-row driver loop. ``localCheckpoint`` truncates the growing
+    lineage each round. Deterministic: min() is order-independent.
+
+    Returns (id, cluster_id) for every node that appears in ``pairs``;
+    canonical representative = the row with id == cluster_id.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            labels.join(edges, labels.id == edges.src)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -347,6 +347,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_sql_shingle_cte().strip().lstrip()},
+    sigs AS (SELECT doc_id, {_sql_minhash_sig(32)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+      FROM sigs, unnest(range(0, 8)) t(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+        CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 32 AS est_jaccard
+      FROM cands JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.7
+      UNION ALL
+      SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.7),
+    r(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+    SELECT id, min(label) AS cluster_id, id = min(label) AS is_canonical
+    FROM r GROUP BY id
+    """,
+    tags=("dedup", "B15", "minhash", "graph"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: MinHash-LSH pairs → connected
+    components (min-label propagation) → one canonical doc per cluster.
+    The step production dedup actually needs — pairs alone over-delete
+    when clusters chain (A≈B≈C but A≉C). The DuckDB oracle computes the
+    same components with a recursive transitive-closure CTE, so even the
+    graph algorithm is hash-checked exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(
+        d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.7
+    ).select("id_a", "id_b")
+    cc = D.connected_components(pairs)
+    return cc.select(
+        "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("is_canonical")
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
     WITH th AS (

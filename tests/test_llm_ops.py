@@ -113,6 +113,17 @@ def test_ivf_training_is_deterministic(spark):
     assert (c1 == c2).all()
 
 
+def test_connected_components_resolves_chains(spark):
+    """A-B and B-C pairs (without A-C) must land in ONE cluster labeled by
+    the min id; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_hash_split_is_stable_under_corpus_growth(spark):
     """A document's split must depend only on its id — computing the
     split over a subset must agree with the full corpus (no sampling
