@@ -42,6 +42,7 @@ HEADLINE = [
     "sessionize_events",
     "agg_stats",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_ngram_jaccard",
     "text_quality_score",
     "sim_topk_bruteforce",

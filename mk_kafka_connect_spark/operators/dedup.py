@@ -367,10 +367,15 @@ def connected_components(
     Returns (id, cluster_id) for every node that appears in ``pairs``;
     canonical representative = the row with id == cluster_id.
     """
+    # Materialize the edge list ONCE: every propagation round joins
+    # against it, and without the checkpoint each round would re-run the
+    # entire upstream pipeline that produced the pairs (e.g. the full
+    # MinHash signature computation — measured 4× the whole operator).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id"))
