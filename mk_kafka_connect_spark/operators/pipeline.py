@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_mod
 from .dedup import shingle_hashes
 
-__all__ = ["hash_split", "decontaminate"]
+__all__ = ["hash_split", "decontaminate", "stratified_hash_sample"]
 
 
 def hash_split(
@@ -82,3 +82,32 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    ``md5(stratum ':' id) % 100 < rate_pct(stratum)`` — the
+    lang-/source-balancing stage of corpus construction (e.g. upsample
+    low-resource languages, downsample boilerplate-heavy sources).
+
+    Same contract as :func:`hash_split`: pure map-side, no RNG state,
+    membership is a function of (stratum, id) alone — stable across
+    engines, reruns, and corpus growth. Salting the hash with the stratum
+    decorrelates it from any other hash-derived assignment (a row's
+    sample fate is independent of its train/val/test split)."""
+    bucket = (
+        md5_mod(
+            F.concat_ws(":", F.col(stratum_col).cast("string"), F.col(id_col).cast("string"))
+        )
+        % 100
+    )
+    rate = F.lit(default_pct)
+    for k, v in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    return df.filter(bucket < rate)

@@ -776,6 +776,37 @@ _set_oracle(
 
 
 @query(
+    "docs_stratified_sample",
+    oracle=None,  # patched below (needs the md5 helper)
+    tags=("pipeline", "B15", "sampling"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic sampling: downsample the dominant
+    'en' stratum to 30%, keep 60% of de/es/fr, 10% of everything else —
+    membership is md5(lang ':' id) % 100 against the stratum's rate, so
+    the sample is reproducible and stable under corpus growth. Pure
+    map-side filter (pushes to the scan boundary; no shuffle)."""
+    from ..operators.pipeline import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 30, "de": 60, "es": 60, "fr": 60}, default_pct=10
+    ).select("doc_id", "lang", "source")
+
+
+def _sql_stratified_oracle() -> str:
+    from ..functions.hashing import SQL_MD5_MOD
+
+    h = SQL_MD5_MOD("lang || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE ({h}) % 100 <
+      CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 60
+                WHEN 'es' THEN 60 WHEN 'fr' THEN 60 ELSE 10 END
+    """
+
+
+@query(
     "pipeline_training_data",
     oracle=None,  # patched below
     tags=("pipeline", "B15", "flagship"),
@@ -829,6 +860,9 @@ def _sql_gopher_passed() -> str:
         AND mean_len >= 2.0 AND mean_len <= 12.0
         AND alpha_frac >= 0.8 AND n_stop >= 2
     """
+
+
+_set_oracle("docs_stratified_sample", _sql_stratified_oracle())
 
 
 _set_oracle(
