@@ -42,9 +42,11 @@ __all__ = [
     "minhash_signatures_agg",
     "lsh_candidate_pairs",
     "minhash_near_dups",
+    "minhash_near_dups_incremental",
     "simhash_fingerprint",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 
@@ -409,3 +411,71 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def minhash_near_dups_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs touching the NEW batch only
+    (new↔old and new↔new), never re-checking old↔old — the shape every
+    continuously-ingesting corpus needs. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b.
+
+    The bucket join probes the small NEW band table against the full band
+    table, so per-ingest cost is O(|new|·bucket_size), independent of how
+    large the accumulated corpus grows. Here the old side's signatures
+    are recomputed from text (no persistent store in the fixture
+    harness); in production they ARE the stored LSH index — computed once
+    at ingest, appended per batch — and only ``new_df`` pays signature
+    cost."""
+    rows = num_hashes // bands
+
+    def banded(sig_df: DataFrame) -> DataFrame:
+        return sig_df.select(
+            F.col(id_col),
+            "sig",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"b -> struct(b AS band_idx, "
+                    f"concat_ws(',', slice(sig, b * {rows} + 1, {rows})) AS band_key))"
+                )
+            ).alias("band"),
+        ).select(id_col, "sig", "band.band_idx", "band.band_key")
+
+    new_b = banded(minhash_signatures_agg(new_df, text_col, id_col, n, num_hashes))
+    all_b = banded(
+        minhash_signatures_agg(old_df, text_col, id_col, n, num_hashes)
+    ).unionByName(new_b)
+    a, b = new_b.alias("a"), all_b.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            est,
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+    )

@@ -347,6 +347,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_sql_shingle_cte()},
+    sigs AS (SELECT doc_id, {_sql_minhash_sig(32)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+      FROM sigs, unnest(range(0, 8)) t(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+        CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2])) AS DOUBLE) / 32 AS est_jaccard
+      FROM cands JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id)
+    SELECT id_a, id_b, est_jaccard FROM est
+    WHERE est_jaccard >= 0.7 AND (id_a >= 400 OR id_b >= 400)
+    """,
+    tags=("dedup", "B15", "minhash", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest near-dup check: the 'new batch' (doc_id ≥ 400)
+    probed against the full corpus — new↔old and new↔new pairs only,
+    old↔old never re-checked. The bucket join's probe side is the small
+    new-batch band table, so per-ingest cost is O(|new|·bucket), flat in
+    accumulated corpus size (in production the old side's signatures are
+    the stored LSH index). Oracle = the full pair set filtered to pairs
+    touching the new batch — provably the same result as the probe
+    formulation."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dups_incremental(
+        d.filter(F.col("doc_id") < 400),
+        d.filter(F.col("doc_id") >= 400),
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=32,
+        bands=8,
+        threshold=0.7,
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_sql_shingle_cte().strip().lstrip()},
