@@ -968,3 +968,42 @@ def unpivot_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "o_orderstatus", ["n_orders", "total", "max_price"], "metric", "value"
     )
+
+
+def _profile_col_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        mm = (f"CAST(min({col}) AS DOUBLE) AS min_num, "
+              f"CAST(max({col}) AS DOUBLE) AS max_num, "
+              "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str")
+    else:
+        mm = ("CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, "
+              f"CAST(min({col}) AS VARCHAR) AS min_str, "
+              f"CAST(max({col}) AS VARCHAR) AS max_str")
+    return (
+        f"SELECT '{col}' AS col_name, count(*) AS n_rows, "
+        f"count({col}) AS n_nonnull, count(DISTINCT {col}) AS n_distinct, {mm} "
+        f"FROM orders"
+    )
+
+
+@query(
+    "profile_orders",
+    oracle=" UNION ALL ".join(
+        _profile_col_sql(c, k)
+        for c, k in [
+            ("o_orderkey", "num"), ("o_custkey", "num"),
+            ("o_orderstatus", "str"), ("o_totalprice", "num"),
+            ("o_orderdate", "str"), ("o_orderpriority", "str"),
+        ]
+    ),
+    tags=("profile", "B7", "quality"),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile of `orders`: per-column null/distinct
+    counts and min/max from a SINGLE scan + one 1-row aggregation (the
+    melt to one-row-per-column is free). The pre-flight data-quality
+    sweep for any new input at scale; distinct counts would switch to
+    approx_count_distinct beyond ~1e9 cardinality."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "orders"))
