@@ -36,15 +36,6 @@ def sql_poly(e: str) -> str:
     return SQL_POLY.format(e=e)
 
 
-def sql_shingles(col: str, n: int = 3) -> str:
-    parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
-    return (
-        f"CASE WHEN len(string_split({col}, ' ')) >= {n} THEN "
-        f"list_transform(range(1, len(string_split({col}, ' ')) - {n - 2}), "
-        f"i -> {parts}) ELSE [] END"
-    )
-
-
 _SHINGLE_HASHES_CTE = f"""
   sh AS (
     SELECT doc_id,
