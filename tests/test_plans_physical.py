@@ -70,6 +70,24 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_shuffled_hash_join_hint(spark):
+    """B6 names all three equi-join strategies; broadcast and sort-merge
+    are pinned elsewhere — the shuffle_hash hint must produce a
+    ShuffledHashJoin (no sort on either side)."""
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderpriority"
+        )
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "ShuffledHashJoin" in plan
+
+
 def test_constant_folding(spark):
     """Catalyst folds constant expressions at plan time."""
     df = load_table(spark, SF, "orders").select(
