@@ -1,0 +1,57 @@
+"""Ordered-stage funnel analysis over an event stream (SURVEY.md §2.B B7/B9
+composite): per user, the earliest time each stage was reached AFTER the
+previous stage — the conversion query behind every product-analytics
+dashboard.
+
+Each stage is one filtered aggregation keyed on the user column; every
+shuffle is on the same key, so the stage chain re-uses one partitioning
+and the per-stage state is one row per user. No window over the full
+event history, no self-join explosion — at 100 TB the cost is
+stages × (filtered scan + keyed agg), each agg map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel"]
+
+
+def funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Returns one row per user who reached stage 1, with ``t_<stage>``
+    columns (null once the funnel is abandoned) and ``funnel_depth`` =
+    number of stages reached in order. Stage k counts only events at or
+    after the user's stage-(k-1) time — strictly ordered conversion."""
+    if not stages:
+        raise ValueError("funnel requires at least one stage")
+    first = stages[0]
+    out = (
+        events.filter(F.col(type_col) == first)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{first}"))
+    )
+    prev = f"t_{first}"
+    for stage in stages[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == stage)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(out.select(user_col, prev), user_col)
+            .filter(F.col("_ts") >= F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t_{stage}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev = f"t_{stage}"
+    depth = F.lit(0)
+    for i, stage in enumerate(stages):
+        depth = F.when(F.col(f"t_{stage}").isNotNull(), i + 1).otherwise(depth)
+    # depth counts consecutive reached stages: t_k is null unless t_{k-1}
+    # was reached, so the last non-null t_ column IS the depth.
+    return out.withColumn("funnel_depth", depth)

@@ -1007,3 +1007,36 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      CASE WHEN p.t_purchase IS NOT NULL THEN 3
+           WHEN c.t_click IS NOT NULL THEN 2 ELSE 1 END AS funnel_depth
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("funnel", "B7", "B9", "composite"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase) per user: the
+    earliest time each stage was reached AFTER the previous stage, plus
+    the depth reached. Every stage is a filtered keyed aggregation on
+    user_id — the same shuffle key throughout, one row of state per user,
+    no full-history window and no self-join explosion."""
+    from ..operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
