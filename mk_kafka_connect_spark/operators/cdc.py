@@ -20,6 +20,8 @@ __all__ = [
     "to_kafka_shape",
     "compact_latest",
     "write_entity_partitioned",
+    "merge_upsert",
+    "scd2_history",
 ]
 
 
@@ -122,3 +124,32 @@ def merge_upsert(
         surviving = latest
     surviving = surviving.select(*snapshot.columns)
     return untouched.unionByName(surviving)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """SCD-2 versioned history from a change stream: each change row
+    becomes a version valid over ``[valid_from, valid_to)``, where
+    ``valid_to`` is the NEXT change's timestamp for the same key (null =
+    current version). The versioned-dimension counterpart of
+    :func:`merge_upsert` (SCD-1 latest-wins) — the reference's keyed CDC
+    topics (``ChargeOverSourceTask.java:394-449``) exist to feed exactly
+    these two apply modes.
+
+    One window pass partitioned on the key: a single shuffle, state
+    bounded by rows-per-key, deterministic ordering via the tiebreak
+    column. Scale-safe at any history depth."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        changes.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

@@ -247,6 +247,34 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, value, ts AS valid_from,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("cdc", "B8", "B9", "scd2"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 versioned history from the purchase change stream: each
+    change becomes a [valid_from, valid_to) version row, valid_to = next
+    change per key (null = current). One window pass, one shuffle on the
+    key — the versioned-apply counterpart of cdc_merge_upsert (SCD-1)."""
+    from ..operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return scd2_history(
+        ev.select("user_id", "event_id", "value", "ts"),
+        ["user_id"],
+        "ts",
+        tiebreak_col="event_id",
+    ).select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+
+
+@query(
     "skew_salted_agg",
     oracle=f"""
     SELECT event_type, count(*) AS n,
