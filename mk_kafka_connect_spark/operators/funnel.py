@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel"]
+__all__ = ["funnel", "cohort_retention"]
 
 
 def funnel(
@@ -55,3 +55,39 @@ def funnel(
     # depth counts consecutive reached stages: t_k is null unless t_{k-1}
     # was reached, so the last non-null t_ column IS the depth.
     return out.withColumn("funnel_depth", depth)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    cohort_filter,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    ``cohort_filter`` event (e.g. signup), counted as retained in every
+    later week they show ANY activity. Returns (cohort_week, week_offset,
+    n_users).
+
+    Scale shape: one aggregation to build the per-user cohort (keyed on
+    user), one distinct over (user, week) — both partial-aggregable —
+    and a broadcast-friendly join back on the user key; the output is
+    |cohorts| × |weeks|, tiny at any input scale."""
+    cohorts = (
+        events.filter(cohort_filter)
+        .groupBy(user_col)
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort_week"))
+    )
+    activity = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, user_col)
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .withColumn(
+            "week_offset",
+            (F.datediff("act_week", "cohort_week") / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -1040,3 +1040,32 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+    SELECT cohort_week,
+      CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS week_offset,
+      count(*) AS n_users
+    FROM activity JOIN cohorts USING (user_id)
+    WHERE act_week >= cohort_week
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("cohort", "B7", "composite"),
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by signup week, counted in
+    every later week they show any activity. Two partial-aggregable
+    aggregations + one user-keyed join; output is |cohorts| x |weeks|
+    regardless of input scale."""
+    from ..operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", F.col("event_type") == "signup")
