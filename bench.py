@@ -70,24 +70,33 @@ def main() -> None:
     # is the standard noise-robust estimator of a query's actual cost.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = QUERIES[name].fn
-        fn(spark, sf_dir).count()  # warm-up: JIT, parquet footers, broadcast
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        # Fail-soft per query: one broken query must not zero the whole
+        # benchmark (the round-3 failure mode) — record it and move on.
+        try:
+            fn(spark, sf_dir).count()  # warm-up: JIT, parquet footers, broadcast
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
