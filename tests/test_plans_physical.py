@@ -196,6 +196,15 @@ def test_range_join_is_binned_equi_join(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_funnel_is_single_pass(spark):
+    """The funnel must compute every stage as chained windows over ONE
+    user partitioning — one event scan, one shuffle — not the
+    aggregate-and-rejoin form that re-scans events per stage."""
+    plan = _plan(QUERIES["funnel_view_click_purchase"].fn(spark, SF))
+    assert plan.count(".parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_lsh_near_dup_no_cross_product(spark):
     """Bucket-then-verify near-dup: candidates come from equi-joins on
     signature buckets; no all-pairs product may appear anywhere."""
