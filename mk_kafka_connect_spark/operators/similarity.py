@@ -385,15 +385,17 @@ def train_ivf_centroids(
     sample_mod: int = 1,
 ) -> np.ndarray:
     """Deterministic IVF training: seed centroids are the ``num_cells``
-    corpus vectors with the smallest ``xxhash64(id)`` (a reproducible
-    pseudo-random sample — no RNG object, no seed file), optionally
-    refined with ``iters`` Lloyd iterations.
+    corpus vectors with the smallest Knuth-mix hash of their id
+    (``(id * 2654435761) mod 2^32`` — a reproducible pseudo-random
+    sample; the same integer mix the hyperplane-LSH weights use, so the
+    DuckDB oracle can replay seed selection exactly), optionally refined
+    with ``iters`` Lloyd iterations.
 
     Everything is integer math on quantized vectors: the Lloyd update is
     round(sum(q)/n) per dimension, where the int64 sums are exact and
     order-independent — so the trained centroids are bit-identical across
     cluster sizes, partitionings, and reruns. ``sample_mod`` > 1 trains on
-    the deterministic hash-sample ``xxhash64(id) % sample_mod == 0`` (at
+    the deterministic hash-sample ``mix(id) % sample_mod == 0`` (at
     100 TB you train the quantizer on a sample, never the full corpus).
 
     Returns a (num_cells × dims) int64 numpy matrix. Collecting it is
@@ -402,7 +404,9 @@ def train_ivf_centroids(
     """
     base = corpus.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
-    ).withColumn("_h", F.xxhash64(F.col("id")))
+    ).withColumn(
+        "_h", F.pmod(F.col("id").cast("long") * F.lit(2654435761), F.lit(4294967296))
+    )
     if sample_mod > 1:
         base = base.filter(F.pmod(F.col("_h"), F.lit(sample_mod)) == 0)
     seeds = base.orderBy("_h", "id").limit(num_cells).select("qv").collect()

@@ -579,15 +579,42 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"{_SQL_DOT.format(a=a, b=b)} / "
+        f"({_SQL_NORM.format(v=a)} * {_SQL_NORM.format(v=b)})"
+    )
+
+
 @query(
     "sim_topk_lsh",
-    oracle=None,  # verified against brute force by recall test instead
+    # The ball-enumeration equi-join is plan shape only; the CONTRACT is
+    # "candidates = all pairs at sig-hamming <= radius, exactly rescored,
+    # top-k" — which the oracle states directly as a theta join. Float
+    # rescoring is bit-identical cross-engine: integer dot/norm-squares
+    # are exact (< 2^53), then one IEEE sqrt-mul-divide in the same order.
+    oracle=f"""
+    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
+               FROM embeddings),
+    s AS (SELECT id, qv, {_sql_hsig('qv', 8, 64)} AS sig FROM v),
+    scored AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+             {_sql_cos('q.qv', 'c.qv')} AS cosine
+      FROM s q JOIN s c
+        ON bit_count(xor(q.sig, c.sig)) <= 4 AND q.id <> c.id
+      WHERE q.id < 100),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
     tags=("similarity", "B15", "lsh"),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via hyperplane LSH signatures. Deterministic
-    (integer-mix hyperplanes); checked by a recall-vs-bruteforce test
-    rather than a SQL oracle.
+    (integer-mix hyperplanes), with a full value-hash oracle: the ball
+    enumeration is exactly "hamming(sig_q, sig_c) ≤ r" stated as SQL.
 
     8 planes / radius 4 because the fixture embeddings are near-random
     (max pairwise cosine ~0.5): weak signal needs a wide probe for 0.7+
@@ -602,16 +629,77 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full SQL replay of the IVF pipeline (operators/similarity.py:
+# train_ivf_centroids + assign_ivf_cells + cosine_topk_ivf), made possible
+# because every step is cross-engine deterministic: Knuth-mix seed
+# selection, integer-exact Lloyd update (round-half-up on exact int64
+# sums), and float64 cosine whose dot/norm-square inputs are exact
+# integers < 2^53 (so the matmul in numpy and list_sum in DuckDB agree
+# bit-for-bit; ties break toward the lower cell id in both).
+_IVF_ORACLE = f"""
+    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
+               FROM embeddings),
+    h AS (SELECT id, qv, (id * 2654435761) % 4294967296 AS hh FROM v),
+    seeds AS (
+      SELECT cell, qv AS cv FROM (
+        SELECT qv, row_number() OVER (ORDER BY hh, id) - 1 AS cell FROM h)
+      WHERE cell < 8),
+    asg1 AS (
+      SELECT id, qv, cell FROM (
+        SELECT h.id, h.qv, s.cell,
+          row_number() OVER (PARTITION BY h.id
+                             ORDER BY {_sql_cos('h.qv', 's.cv')} DESC, s.cell) AS rnk
+        FROM h CROSS JOIN seeds s)
+      WHERE rnk = 1),
+    sums AS (
+      SELECT cell, i AS pos, SUM(qv[i + 1]) AS s, COUNT(*) AS n
+      FROM asg1, unnest(range(0, 64)) t(i)
+      GROUP BY cell, i),
+    newv AS (
+      SELECT cell, list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                             ELSE -((2 * (-s) + n) // (2 * n)) END
+                        ORDER BY pos) AS cv
+      FROM sums GROUP BY cell),
+    cents AS (
+      SELECT s.cell, COALESCE(n.cv, s.cv) AS cv
+      FROM seeds s LEFT JOIN newv n USING (cell)),
+    corp AS (
+      SELECT id AS neighbor_id, qv AS cvv, cell FROM (
+        SELECT h.id, h.qv, c.cell,
+          row_number() OVER (PARTITION BY h.id
+                             ORDER BY {_sql_cos('h.qv', 'c.cv')} DESC, c.cell) AS rnk
+        FROM h CROSS JOIN cents c)
+      WHERE rnk = 1),
+    prob AS (
+      SELECT id AS query_id, qv, cell FROM (
+        SELECT h.id, h.qv, c.cell,
+          row_number() OVER (PARTITION BY h.id
+                             ORDER BY {_sql_cos('h.qv', 'c.cv')} DESC, c.cell) AS rnk
+        FROM h CROSS JOIN cents c WHERE h.id < 100)
+      WHERE rnk <= 4),
+    scored AS (
+      SELECT p.query_id, c.neighbor_id, {_sql_cos('p.qv', 'c.cvv')} AS cosine
+      FROM prob p JOIN corp c USING (cell)
+      WHERE p.query_id <> c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
 @query(
     "sim_topk_ivf",
-    oracle=None,  # verified against brute force by recall test instead
+    oracle=_IVF_ORACLE,
     tags=("similarity", "B15", "ivf"),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via an IVF coarse quantizer: deterministic
     hash-seeded centroids + one integer-exact Lloyd refinement, corpus
     assigned to inverted lists in one vectorized pass, queries probe
-    their nprobe nearest cells and rescore exactly.
+    their nprobe nearest cells and rescore exactly. Fully SQL-replayable
+    (see _IVF_ORACLE), so the driver hash-checks it like an exact op.
 
     The complement of the LSH path: LSH buckets by random projection
     (data-independent), IVF buckets by learned cluster structure
