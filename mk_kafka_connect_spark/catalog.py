@@ -16,6 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 __all__ = ["TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
 
@@ -41,10 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst prunes columns and pushes filters
     into the scan (check ``PushedFilters``/``ReadSchema`` in .explain).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as a nanos long (legacy conf) and
-    truncate to microsecond timestamps — the same ns→us truncation DuckDB
-    applies, so both engines see identical values.
+    ``events.ts`` has changed physical type across fixture revisions
+    (TIMESTAMP(NANOS), then plain ``timestamp[us]``), so the loader adapts
+    to the dtype Spark actually reads instead of assuming one; every
+    variant normalizes to a session-UTC TimestampType so downstream plans
+    and the DuckDB oracle (naive µs timestamps) see identical instants.
     """
     # Defensive: the caller's session may not have been built by
     # session.get_spark (e.g. the round driver's own session). Timestamp
@@ -53,11 +55,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # Harmless unless the file really is TIMESTAMP(NANOS); without it
+        # the vectorized reader rejects nanos outright.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # Integer division keeps full precision (ns epoch ~1.7e18 exceeds
-        # double's 2^53 mantissa — a float division here would corrupt ts).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # TIMESTAMP(NANOS) read as a nanos-epoch long. Integer division
+            # keeps full precision (ns epoch ~1.7e18 exceeds double's 2^53
+            # mantissa — a float division here would corrupt ts).
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            # Naive µs timestamps (isAdjustedToUTC=false). Session tz is
+            # UTC, so this cast relabels the same instant.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if isinstance(ts_type, TimestampType):
+            return df
+        raise TypeError(
+            f"events.ts has unexpected type {ts_type}; fixture format changed "
+            "again — extend catalog.load_table's type adaptation."
+        )
     return spark.read.parquet(path)
 
 

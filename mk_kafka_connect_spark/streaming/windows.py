@@ -13,9 +13,12 @@ Kafka-fed deployment would run.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -32,31 +35,58 @@ __all__ = [
     "stream_static_join",
 ]
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_field: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (ns → µs timestamps,
-    same truncation as the batch catalog loader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events fixture.
+
+    File streams require a user-declared schema, and the fixture's ``ts``
+    physical type has changed across driver revisions (TIMESTAMP(NANOS),
+    then naive ``timestamp[us]``). Declaring the wrong type is a SILENT
+    wrong answer (µs epochs divided as if nanos collapse into 1970), so
+    probe the parquet footer (pyarrow, no Spark job) and declare the schema
+    that matches the bytes on disk; every variant normalizes to session-UTC
+    TimestampType — the same instants as the batch catalog loader.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        # File streaming sources require a directory; select just the
-        # events table out of the fixture dir with a glob.
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if pa.types.is_int64(arrow_ts) or (
+        pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "ns"
+    ):
+        # Nanos epoch (read as long via the legacy conf). Integer division
+        # keeps full precision (ns epoch ~1.7e18 exceeds double's 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            # File streaming sources require a directory; select just the
+            # events table out of the fixture dir with a glob.
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "us":
+        ts_type = T.TimestampType() if arrow_ts.tz else T.TimestampNTZType()
+        raw = (
+            spark.readStream.schema(_events_schema(ts_type))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts has unexpected parquet type {arrow_ts}; fixture format "
+        "changed again — extend read_events_stream's type adaptation."
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def run_to_memory(

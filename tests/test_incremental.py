@@ -9,6 +9,8 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
+from mk_kafka_connect_spark.catalog import load_table
+
 from mk_kafka_connect_spark.operators.cdc import (
     compact_latest,
     enrich_metadata,
@@ -130,14 +132,14 @@ class FakeClock:
 
 
 def _driver(spark, tmp_path, clock, sink_rows):
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
 
     def fetch(entity, start, end):
         # Half-open window on the entity stream (string compare — same
         # lexicographic semantics as Task.java:183).
         return events.filter(
-            (F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd HH:mm:ss") >= start)
-            & (F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd HH:mm:ss") < end)
+            (F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss") >= start)
+            & (F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss") < end)
         )
 
     def sink(df, entity, window):
@@ -155,7 +157,6 @@ def _driver(spark, tmp_path, clock, sink_rows):
 
 
 def test_initial_then_incremental(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     clock = FakeClock(datetime(2024, 1, 15, 0, 0, 0))
     rows = []
     drv = _driver(spark, tmp_path, clock, rows)
@@ -185,13 +186,12 @@ def test_initial_then_incremental(spark, tmp_path):
 def test_crash_replays_same_window(spark, tmp_path):
     """State persists mid-batch; a new driver (simulated restart) resumes
     the SAME frozen window — CO-README:512-525 gap recovery."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     clock = FakeClock(datetime(2024, 1, 10, 0, 0, 0))
     rows: list = []
 
     boom: list = []
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
 
     def fetch(entity, start, end):
         return events.limit(5)
