@@ -37,9 +37,12 @@ HEADLINE = [
     "expand_customer_flat",
     "join_asof",
     "cdc_merge_upsert",
+    "cdc_scd2_history",
     "dedup_latest_wins",
     "window_running_agg",
     "sessionize_events",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
     "agg_stats",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -14,11 +14,20 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "default_sf_dir",
+    "probe_events_ts",
+]
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -38,6 +47,69 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Nanosecond epochs for plausible event years (~1973..~2286). A µs epoch for
+# 2024 is ~1.7e15 and a ms epoch ~1.7e12 — three/six orders of magnitude below
+# this band — so a raw-int64 ts whose values fall outside it must NOT be
+# divided as nanos (the silent-wrong-answer class the r5 fixture change hit:
+# µs epochs divided as nanos collapse into 1970).
+_NS_EPOCH_RANGE = (10**17, 10**19)
+
+
+def _assert_nanos_magnitude(pf: pq.ParquetFile, path: str) -> None:
+    """Validate that a raw-int64 ts column really holds nanosecond epochs.
+
+    Uses parquet footer row-group statistics (driver-side, no Spark job);
+    falls back to decoding one record batch if the writer omitted stats.
+    """
+    idx = pf.schema_arrow.get_field_index("ts")
+    samples: list[int] = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            samples += [int(st.min), int(st.max)]
+    if not samples:
+        batch = next(pf.iter_batches(batch_size=1024, columns=["ts"]), None)
+        if batch is not None:
+            samples = [int(v) for v in batch.column(0).to_pylist() if v is not None]
+    lo, hi = _NS_EPOCH_RANGE
+    bad = [s for s in samples if not lo <= s < hi]
+    if bad or not samples:
+        raise TypeError(
+            f"events.ts at {path} is raw int64 but its values "
+            f"(e.g. {bad[:2] if bad else 'none readable'}) are not nanosecond "
+            "epochs (~1.7e18 for 2024; micros would be ~1.7e15, millis "
+            "~1.7e12) — refusing to guess the unit. Extend "
+            "catalog.probe_events_ts for the new fixture format."
+        )
+
+
+def probe_events_ts(path: str) -> str:
+    """Classify the events fixture's on-disk ts type from the parquet
+    footer alone (pyarrow, no Spark job): ``"nanos"`` (TIMESTAMP(NANOS)
+    or magnitude-validated raw int64 nanos), ``"us_utc"`` or
+    ``"us_naive"`` (µs timestamps with/without isAdjustedToUTC).
+
+    The fixture's physical type has changed across driver revisions
+    (TIMESTAMP(NANOS) through r4, naive timestamp[us] since r5 —
+    FIXTURES.md §1a), so both batch (`load_table`) and streaming
+    (`streaming.windows.read_events_stream`) loaders branch on this probe
+    instead of assuming a format.
+    """
+    pf = pq.ParquetFile(path)
+    arrow_ts = pf.schema_arrow.field("ts").type
+    if pa.types.is_int64(arrow_ts):
+        _assert_nanos_magnitude(pf, path)
+        return "nanos"
+    if pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "ns":
+        return "nanos"
+    if pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "us":
+        return "us_utc" if arrow_ts.tz else "us_naive"
+    raise TypeError(
+        f"events.ts has unexpected parquet type {arrow_ts}; fixture format "
+        "changed again — extend catalog.probe_events_ts."
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst prunes columns and pushes filters
     into the scan (check ``PushedFilters``/``ReadSchema`` in .explain).
@@ -55,9 +127,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # Harmless unless the file really is TIMESTAMP(NANOS); without it
-        # the vectorized reader rejects nanos outright.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if probe_events_ts(path) == "nanos":
+            # Without this the vectorized reader rejects TIMESTAMP(NANOS)
+            # outright. Probe-gated (footer says nanos, magnitude-checked
+            # for raw int64) so the conf never leaks onto a session whose
+            # fixtures aren't nanos — a later unrelated parquet read of a
+            # nanos column should fail loudly, not silently yield longs.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -329,27 +329,69 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_quantiles",
-    oracle=None,  # t-digest/GK sketches are engine-specific by design
+    # GK/t-digest sketch estimates are engine-specific, so the raw estimate
+    # can never hash-match an oracle. The query instead emits EXACT discrete
+    # percentiles (smallest value with cume_dist >= p — pure data values, no
+    # float interpolation, so bit-identical across engines) plus boolean
+    # bounds predicates on the sketch; the oracle computes the same exact
+    # percentiles and asserts the predicates TRUE (VERDICT r6 item 8).
+    oracle="""
+    WITH cd AS (
+      SELECT l_returnflag, l_extendedprice,
+             cume_dist() OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice) AS cd
+      FROM lineitem)
+    SELECT l_returnflag,
+           min(CASE WHEN cd >= 0.5 THEN l_extendedprice END) AS exact_p50,
+           min(CASE WHEN cd >= 0.95 THEN l_extendedprice END) AS exact_p95,
+           TRUE AS p50_within_tol,
+           TRUE AS p95_within_tol
+    FROM cd GROUP BY l_returnflag
+    """,
     tags=("agg", "B7", "approx"),
 )
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile — the 100 TB quantile path (bounded-memory sketch,
-    single pass, mergeable across partitions). Rows-only in the driver;
-    the unit test bounds its error against the exact percentile."""
+    single pass, mergeable across partitions). The exact anchors are
+    DISCRETE percentiles (min value whose cume_dist reaches p): actual data
+    values, not interpolations, so both engines agree bit-for-bit; the
+    sketch estimate is driver-verified through a 1% relative-error band
+    (accuracy=10000 → worst-case rank error 1/10000, far tighter than 1%
+    of value at this distribution). The unit test bounds error tighter."""
     li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    exact = (
+        li.withColumn("_cd", F.cume_dist().over(w))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("_cd") >= 0.5, F.col("l_extendedprice"))).alias(
+                "exact_p50"
+            ),
+            F.min(F.when(F.col("_cd") >= 0.95, F.col("l_extendedprice"))).alias(
+                "exact_p95"
+            ),
+        )
+    )
     sketched = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias(
             "_sig"
-        ),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        )
     )
-    # Scalar output columns only: the driver canonicalizes results via a
-    # pandas sort, and array-typed cells are unhashable there.
-    return sketched.select(
-        "l_returnflag",
-        F.element_at("_sig", 1).alias("approx_p50"),
-        F.element_at("_sig", 2).alias("approx_p95"),
-        "exact_p50",
+    return (
+        exact.join(sketched, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            "exact_p95",
+            (
+                F.abs(F.element_at("_sig", 1) - F.col("exact_p50"))
+                <= 0.01 * F.col("exact_p50")
+            ).alias("p50_within_tol"),
+            (
+                F.abs(F.element_at("_sig", 2) - F.col("exact_p95"))
+                <= 0.01 * F.col("exact_p95")
+            ).alias("p95_within_tol"),
+        )
     )
 
 

@@ -24,6 +24,7 @@ __all__ = [
     "spark_queries",
     "oracle_queries",
     "CERTIFICATION_FRONT",
+    "R7_PRIORITY",
     "certification_order",
 ]
 
@@ -51,71 +52,81 @@ QUERIES: dict[str, QuerySpec] = {}
 # The per-round rotation schedule (which rounds certified which queries,
 # and what to pin next round) is documented in COVERAGE.md §"Driver
 # certification rotation".
-CERTIFICATION_FRONT: tuple[str, ...] = (
-    # r1 hash-FAIL, fixed (relational.py CAST) — re-certify first.
-    "sessionize_events",
-    # Window battery: certified r1 only, rotated out in r2.
-    "window_rank_funcs",
-    "window_running_agg",
-    "window_range_frame",
-    "topk_per_group",
-    # Never driver-certified: sort/set/pivot surface.
-    "sort_limit_offset",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "set_except_all",
-    "pivot_event_counts",
-    "unpivot_order_stats",
-    # Never driver-certified: scalar function battery + SMT.
-    "scalar_string_funcs",
-    "scalar_regex_funcs",
-    "scalar_datetime_funcs",
-    "scalar_math_funcs",
-    "scalar_array_funcs",
-    "scalar_json_funcs",
-    "scalar_map_funcs",
-    "scalar_posexplode",
-    "string_cast_transform",
-    # Never driver-certified: streaming replay surface.
-    "streaming_tumbling_window",
-    "streaming_sliding_window",
-    "streaming_session_window",
-    "streaming_dedup",
-    "streaming_stream_static_join",
-    "streaming_stateful_running",
-    # Never driver-certified: UDF surface.
-    "udf_row_python",
-    "udf_pandas_vectorized",
-    "udf_grouped_apply",
-    "udf_python_udtf",
-    # New TPC-H-style queries (r4) — need their first driver row.
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discount_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # New r4 LLM-pipeline surface — first driver rows.
-    "text_repetition_stats",
-    "text_gopher_quality",
-    "docs_hash_split",
-    "docs_decontaminate",
-    "pipeline_training_data",
-    "sim_topk_ivf",
-    # Flagship.
-    "q1_pricing_summary",
+# The 10 queries round 7 MUST certify: the 9 registry entries with zero
+# driver rows ever, plus sim_topk_lsh (its full DuckDB oracle landed in
+# 3a254c7 but its last driver evidence is still FAIL(no_oracle) from r2).
+# tests/test_registry_rotation.py asserts these sit inside the first-50
+# driver window so a stale front fails CI instead of wasting a round.
+R7_PRIORITY: tuple[str, ...] = (
+    "cdc_scd2_history",
+    "cohort_retention_weekly",
+    "dedup_clusters",
+    "dedup_minhash_incremental",
+    "docs_stratified_sample",
+    "funnel_view_click_purchase",
+    "join_range_binned",
+    "multimodal_resize",
+    "profile_orders",
+    "sim_topk_lsh",
 )
-# Dropped from the front this round (already covered): q3_shipping_priority
-# (green r1+r2, plan pinned by tests/test_plans_physical.py),
-# agg_approx_distinct / agg_approx_quantiles (no SQL oracle — the driver
-# row would be rows-only; their error-bound pytest checks are stronger).
+
+CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + (
+    # Only one driver row ever (r2) — next-freshest claim needed.
+    "bucketed_join_revenue",
+    "dedup_embedding_lsh",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    # Stalest backfill: last certified r1+r2. Join battery.
+    "join_left_nulls",
+    "join_right",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_theta_range",
+    "join_asof",
+    "expand_customer_flat",
+    "expand_items_nested",
+    # Aggregation battery.
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having_filter",
+    "agg_case_when_buckets",
+    "agg_percentiles",
+    "skew_salted_agg",
+    # Subqueries.
+    "subquery_exists",
+    "subquery_in_scalar",
+    "subquery_correlated_scalar",
+    # CDC/dedup family.
+    "cdc_merge_upsert",
+    "dedup_latest_wins",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    # Text family.
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    # Multimodal.
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    # TPC-H r1/r2 era.
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    # A-surface basics (keep the half-open range filter fresh — A2).
+    "filter_range_halfopen",
+)
+# Left for the r8 window (all have ≥2 green driver rows + plan/pytest
+# coverage; the two oracle-tier scans are also the slowest queries in the
+# driver run): join_cross, distinct_pairs, filter_predicates,
+# projection_computed, sim_topk_bruteforce, dedup_ngram_jaccard. Everything
+# certified in r4–r6 (windows, set ops, scalars, streaming, UDFs, new TPC-H,
+# r4 LLM surface, q1) rotates out with 3 consecutive green rows each.
 
 
 def certification_order() -> list[str]:

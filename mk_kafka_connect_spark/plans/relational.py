@@ -531,22 +531,41 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # approximate: HLL sketches differ across engines by design
+    # HLL sketch values are engine-specific, so the raw estimate can never
+    # hash-match an oracle. Instead the query emits the EXACT count plus
+    # the bounds predicate |approx-exact| <= 3*rsd*exact as a boolean; the
+    # oracle computes the exact count and asserts the predicate TRUE — the
+    # driver's value hash now verifies both (VERDICT r6 item 8).
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "B7", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
     distinct counting: constant memory per group vs count_distinct's
-    expanded shuffle. No oracle (sketch results are engine-specific);
-    the unit test bounds its error against the exact count instead."""
+    expanded shuffle. Output carries the exact count and a 3-sigma
+    bounds check on the sketch (rsd=0.02 → 6% band) so the driver
+    verifies the estimate without hashing engine-specific sketch values;
+    the unit test additionally bounds the error tighter."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("_approx"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
-        .orderBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 3 * 0.02 * F.col("exact_parts")
+            ).alias("approx_within_tol"),
+        )
     )
 
 
@@ -1046,10 +1065,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_retention_weekly",
     oracle="""
     WITH cohorts AS (
-      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      -- CAST to TIMESTAMP: DuckDB date_trunc yields DATE while Spark's
+      -- yields TIMESTAMP; pin both engines to the same type so the
+      -- driver's value hash agrees regardless of its date coercion.
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
       FROM events WHERE event_type = 'signup' GROUP BY user_id),
     activity AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+      FROM events)
     SELECT cohort_week,
       CAST(date_diff('day', cohort_week, act_week) // 7 AS BIGINT) AS week_offset,
       count(*) AS n_users

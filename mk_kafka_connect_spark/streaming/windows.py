@@ -17,12 +17,11 @@ import os
 import tempfile
 import uuid
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import probe_events_ts
 from ..functions.exact import dec2
 
 __all__ = [
@@ -55,15 +54,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical type has changed across driver revisions (TIMESTAMP(NANOS),
     then naive ``timestamp[us]``). Declaring the wrong type is a SILENT
     wrong answer (µs epochs divided as if nanos collapse into 1970), so
-    probe the parquet footer (pyarrow, no Spark job) and declare the schema
+    branch on ``catalog.probe_events_ts`` (pyarrow footer probe with a
+    magnitude check on raw-int64 ts — no Spark job) and declare the schema
     that matches the bytes on disk; every variant normalizes to session-UTC
     TimestampType — the same instants as the batch catalog loader.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
-    arrow_ts = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    if pa.types.is_int64(arrow_ts) or (
-        pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "ns"
-    ):
+    kind = probe_events_ts(os.path.join(sf_dir, "events.parquet"))
+    if kind == "nanos":
         # Nanos epoch (read as long via the legacy conf). Integer division
         # keeps full precision (ns epoch ~1.7e18 exceeds double's 2^53).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -75,18 +73,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sf_dir)
         )
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if pa.types.is_timestamp(arrow_ts) and arrow_ts.unit == "us":
-        ts_type = T.TimestampType() if arrow_ts.tz else T.TimestampNTZType()
-        raw = (
-            spark.readStream.schema(_events_schema(ts_type))
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    raise TypeError(
-        f"events.ts has unexpected parquet type {arrow_ts}; fixture format "
-        "changed again — extend read_events_stream's type adaptation."
+    # "us_utc" / "us_naive": µs timestamps, with/without isAdjustedToUTC.
+    ts_type = T.TimestampType() if kind == "us_utc" else T.TimestampNTZType()
+    raw = (
+        spark.readStream.schema(_events_schema(ts_type))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(

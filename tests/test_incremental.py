@@ -10,7 +10,6 @@ from datetime import datetime
 from pyspark.sql import functions as F
 
 from mk_kafka_connect_spark.catalog import load_table
-
 from mk_kafka_connect_spark.operators.cdc import (
     compact_latest,
     enrich_metadata,
