@@ -55,6 +55,9 @@ HEADLINE = [
     "bucketed_join_revenue",
     "multimodal_decode",
     "pipeline_training_data",
+    "docs_chunk_overlap",
+    "docs_pack_sequences",
+    "emb_label_centroids",
 ]
 
 

@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 from ..functions.hashing import md5_mod
 from .dedup import shingle_hashes
 
-__all__ = ["hash_split", "decontaminate", "stratified_hash_sample"]
+__all__ = [
+    "hash_split",
+    "decontaminate",
+    "stratified_hash_sample",
+    "chunk_documents",
+    "pack_sequences",
+    "top_fraction_by_group",
+]
 
 
 def hash_split(
@@ -111,3 +118,105 @@ def stratified_hash_sample(
     for k, v in sorted(rates_pct.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 500,
+    stride: int = 400,
+) -> DataFrame:
+    """RAG-style overlapping character chunking: one row per
+    ``chunk_size``-char window starting every ``stride`` chars (so
+    consecutive chunks overlap by ``chunk_size - stride``).
+
+    Pure map-side explode of built-ins (sequence → explode → substring):
+    no shuffle, no Python, output partitioning inherits the scan — the
+    100 TB shape is "width amplification only", exactly what a chunking
+    stage should be. Empty documents yield one empty chunk (start=1), so
+    every input row is represented downstream."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(id_col, text_col, F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            ((F.col("chunk_start") - 1) / stride).cast("long").alias("chunk_idx"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.expr(
+                f"substring({text_col}, chunk_start, {chunk_size})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 1000,
+    n_streams: int = 8,
+) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed-token-
+    budget packs by cumulative token count, in a deterministic
+    hash-shuffled order (md5 of the id), within ``n_streams`` independent
+    pack streams.
+
+    Scale shape: the window is partitioned by stream — each stream is a
+    partition-local ordered cumsum, so there is NO global sort; raise
+    ``n_streams`` with the cluster (packs are only ever read within a
+    stream, so streams never need to see each other). A doc that crosses
+    a pack boundary opens the next pack (standard concat-then-chunk
+    packing semantics: pack = floor(tokens_before / budget))."""
+    from pyspark.sql import Window
+
+    t = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        md5_mod(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn("stream", (F.col("_h") % n_streams).cast("long"))
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn(
+            "_cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "stream",
+            F.expr(f"_cum_before DIV {budget}").alias("pack_id"),
+        )
+    )
+
+
+def top_fraction_by_group(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    keep_frac: float = 0.75,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows per group by score (drop the
+    bottom quantile) — the per-language quality gate of corpus curation:
+    a global threshold would silently delete low-resource languages,
+    a per-group rank keeps each language's best share.
+
+    ``cume_dist`` over a (score, id) ordering is rank arithmetic — exact
+    and engine-independent, unlike an interpolated percentile threshold.
+    Scale shape: one partitioned window per group; group skew is bounded
+    by the largest language, and heavier skew would move this to a
+    two-pass approx-quantile threshold per group (sketch + broadcast)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    return (
+        df.withColumn("q_rank", F.cume_dist().over(w))
+        .filter(F.col("q_rank") >= 1.0 - keep_frac)
+    )

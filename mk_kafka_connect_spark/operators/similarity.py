@@ -45,6 +45,7 @@ __all__ = [
     "cosine_topk_ivf",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
+    "label_centroids",
 ]
 
 QUANT = 10_000
@@ -530,3 +531,32 @@ def cosine_topk_ivf(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def label_centroids(emb: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label centroid statistics in exploded (label, dim) form: count,
+    exact component sum, and mean — the class-prototype computation behind
+    nearest-centroid classification, IVF coarse training, and embedding
+    drift monitoring.
+
+    Float addition is not associative, so a naive double sum is
+    nondeterministic under Spark's partial aggregation; components are
+    summed as DECIMAL(28,9) (exact, associative, mergeable map-side) and
+    only cast to double at the end — bit-identical on every engine and
+    every partitioning. Scale shape: posexplode → one hash aggregation on
+    (label, dim); output is |labels| × dims rows regardless of input."""
+    return (
+        emb.select(label_col, F.posexplode(vec_col).alias("dim", "_v"))
+        .groupBy(label_col, F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_v").cast("double").cast("decimal(28,9)")).alias("_s"),
+        )
+        .select(
+            label_col,
+            "dim",
+            "n",
+            F.col("_s").cast("double").alias("sum_val"),
+            (F.col("_s").cast("double") / F.col("n")).alias("mean_val"),
+        )
+    )

@@ -1006,3 +1006,134 @@ _set_oracle(
     FROM assigned GROUP BY source, split ORDER BY source, split
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# r7 additions: chunking, sequence packing, per-language quality gating,
+# label centroids — the remaining prep stages of a training-data pipeline.
+
+
+@query(
+    "docs_chunk_overlap",
+    oracle="""
+    SELECT doc_id,
+      CAST((s - 1) // 400 AS BIGINT) AS chunk_idx,
+      CAST(s AS BIGINT) AS chunk_start,
+      substring(text, s, 500) AS chunk_text,
+      CAST(length(substring(text, s, 500)) AS BIGINT) AS chunk_len
+    FROM (SELECT doc_id, text,
+            unnest(generate_series(1, greatest(length(text), 1), 400)) AS s
+          FROM documents)
+    """,
+    tags=("pipeline", "B15", "chunk"),
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: 500-char windows every 400 chars
+    (100-char overlap), one row per chunk. Pure map-side built-ins
+    (sequence → explode → substring) — no shuffle, no Python; the 100 TB
+    cost is width amplification only."""
+    from ..operators.pipeline import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_size=500, stride=400)
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        {SQL_MD5_MOD("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens, CAST(h % 8 AS BIGINT) AS stream,
+        coalesce(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t)
+    SELECT doc_id, n_tokens, stream,
+      CAST(cum_before // 1000 AS BIGINT) AS pack_id
+    FROM s
+    """,
+    tags=("pipeline", "B15", "packing"),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents assigned to 1000-token training packs
+    by cumulative whitespace-token count in deterministic md5-shuffled
+    order, within 8 independent pack streams. Each stream is a
+    partition-local ordered cumsum (window partitioned by stream) — no
+    global sort anywhere; raise the stream count with the cluster."""
+    from ..operators.pipeline import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", budget=1000, n_streams=8)
+
+
+@query(
+    "docs_quality_topfrac_by_lang",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS DOUBLE) AS n_punct,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE) AS n_stop,
+        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        least(n_tok / 100.0, 1.0) * 0.25
+          + (1.0 - n_punct / n_chars) * 0.25
+          + least(n_stop / n_tok * 5.0, 1.0) * 0.2
+          + n_uniq / n_tok * 0.3 AS quality
+      FROM t),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+        cume_dist() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS q_rank
+      FROM scored)
+    SELECT doc_id, lang, quality, q_rank FROM ranked WHERE q_rank >= 0.25
+    """,
+    tags=("pipeline", "B15", "quality"),
+)
+def docs_quality_topfrac_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: keep each language's top 75% of docs by
+    the composite quality score (a global threshold would silently wipe
+    out low-resource languages). cume_dist rank arithmetic — exact and
+    engine-independent, unlike interpolated percentile thresholds; one
+    partitioned window per language."""
+    from ..operators.pipeline import top_fraction_by_group
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = TX.quality_score(d, "text")
+    return top_fraction_by_group(
+        scored, "quality", "lang", "doc_id", keep_frac=0.75
+    ).select("doc_id", "lang", "quality", "q_rank")
+
+
+@query(
+    "emb_label_centroids",
+    oracle="""
+    WITH u AS (
+      SELECT label,
+        unnest(range(len(embedding))) AS i,
+        unnest(embedding) AS val
+      FROM embeddings)
+    SELECT label, CAST(i AS BIGINT) AS dim, count(*) AS n,
+      CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) AS sum_val,
+      CAST(sum(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+        / count(*) AS mean_val
+    FROM u GROUP BY label, i
+    """,
+    tags=("similarity", "B15", "centroid"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in exploded (label, dim) form —
+    class prototypes for nearest-centroid classification and drift
+    monitoring. Components sum as DECIMAL(28,9) (exact, associative, so
+    partial aggregation stays deterministic — a raw double sum is not),
+    cast to double only at the edge."""
+    from ..operators.similarity import label_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(e, "embedding", "label")

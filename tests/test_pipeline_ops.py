@@ -1,0 +1,113 @@
+"""Semantic tests for the r7 training-pipeline additions: chunking,
+sequence packing, per-group quality gating, label centroids. (Cross-engine
+value parity is covered by the oracle-parity suites; these pin the
+operator SEMANTICS — overlap reconstruction, pack-budget invariants,
+per-group keep fraction, centroid math.)"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from mk_kafka_connect_spark.catalog import load_table
+from mk_kafka_connect_spark.operators.pipeline import (
+    chunk_documents,
+    pack_sequences,
+    top_fraction_by_group,
+)
+from mk_kafka_connect_spark.operators.similarity import label_centroids
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_chunks_reconstruct_original_text(spark):
+    texts = ["a" * 950, "xyz", "", "b" * 400, "c" * 401]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "text", "doc_id", chunk_size=500, stride=400)
+    rows = out.orderBy("doc_id", "chunk_idx").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = by_doc[i]
+        assert len(chunks) == max(1, math.ceil(max(len(t), 1) / 400))
+        # Non-final chunks contribute their stride; the final chunk lands
+        # whole — stitching them back must reproduce the document.
+        rebuilt = "".join(c["chunk_text"][:400] for c in chunks[:-1])
+        rebuilt += chunks[-1]["chunk_text"]
+        assert rebuilt == t, f"doc {i} not reconstructible from chunks"
+        # Overlap: each chunk re-reads the previous chunk's tail.
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur["chunk_start"] == prev["chunk_start"] + 400
+            if len(prev["chunk_text"]) == 500:
+                assert prev["chunk_text"][400:] == cur["chunk_text"][:100]
+
+
+def test_chunk_empty_doc_yields_one_empty_chunk(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    rows = chunk_documents(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "" and rows[0]["chunk_len"] == 0
+
+
+def test_pack_sequences_budget_invariants(spark):
+    budget, n_streams = 1000, 8
+    d = load_table(spark, SF_SMOKE, "documents")
+    rows = pack_sequences(d, "doc_id", "text", budget=budget, n_streams=n_streams).collect()
+    assert len(rows) == d.count()  # every doc packed exactly once
+    per_stream: dict[int, dict[int, int]] = {}
+    for r in rows:
+        assert 0 <= r["stream"] < n_streams
+        per_stream.setdefault(r["stream"], {}).setdefault(r["pack_id"], 0)
+        per_stream[r["stream"]][r["pack_id"]] += r["n_tokens"]
+    for stream, packs in per_stream.items():
+        ids = sorted(packs)
+        # Pack ids are dense from 0 (a pack opens only when the budget
+        # boundary is crossed).
+        assert ids == list(range(len(ids))), f"stream {stream}: sparse pack ids"
+        # Every non-final pack is full: the cumulative tokens through pack
+        # p reach past the (p+1)*budget boundary (the straddling doc opens
+        # the next pack).
+        cum = 0
+        for p in ids[:-1]:
+            cum += packs[p]
+            assert cum >= (p + 1) * budget, f"stream {stream} pack {p} underfull"
+
+
+def test_top_fraction_keeps_expected_share_per_group(spark):
+    d = load_table(spark, SF_SMOKE, "documents").withColumn(
+        "score", F.length("text").cast("double")
+    )
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = top_fraction_by_group(d, "score", "lang", "doc_id", keep_frac=0.75)
+    kept_counts = {
+        r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in totals.items():
+        k = kept_counts.get(lang, 0)
+        # cume_dist >= 0.25 keeps between 75% and 75%+1 row of each group.
+        assert 0.75 * n <= k <= 0.75 * n + 1, f"{lang}: kept {k} of {n}"
+
+
+def test_label_centroids_match_numpy(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        (r["label"], r["dim"]): (r["n"], r["sum_val"], r["mean_val"])
+        for r in label_centroids(e, "embedding", "label").collect()
+    }
+    by_label: dict[int, list] = {}
+    for r in e.select("label", "embedding").collect():
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        m = np.stack(vecs)
+        for dim in range(m.shape[1]):
+            n, sum_val, mean_val = got[(label, dim)]
+            assert n == len(vecs)
+            assert sum_val == pytest.approx(float(m[:, dim].sum()), abs=1e-6)
+            assert mean_val == pytest.approx(float(m[:, dim].mean()), abs=1e-9)
+            assert mean_val == sum_val / n
