@@ -58,6 +58,7 @@ HEADLINE = [
     "docs_chunk_overlap",
     "docs_pack_sequences",
     "emb_label_centroids",
+    "sim_nearest_centroid",
 ]
 
 

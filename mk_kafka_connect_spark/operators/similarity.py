@@ -46,6 +46,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "label_centroids",
+    "nearest_centroid_assign",
 ]
 
 QUANT = 10_000
@@ -560,3 +561,74 @@ def label_centroids(emb: DataFrame, vec_col: str, label_col: str) -> DataFrame:
             (F.col("_s").cast("double") / F.col("n")).alias("mean_val"),
         )
     )
+
+
+def nearest_centroid_assign(
+    emb: DataFrame, vec_col: str, label_col: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid classification: quantized per-label centroids
+    (integer round-half-up of the exact component sums — the same
+    integer Lloyd update `train_ivf_centroids` uses, so centroids are
+    bit-identical on any partitioning), then every vector scored against
+    every centroid by exact-int cosine and assigned the best (ties break
+    toward the lower label).
+
+    Plan shape: the centroid relation is K rows (K = |labels|),
+    broadcast-cross-joined against the probes (a deliberate K-row-build
+    BroadcastNestedLoopJoin, allowlisted in test_plan_smells.py — bounded
+    by K, not data volume), then a map-side-combinable max_by(struct)
+    picks the winner — no window sort. At very large K the expansion
+    would switch to the Arrow matmul path (`assign_ivf_cells`) with
+    centroids broadcast as collected model parameters; at
+    classification-scale K (tens of classes) the in-plan join keeps the
+    whole thing declarative."""
+    q = emb.select(
+        id_col,
+        F.col(label_col).alias("true_label"),
+        quantize(F.col(vec_col)).alias("qv"),
+    )
+    # Exact integer centroid: s/n rounded half away from zero, computed
+    # as (2|s| + n) DIV 2n on int64 — no float division anywhere.
+    comp = (
+        q.select("true_label", F.posexplode("qv").alias("dim", "val"))
+        .groupBy(F.col("true_label").alias("cand_label"), F.col("dim"))
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "c",
+            F.when(
+                F.col("s") >= 0, F.expr("(2 * s + n) DIV (2 * n)")
+            ).otherwise(-F.expr("(2 * -s + n) DIV (2 * n)")),
+        )
+    )
+    cents = comp.groupBy("cand_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
+        ).alias("cqv")
+    )
+    scored = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "true_label",
+            "cand_label",
+            cosine_expr(F.col("qv"), F.col("cqv")).alias("cos"),
+        )
+    )
+    best = (
+        scored.groupBy(id_col, "true_label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos").alias("c"),
+                    (-F.col("cand_label")).cast("long").alias("nl"),
+                )
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            "true_label",
+            (-F.col("m.nl")).cast("int").alias("pred_label"),
+            F.col("m.c").alias("cosine"),
+        )
+    )
+    return best

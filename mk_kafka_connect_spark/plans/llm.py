@@ -1137,3 +1137,45 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return label_centroids(e, "embedding", "label")
+
+
+@query(
+    "sim_nearest_centroid",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label AS true_label,
+             {_SQL_QUANT.format(e='embedding')} AS qv
+      FROM embeddings),
+    u AS (SELECT true_label AS cand_label,
+                 unnest(range(len(qv))) AS dim, unnest(qv) AS val
+          FROM q),
+    cs AS (SELECT cand_label, dim, sum(val) AS s, count(*) AS n
+           FROM u GROUP BY cand_label, dim),
+    cq AS (SELECT cand_label,
+             list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                       ELSE -((2 * -s + n) // (2 * n)) END ORDER BY dim) AS cqv
+           FROM cs GROUP BY cand_label),
+    scored AS (
+      SELECT q.vec_id, q.true_label, c.cand_label,
+             {_sql_cos('q.qv', 'c.cqv')} AS cos
+      FROM q, cq c),
+    ranked AS (
+      SELECT vec_id, true_label, cand_label, cos,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, cand_label ASC) AS rn
+      FROM scored)
+    SELECT vec_id, true_label, cand_label AS pred_label, cos AS cosine
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("similarity", "B15", "centroid"),
+)
+def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the embeddings table: integer
+    per-label centroids (exact sums, integer round — bit-stable on any
+    partitioning), exact-int cosine against each centroid, best label by
+    (cosine desc, label asc). The K-row centroid relation broadcast-
+    cross-joins against the probes (bounded by K = |labels|, allowlisted
+    in the plan-smell sweep) and the winner is a map-side-combinable
+    max_by(struct) — no window sort, no collect."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.nearest_centroid_assign(e, "embedding", "label", "vec_id")

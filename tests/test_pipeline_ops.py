@@ -18,7 +18,10 @@ from mk_kafka_connect_spark.operators.pipeline import (
     pack_sequences,
     top_fraction_by_group,
 )
-from mk_kafka_connect_spark.operators.similarity import label_centroids
+from mk_kafka_connect_spark.operators.similarity import (
+    label_centroids,
+    nearest_centroid_assign,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -111,3 +114,35 @@ def test_label_centroids_match_numpy(spark):
             assert sum_val == pytest.approx(float(m[:, dim].sum()), abs=1e-6)
             assert mean_val == pytest.approx(float(m[:, dim].mean()), abs=1e-9)
             assert mean_val == sum_val / n
+
+
+def test_nearest_centroid_matches_numpy_reference(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r["vec_id"]: (r["true_label"], r["pred_label"], r["cosine"])
+        for r in nearest_centroid_assign(e, "embedding", "label", "vec_id").collect()
+    }
+    rows = e.select("vec_id", "label", "embedding").collect()
+    q = {r["vec_id"]: np.round(np.array(r["embedding"], dtype=np.float64) * 10000) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    by_label: dict[int, list] = {}
+    for vid, vec in q.items():
+        by_label.setdefault(labels[vid], []).append(vec)
+    cents = {}
+    for lab, vecs in by_label.items():
+        s = np.stack(vecs).sum(axis=0)
+        n = len(vecs)
+        cents[lab] = np.where(s >= 0, (2 * s + n) // (2 * n), -((2 * -s + n) // (2 * n)))
+    for vid, vec in q.items():
+        best = None
+        # Ascending label order + strict > keeps ties on the lower label,
+        # matching the operator's (cosine desc, label asc) contract.
+        for lab in sorted(cents):
+            c = cents[lab]
+            cos = float(vec @ c) / (np.sqrt(float(vec @ vec)) * np.sqrt(float(c @ c)))
+            if best is None or cos > best[1]:
+                best = (lab, cos)
+        t_lab, p_lab, cosine = got[vid]
+        assert t_lab == labels[vid]
+        assert p_lab == best[0], f"vec {vid}: {p_lab} vs numpy {best[0]}"
+        assert cosine == pytest.approx(best[1], abs=1e-12)

@@ -28,6 +28,12 @@ ALLOWED = {
     "q22_global_sales_opportunity": "1-row average-threshold broadcast",
     "subquery_in_scalar": "1-row scalar-subquery broadcast",
     "subquery_correlated_scalar": "decorrelated scalar may plan as 1-row broadcast",
+    # The build side is the K-row centroid relation (K = |labels|, tens of
+    # rows): a broadcast K-row dimension against which every row scores is
+    # exactly what nearest-centroid classification IS — bounded by K, not
+    # by data volume. Forcing a constant-key hash join would do the same
+    # work through one degenerate hash bucket.
+    "sim_nearest_centroid": "K-row centroid broadcast (K = |labels|)",
 }
 
 _BATCH = [
