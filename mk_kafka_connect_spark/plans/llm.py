@@ -1179,3 +1179,54 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_by(struct) — no window sort, no collect."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.nearest_centroid_assign(e, "embedding", "label", "vec_id")
+
+
+@query(
+    "dedup_embedding_clusters",
+    # Same transitive-closure oracle pattern as dedup_clusters, seeded by
+    # the embedding-LSH pair contract instead of MinHash pairs.
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS v
+      FROM embeddings),
+    s AS (SELECT id, v, {_sql_hsig('v')} AS sig FROM v),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM s a JOIN s b ON a.id < b.id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 2
+        AND {_SQL_DOT.format(a='a.v', b='b.v')} /
+            ({_SQL_NORM.format(v='a.v')} * {_SQL_NORM.format(v='b.v')}) >= 0.3),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL
+      SELECT id_b, id_a FROM p),
+    r(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+    SELECT id, min(label) AS cluster_id, id = min(label) AS is_canonical
+    FROM r GROUP BY id
+    """,
+    tags=("dedup", "similarity", "B15", "lsh", "graph"),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup clusters: embedding-LSH pairs (sig-hamming ≤ 2,
+    cosine ≥ 0.3) → connected components → one canonical vector per
+    cluster. The embedding-space twin of dedup_clusters: pairwise
+    near-dup deletion over-deletes when similarity chains (A≈B≈C but
+    A≉C); component resolution keeps exactly one representative per
+    chain. Reuses the bucketed LSH pair generator (hash equi-join, no
+    cross product) and the min-label-propagation components operator
+    (node-sized shuffles, localCheckpoint per round)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_lsh(
+        emb,
+        threshold=0.3,
+        num_planes=_LSH_NUM_PLANES,
+        hamming_radius=2,
+        dims=_LSH_DIMS,
+    ).select("id_a", "id_b")
+    cc = D.connected_components(pairs)
+    return cc.select(
+        "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("is_canonical")
+    )

@@ -146,3 +146,19 @@ def test_nearest_centroid_matches_numpy_reference(spark):
         assert t_lab == labels[vid]
         assert p_lab == best[0], f"vec {vid}: {p_lab} vs numpy {best[0]}"
         assert cosine == pytest.approx(best[1], abs=1e-12)
+
+
+def test_embedding_clusters_invariants(spark):
+    from mk_kafka_connect_spark.plans.registry import QUERIES
+
+    rows = QUERIES["dedup_embedding_clusters"].fn(spark, SF_SMOKE).collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))  # each clustered vector appears once
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r["cluster_id"] <= r["id"]  # canonical = min id of component
+        assert r["is_canonical"] == (r["id"] == r["cluster_id"])
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(m["is_canonical"] for m in members) == 1, f"cluster {cid}"
+        assert min(m["id"] for m in members) == cid
