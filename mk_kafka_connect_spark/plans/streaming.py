@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.exact import dec2
 from ..streaming import windows as SW
 from .registry import query
 
@@ -140,3 +141,47 @@ def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@query(
+    "streaming_dedup_then_window",
+    # Same aggregate contract as streaming_tumbling_window — which is the
+    # point: the input is the fixture UNIONED WITH ITSELF, so if the
+    # chained dedup state failed, every n/total_value would double and
+    # the hash would fail.
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "B13", "dedup", "chained"),
+)
+def streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming pipeline (Spark 3.4+
+    multi-stateful support, the two-watermark admission/eviction design):
+    the fixture self-unioned (every event twice) → watermarked
+    dropDuplicates on the record key → tumbling windowed aggregate. The
+    batch oracle is over the DISTINCT events, so the duplicates must die
+    in the dedup state for the hash to match — this is the streaming form
+    of the reference's at-least-once-then-compact contract (its next poll
+    re-covers ranges, relying on keyed downstream compaction;
+    CO-README:512-525)."""
+    ev = SW.read_events_stream(spark, sf_dir).union(
+        SW.read_events_stream(spark, sf_dir)
+    )
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("wstart"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return SW.run_to_memory(agg, "complete")
