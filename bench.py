@@ -59,6 +59,7 @@ HEADLINE = [
     "docs_pack_sequences",
     "emb_label_centroids",
     "sim_nearest_centroid",
+    "events_gapfill_hourly",
 ]
 
 

@@ -1092,3 +1092,52 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts", F.col("event_type") == "signup")
+
+
+@query(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+        CAST(time_bucket(INTERVAL '1 hour', min(ts)) AS TIMESTAMP) AS lo,
+        CAST(time_bucket(INTERVAL '1 hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr
+      FROM bounds),
+    c AS (
+      SELECT user_id,
+        CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hr,
+        count(*) AS n
+      FROM events GROUP BY user_id, hr)
+    SELECT g.user_id, g.hr, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+    FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr
+    """,
+    tags=("timeseries", "B7", "B9", "gapfill"),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled per-user activity series (hypertable-rollup
+    style resampling): every hour between a user's first and last event
+    gets a row, missing hours as explicit zeros — the densification step
+    every downstream time-series model (forecasting, anomaly scoring)
+    needs, since absence-of-row and zero-activity are different facts.
+
+    Scale shape: two aggregations and one left join, all keyed on
+    user_id / (user_id, hr) — partial-aggregable, no global sort; the
+    grid explode amplifies only each user's own span (bounded by the
+    retention window), never |users| x |global hours|."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.groupBy("user_id").agg(
+        F.min(hr).alias("lo"), F.max(hr).alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+    )
+    counts = ev.groupBy("user_id", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return grid.join(counts, ["user_id", "hr"], "left").select(
+        "user_id", "hr", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n")
+    )

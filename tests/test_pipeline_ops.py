@@ -162,3 +162,30 @@ def test_embedding_clusters_invariants(spark):
     for cid, members in by_cluster.items():
         assert sum(m["is_canonical"] for m in members) == 1, f"cluster {cid}"
         assert min(m["id"] for m in members) == cid
+
+
+def test_gapfill_hourly_series_contiguous_and_consistent(spark):
+    import datetime as dt
+
+    from mk_kafka_connect_spark.plans.registry import QUERIES
+
+    rows = QUERIES["events_gapfill_hourly"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events")
+    total_events = ev.count()
+    assert sum(r["n"] for r in rows) == total_events  # zeros add nothing
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_users = ev.select("user_id").distinct().count()
+    assert len(by_user) == n_users  # every active user has a series
+    for uid, series in by_user.items():
+        hrs = sorted(r["hr"] for r in series)
+        span = int((hrs[-1] - hrs[0]).total_seconds() // 3600) + 1
+        assert len(hrs) == span, f"user {uid}: series has gaps"
+        assert all(
+            b - a == dt.timedelta(hours=1) for a, b in zip(hrs, hrs[1:])
+        ), f"user {uid}: non-hourly step"
+        # Endpoints are real activity, not padding.
+        first = min(r["hr"] for r in series if r["n"] > 0)
+        last = max(r["hr"] for r in series if r["n"] > 0)
+        assert first == hrs[0] and last == hrs[-1]
