@@ -1126,18 +1126,65 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id / (user_id, hr) — partial-aggregable, no global sort; the
     grid explode amplifies only each user's own span (bounded by the
     retention window), never |users| x |global hours|."""
+    from ..operators.timeseries import gapfill_hourly
+
     ev = load_table(spark, sf_dir, "events")
-    hr = F.date_trunc("hour", F.col("ts"))
-    bounds = ev.groupBy("user_id").agg(
-        F.min(hr).alias("lo"), F.max(hr).alias("hi")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
-    )
-    counts = ev.groupBy("user_id", hr.alias("hr")).agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    return grid.join(counts, ["user_id", "hr"], "left").select(
-        "user_id", "hr", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n")
-    )
+    return gapfill_hourly(ev, "user_id", "ts")
+
+
+_GAPFILL_SQL = """
+    bounds AS (
+      SELECT user_id,
+        CAST(time_bucket(INTERVAL '1 hour', min(ts)) AS TIMESTAMP) AS lo,
+        CAST(time_bucket(INTERVAL '1 hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr
+      FROM bounds),
+    c AS (
+      SELECT user_id,
+        CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hr,
+        count(*) AS n
+      FROM events GROUP BY user_id, hr),
+    series AS (
+      SELECT g.user_id, g.hr, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+      FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr)
+"""
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH {_GAPFILL_SQL.strip()},
+    t AS (
+      SELECT user_id, hr, n,
+        count(*) OVER w AS w_hist,
+        coalesce(sum(n) OVER w, 0) AS s,
+        coalesce(sum(n * n) OVER w, 0) AS q
+      FROM series
+      WINDOW w AS (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, hr, n, w_hist,
+      CASE WHEN w_hist >= 12 AND (w_hist * q - s * s) > 0
+        THEN CAST((w_hist * n - s) * (w_hist * n - s) AS DOUBLE)
+               / CAST(w_hist * q - s * s AS DOUBLE) END AS zsq,
+      CASE WHEN w_hist >= 12 AND (w_hist * q - s * s) > 0
+        THEN (w_hist * n - s) * (w_hist * n - s) >= 9 * (w_hist * q - s * s)
+             AND (w_hist * n - s) > 0
+        ELSE FALSE END AS is_anomaly
+    FROM t
+    """,
+    tags=("timeseries", "B7", "B9", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomalies: each gap-filled hourly bucket scored
+    against its own trailing 24 h via an EXACT-integer z²
+    ((w·n−s)²/(w·q−s²)) — no float variance, so the flag is
+    bit-deterministic on any partitioning and hash-checkable in DuckDB.
+    Flags buckets ≥ 3σ above their trailing mean with ≥ 12 h of history.
+    Scale shape: gapfill's keyed join + one per-user window — no global
+    sort anywhere."""
+    from ..operators.timeseries import gapfill_hourly, trailing_zscore_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return trailing_zscore_hourly(gapfill_hourly(ev, "user_id", "ts"), "user_id")

@@ -189,3 +189,35 @@ def test_gapfill_hourly_series_contiguous_and_consistent(spark):
         first = min(r["hr"] for r in series if r["n"] > 0)
         last = max(r["hr"] for r in series if r["n"] > 0)
         assert first == hrs[0] and last == hrs[-1]
+
+
+def test_trailing_zscore_matches_python_reference(spark):
+    from mk_kafka_connect_spark.operators.timeseries import (
+        gapfill_hourly,
+        trailing_zscore_hourly,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = trailing_zscore_hourly(gapfill_hourly(ev, "user_id", "ts"), "user_id")
+    rows = out.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked_flags = 0
+    for uid, series in list(by_user.items())[:20]:
+        series.sort(key=lambda r: r["hr"])
+        ns = [r["n"] for r in series]
+        for i, r in enumerate(series):
+            hist = ns[max(0, i - 24) : i]
+            w, s, q = len(hist), sum(hist), sum(x * x for x in hist)
+            assert r["w_hist"] == w
+            den = w * q - s * s
+            if w >= 12 and den > 0:
+                num = w * ns[i] - s
+                assert r["zsq"] == pytest.approx(num * num / den, abs=1e-12)
+                expect = num * num >= 9 * den and num > 0
+                assert r["is_anomaly"] == expect
+                checked_flags += r["is_anomaly"]
+            else:
+                assert r["zsq"] is None and r["is_anomaly"] is False
+    assert checked_flags >= 0  # sanity: loop executed
