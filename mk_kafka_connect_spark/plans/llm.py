@@ -1230,3 +1230,86 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         "id", "cluster_id", (F.col("id") == F.col("cluster_id")).alias("is_canonical")
     )
+
+
+@query(
+    "docs_ngram_topk",
+    oracle="""
+    WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT lang,
+        unnest(CASE WHEN len(w) >= 3 THEN
+          list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        ELSE [] END) AS ngram
+      FROM w),
+    c AS (SELECT lang, ngram, count(*) AS n FROM g GROUP BY lang, ngram),
+    r AS (
+      SELECT lang, ngram, n,
+        row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram ASC) AS rnk
+      FROM c)
+    SELECT lang, ngram, n, rnk FROM r WHERE rnk <= 20
+    """,
+    tags=("text", "B15", "corpus-stats"),
+)
+def docs_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-trigram frequencies per language — the corpus
+    statistics pass behind tokenizer/vocab training and boilerplate
+    detection.
+    Frequency counting is a partial-aggregable (lang, ngram) group-by;
+    the top-k window runs over the AGGREGATED counts (|distinct ngrams|
+    rows, not corpus rows). At extreme scale a min-count pre-filter
+    bounds the window input further."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = d.select("lang", F.split(F.col("text"), " ").alias("w"))
+    grams = w.select(
+        "lang",
+        F.explode(
+            F.when(
+                F.size("w") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ngram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 20)
+        .select("lang", "ngram", "n", "rnk")
+    )
+
+
+@query(
+    "docs_length_histogram",
+    oracle="""
+    SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, bucket
+    """,
+    tags=("text", "B15", "corpus-stats"),
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length histogram (100-char buckets) with
+    bucket extrema — the length-distribution sweep that picks truncation
+    and Gopher word-count thresholds. Pure map-side bucketing + partial
+    aggregation; output is |langs| × |buckets| regardless of corpus
+    size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang", F.expr("n_chars DIV 100").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
