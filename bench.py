@@ -55,6 +55,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "multimodal_decode",
     "pipeline_training_data",
+    "pipeline_training_data_v2",
     "docs_chunk_overlap",
     "docs_pack_sequences",
     "emb_label_centroids",

@@ -1313,3 +1313,117 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "pipeline_training_data_v2",
+    oracle=None,  # patched below (needs the shared SQL helpers)
+    tags=("pipeline", "B15", "composite"),
+)
+def pipeline_training_data_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern corpus build in one declarative plan: Gopher
+    quality gate → exact dedup (normalized-text md5, keep min id) →
+    benchmark decontamination (≥2 shared 3-gram shingles with any
+    source='src0' doc ⇒ dropped) → deterministic 8/1/1 hash split →
+    per-split doc/token/chunk/pack statistics (500/400-char chunks;
+    1000-token packs within 8 md5-ordered streams per split).
+
+    Every stage is an already-certified operator composed as DataFrames,
+    so Catalyst fuses the whole thing: one documents scan feeds the gate
+    and fingerprint, the benchmark shingle set broadcasts, and the only
+    wide stages are the dedup shuffle and the per-(split, stream) pack
+    windows — all keyed, all partial-aggregable, no global sort. Chunk
+    counts are computed arithmetically ((len−1) DIV stride + 1), not by
+    materializing chunks."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_mod
+    from ..operators.pipeline import decontaminate, hash_split
+    from ..operators.text import fingerprint, gopher_quality_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    passed = (
+        gopher_quality_flags(d, "text")
+        .filter(F.col("pass_gopher"))
+        .select("doc_id", "source", "text", "n_words")
+    )
+    fp = fingerprint(passed, "text")
+    canon = fp.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
+    dd = fp.join(canon.select("doc_id"), "doc_id", "left_semi")
+    train = dd.filter(F.col("source") != "src0")
+    flags = decontaminate(
+        train, d.filter(F.col("source") == "src0"), "text", "doc_id", n=3, min_overlap=2
+    )
+    clean = train.join(
+        flags.filter(F.col("n_overlap") < 2).select("doc_id"), "doc_id", "left_semi"
+    )
+    sp = hash_split(clean, "doc_id").withColumn(
+        "_h", md5_mod(F.col("doc_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("split", F.col("_h") % 8)
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pk = sp.withColumn(
+        "_cum", F.coalesce(F.sum("n_words").over(w), F.lit(0).cast("long"))
+    )
+    return (
+        pk.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.sum(
+                F.expr("(greatest(length(text), 1) - 1) DIV 400 + 1")
+            ).alias("n_chunks"),
+            F.countDistinct(
+                (F.col("_h") % 8) * 1000000 + F.expr("_cum DIV 1000")
+            ).alias("n_packs"),
+        )
+        .orderBy("split")
+    )
+
+
+_set_oracle(
+    "pipeline_training_data_v2",
+    f"""
+    WITH passed AS ({_sql_gopher_passed()}),
+    fp AS (
+      SELECT doc_id, source, text, n_words, md5({_SQL_NORM_TEXT}) AS fp_md5
+      FROM passed),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp_md5),
+    dd AS (SELECT f.* FROM fp f JOIN canon c ON f.doc_id = c.doc_id),
+    tr AS (SELECT * FROM dd WHERE source <> 'src0'),
+    bh AS (
+      SELECT DISTINCT h FROM (
+        SELECT unnest({_sql_shingle_hash_list()}) AS h
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+              WHERE source = 'src0'))),
+    ts AS (
+      SELECT DISTINCT doc_id, h FROM (
+        SELECT doc_id, unnest(hs) AS h FROM (
+          SELECT doc_id, {_sql_shingle_hash_list()} AS hs
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr)))),
+    ov AS (SELECT doc_id, count(*) AS n_overlap
+           FROM ts JOIN bh USING (h) GROUP BY doc_id),
+    clean AS (
+      SELECT t.* FROM tr t LEFT JOIN ov o ON t.doc_id = o.doc_id
+      WHERE coalesce(o.n_overlap, 0) < 2),
+    sp AS (
+      SELECT *,
+        {_sql_split_case(_sql_bucket("CAST(doc_id AS VARCHAR)"))} AS split,
+        {SQL_MD5_MOD("CAST(doc_id AS VARCHAR)")} AS h
+      FROM clean),
+    pk AS (
+      SELECT split, h % 8 AS stream, n_words, text,
+        coalesce(sum(n_words) OVER (
+          PARTITION BY split, h % 8 ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM sp)
+    SELECT split, count(*) AS n_docs,
+      CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      CAST(sum((greatest(length(text), 1) - 1) // 400 + 1) AS BIGINT) AS n_chunks,
+      CAST(count(DISTINCT stream * 1000000 + cum_before // 1000) AS BIGINT) AS n_packs
+    FROM pk GROUP BY split ORDER BY split
+    """,
+)
