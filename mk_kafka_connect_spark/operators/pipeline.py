@@ -20,6 +20,7 @@ __all__ = [
     "hash_split",
     "decontaminate",
     "stratified_hash_sample",
+    "balance_strata",
     "chunk_documents",
     "pack_sequences",
     "top_fraction_by_group",
@@ -88,6 +89,41 @@ def decontaminate(
             F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
         )
         .withColumn("contaminated", F.col("n_overlap") >= min_overlap)
+    )
+
+
+def balance_strata(df: DataFrame, id_col: str, stratum_col: str) -> DataFrame:
+    """DATA-DERIVED stratum rebalancing: deterministically downsample
+    every stratum to (in expectation) the size of the SMALLEST one —
+    the automatic counterpart of :func:`stratified_hash_sample`, whose
+    rates are hand-configured. Keep probability for stratum s is
+    cap/n_s (cap = min stratum count), decided by the pure-integer
+    predicate ``(md5(salt:s:id) % 1e6) · n_s < cap · 1e6`` — exact
+    int64 arithmetic (h < 1e6, so the product stays far inside int64),
+    no float rates, bit-identical across engines and reruns.
+
+    Scale shape: the stratum histogram is one partial-aggregable
+    group-by whose result is |strata| rows; it joins back as a
+    broadcast, and the cap is a broadcast single-row cross join — the
+    corpus itself streams through one map-side filter, never
+    shuffling."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    cap = counts.agg(F.min("n_stratum").alias("cap"))
+    h = (
+        md5_mod(
+            F.concat_ws(
+                ":",
+                F.lit("bal"),
+                F.col(stratum_col).cast("string"),
+                F.col(id_col).cast("string"),
+            )
+        )
+        % 1000000
+    )
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .crossJoin(F.broadcast(cap))
+        .filter(h * F.col("n_stratum") < F.col("cap") * 1000000)
     )
 
 

@@ -17,7 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_hourly", "trailing_zscore_hourly"]
+from ..functions.exact import dec2
+
+__all__ = [
+    "gapfill_hourly",
+    "gapfill_locf_hourly",
+    "rollup_multiresolution",
+    "trailing_zscore_hourly",
+]
 
 
 def gapfill_hourly(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
@@ -35,6 +42,71 @@ def gapfill_hourly(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     return grid.join(counts, [key_col, "hr"], "left").select(
         key_col, "hr", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n")
     )
+
+
+def gapfill_locf_hourly(df: DataFrame, key_col: str, ts_col: str, val_col: str) -> DataFrame:
+    """Gap-filled hourly series with last-observation-carried-forward
+    totals: counts densify to explicit zeros, but the value total of an
+    empty hour carries the last observed hour's total forward (the other
+    standard resampling fill — sensor/balance-style series where the last
+    reading stays true until replaced). Sums are exact DECIMAL(18,2)
+    (associative, partial-aggregable) and only cast to double on output;
+    the LOCF window is per-key rows-framed — partition-local sort, no
+    global ordering. The grid starts at each key's first event hour, so
+    the carried value is never NULL."""
+    hr = F.date_trunc("hour", F.col(ts_col))
+    bounds = df.groupBy(key_col).agg(F.min(hr).alias("lo"), F.max(hr).alias("hi"))
+    grid = bounds.select(
+        key_col,
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr"),
+    )
+    per_hr = df.groupBy(key_col, hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec2(val_col)).alias("_total"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_hr, [key_col, "hr"], "left")
+        .select(
+            key_col,
+            "hr",
+            F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n"),
+            F.col("_total").cast("double").alias("hour_total"),
+            F.last("_total", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("locf_total"),
+        )
+    )
+
+
+def rollup_multiresolution(df: DataFrame, ts_col: str, val_col: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable continuous-aggregate
+    cascade): hourly buckets aggregated once from the raw events, then
+    DAILY buckets aggregated FROM THE HOURLY AGGREGATES — never a second
+    pass over the raw table. Counts and DECIMAL sums are associative, so
+    the cascade is exact; Catalyst sees the hourly subtree twice (union
+    branch + daily input) and reuses the exchange rather than rescanning.
+    Output is the union of both resolutions with a ``resolution`` tag."""
+    hourly = df.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2(val_col)).alias("_total"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", F.col("bucket")).alias("bucket")).agg(
+        F.sum("n").alias("n"),
+        F.sum("_total").alias("_total"),
+    )
+    tag = lambda d, r: d.select(  # noqa: E731
+        F.lit(r).alias("resolution"),
+        "bucket",
+        "n",
+        F.col("_total").cast("double").alias("total_value"),
+    )
+    return tag(hourly, "hour").unionAll(tag(daily, "day"))
 
 
 def trailing_zscore_hourly(

@@ -607,3 +607,38 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+    tags=("join", "B6", "lateral"),
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: each customer's
+    two most valuable orders — the per-row dependent-join surface (SQL
+    standard LATERAL, DuckDB/Postgres idiom) expressed verbatim.
+
+    Catalyst DECORRELATES this: the physical plan is a WindowGroupLimit
+    (partial on the map side, final after one orderkey-hash shuffle) that
+    keeps ≤2 orders per customer BEFORE the join — never a per-customer
+    re-execution of the inner query, which is what makes the lateral
+    shape viable over a 100 TB orders table. Verified against DuckDB's
+    native LATERAL execution."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

@@ -1427,3 +1427,184 @@ _set_oracle(
     FROM pk GROUP BY split ORDER BY split
     """,
 )
+
+
+@query(
+    "docs_vocab_coverage",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (
+      SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY word),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT word, n,
+        row_number() OVER (ORDER BY n DESC, word ASC) AS rnk,
+        sum(n) OVER (ORDER BY n DESC, word ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c)
+    SELECT rnk, word, n,
+      CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+    FROM r, tot WHERE rnk <= 200
+    """,
+    tags=("text", "B15", "corpus-stats", "vocab"),
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram vocabulary coverage: the top-200 words by corpus frequency
+    with each prefix's cumulative token-coverage fraction — the curve
+    behind vocab-size decisions (how many types cover 95% of tokens)
+    and stopword-list construction.
+
+    Scale shape: token counting is a partial-aggregable word group-by
+    over the exploded corpus; the rank/cumsum window then runs over the
+    AGGREGATED vocabulary (|distinct words| rows, bounded by the
+    language's vocabulary, not corpus size) and the single-row token
+    total joins back via a broadcast cross join. cum_frac divides two
+    exact int64s, so the hash is engine-stable."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split(F.col("text"), " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    win = Window.orderBy(F.desc("n"), F.asc("word"))
+    ranked = (
+        counts.withColumn("rnk", F.row_number().over(win))
+        .withColumn(
+            "cum",
+            F.sum("n").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rnk") <= 200)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rnk",
+        "word",
+        "n",
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias("cum_frac"),
+    )
+
+
+# The documents fixture deliberately contains no PII — so the scrubber
+# query PLANTS a deterministic synthetic contact block per document and
+# must then find and redact exactly what it planted (n_residual == 0 for
+# every row, verified by the oracle hash). Patterns are kept in the
+# RE2 ∩ java.util.regex common dialect (no lookaround, no backrefs).
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+        text || ' contact doc' || doc_id || '@example.com or +1-202-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+          ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+      FROM documents),
+    red AS (
+      SELECT doc_id, t,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g'),
+          '{_PII_IP}', '<IP>', 'g') AS redacted
+      FROM planted)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(redacted, '{_PII_IP}')) AS BIGINT) AS n_residual_ip,
+      md5(redacted) AS redacted_fp
+    FROM red
+    """,
+    tags=("text", "B15", "pii", "redact"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / phone / IPv4) — the scrubbing
+    pass every training corpus runs. The fixture corpus is PII-free by
+    construction, so the query plants a deterministic contact block per
+    document and proves the scrubber removes exactly what was planted:
+    n_email/n_phone count the planted hits, n_residual_ip re-scans the
+    REDACTED text (the email/phone redactions happen first, so the only
+    dotted-quad left must also be gone → 0), and the md5 fingerprint of
+    the redacted text is hash-compared against DuckDB.
+
+    Scale shape: pure per-row JVM regex (codegen'd, no UDF, no shuffle)
+    — the same map-only pass at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-202-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("t"),
+    )
+    red = planted.withColumn(
+        "redacted",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ),
+            _PII_IP,
+            "<IP>",
+        ),
+    )
+    return red.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(F.col("redacted"), F.lit(_PII_IP))
+        .cast("long")
+        .alias("n_residual_ip"),
+        F.md5(F.col("redacted")).alias("redacted_fp"),
+    )
+
+
+def _sql_balance_oracle() -> str:
+    from ..functions.hashing import SQL_MD5_MOD
+
+    h = SQL_MD5_MOD("'bal' || ':' || lang || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+    cap AS (SELECT min(n_stratum) AS cap FROM c)
+    SELECT d.doc_id, d.lang, d.source, c.n_stratum, cap.cap
+    FROM documents d JOIN c USING (lang), cap
+    WHERE (({h}) % 1000000) * c.n_stratum < cap.cap * 1000000
+    """
+
+
+@query(
+    "docs_balance_strata",
+    oracle=None,  # patched below (needs the md5 helper)
+    tags=("pipeline", "B15", "sampling", "mixture"),
+)
+def docs_balance_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automatic language rebalancing: every language downsampled (in
+    expectation) to the size of the smallest one, with rates DERIVED
+    FROM THE DATA — the source-mixture stage of corpus construction
+    when you want uniform strata without hand-tuning per-language
+    percentages (contrast docs_stratified_sample's configured rates).
+    Membership is the exact-integer predicate
+    (md5('bal':lang:id) % 1e6) · n_lang < min_count · 1e6, so the kept
+    set is reproducible on any engine and stable under repartitioning.
+    Scale shape: |strata|-row histogram broadcast back + single-row cap
+    cross join; the corpus streams through one map-side filter."""
+    from ..operators.pipeline import balance_strata
+
+    d = load_table(spark, sf_dir, "documents")
+    return balance_strata(d, "doc_id", "lang").select(
+        "doc_id", "lang", "source", "n_stratum", "cap"
+    )
+
+
+_set_oracle("docs_balance_strata", _sql_balance_oracle())

@@ -1188,3 +1188,75 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return trailing_zscore_hourly(gapfill_hourly(ev, "user_id", "ts"), "user_id")
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id,
+        CAST(time_bucket(INTERVAL '1 hour', min(ts)) AS TIMESTAMP) AS lo,
+        CAST(time_bucket(INTERVAL '1 hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr
+      FROM bounds),
+    c AS (
+      SELECT user_id,
+        CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hr,
+        count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY user_id, hr),
+    series AS (
+      SELECT g.user_id, g.hr, coalesce(c.n, CAST(0 AS BIGINT)) AS n, c.total
+      FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.hr = c.hr)
+    SELECT user_id, hr, n, CAST(total AS DOUBLE) AS hour_total,
+      CAST(last_value(total IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS locf_total
+    FROM series
+    """,
+    tags=("timeseries", "B7", "B9", "gapfill", "locf"),
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward resampling: per-user hourly grid
+    where an inactive hour keeps the previous hour's value total (the
+    sensor/balance fill, vs gapfill's explicit zeros — absence means
+    'unchanged', not 'nothing'). Hour totals are exact DECIMAL(18,2)
+    sums cast to double only on output, so both engines hash-match.
+    Scale shape: two keyed aggregations, one keyed left join, one
+    per-user rows window — partial-aggregable, no global sort."""
+    from ..operators.timeseries import gapfill_locf_hourly
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_locf_hourly(ev, "user_id", "ts", "value")
+
+
+@query(
+    "events_rollup_multires",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS bucket,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events GROUP BY bucket)
+    SELECT 'hour' AS resolution, bucket, n, CAST(total AS DOUBLE) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day' AS resolution,
+           CAST(time_bucket(INTERVAL '1 day', bucket) AS TIMESTAMP) AS bucket,
+           CAST(sum(n) AS BIGINT) AS n, CAST(sum(total) AS DOUBLE) AS total_value
+    FROM hourly GROUP BY 2
+    """,
+    tags=("timeseries", "B7", "rollup", "cascade"),
+)
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup cascade (continuous-aggregate style): the
+    daily tier is aggregated FROM the hourly tier, not from the raw
+    table — at 100 TB the raw scan happens once and each coarser
+    resolution costs only |finer tier| rows. Counts and DECIMAL sums are
+    associative so the cascade is exact; Catalyst reuses the hourly
+    exchange across the union branches instead of rescanning."""
+    from ..operators.timeseries import rollup_multiresolution
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_multiresolution(ev, "ts", "value")

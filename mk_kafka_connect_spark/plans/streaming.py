@@ -144,6 +144,32 @@ def streaming_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           date_diff('microsecond', v.ts, c.ts) AS gap_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+    tags=("streaming", "B13", "join", "stream-stream"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⋈ stream click-attribution join: two independent streaming
+    reads of the fixture (views / clicks), watermarked on both sides,
+    inner-joined on user plus a 6-hour event-time range. This is the one
+    B13 shape where BOTH inputs are unbounded state — the watermark +
+    range predicate bound the buffered state, which is what lets the same
+    plan run forever on a Kafka pair at 100 TB/day. The bounded drain
+    must equal the batch self-join oracle row-for-row."""
+    views = SW.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    clicks = SW.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = SW.stream_stream_attribution(views, clicks, "6 hours")
+    return SW.run_to_memory(out, "append")
+
+
+@query(
     "streaming_dedup_then_window",
     # Same aggregate contract as streaming_tumbling_window — which is the
     # point: the input is the fixture UNIONED WITH ITSELF, so if the

@@ -32,6 +32,7 @@ __all__ = [
     "session_windows",
     "streaming_dedup",
     "stream_static_join",
+    "stream_stream_attribution",
 ]
 
 def _events_schema(ts_field: T.DataType) -> T.StructType:
@@ -156,6 +157,43 @@ def streaming_dedup(events: DataFrame) -> DataFrame:
     dropDuplicates with a watermark bound on state size (B13; the
     streaming form of the compaction the reference's keys exist for)."""
     return events.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+
+
+def stream_stream_attribution(
+    views: DataFrame, clicks: DataFrame, horizon: str = "6 hours"
+) -> DataFrame:
+    """Stream ⋈ stream inner join with event-time bounds (B13): attribute
+    each click to every view by the same user within the preceding
+    ``horizon``. BOTH sides are unbounded, so this is the genuinely
+    stateful join — each side buffers rows in state, and the watermark
+    plus the time-range predicate (``c.ts ∈ (v.ts, v.ts + horizon]``)
+    give Spark the bound it needs to evict matched-out state instead of
+    keeping both streams forever. The gap is emitted in exact
+    microseconds (long), never a float duration.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
 
 
 def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:

@@ -28,6 +28,8 @@ ALLOWED = {
     "q22_global_sales_opportunity": "1-row average-threshold broadcast",
     "subquery_in_scalar": "1-row scalar-subquery broadcast",
     "subquery_correlated_scalar": "decorrelated scalar may plan as 1-row broadcast",
+    "docs_vocab_coverage": "1-row corpus-token-total broadcast",
+    "docs_balance_strata": "1-row min-stratum-cap broadcast",
     # The build side is the K-row centroid relation (K = |labels|, tens of
     # rows): a broadcast K-row dimension against which every row scores is
     # exactly what nearest-centroid classification IS — bounded by K, not
