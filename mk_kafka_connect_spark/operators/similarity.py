@@ -38,6 +38,7 @@ __all__ = [
     "quantize",
     "cosine_expr",
     "cosine_topk_bruteforce",
+    "cosine_topk_sq8",
     "hyperplane_signatures",
     "hamming_ball_masks",
     "cosine_topk_lsh",
@@ -131,6 +132,95 @@ def cosine_topk_bruteforce(
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _intdiv_pos(a, b):
+    """Exact integer a div b for a ≥ 0, b > 0, without leaving codegen:
+    (a − a mod b) / b — the numerator is an exact multiple of b, so the
+    double division is exact and truncation semantics cannot diverge
+    between engines (negative-operand `//`/`div` rounding differs across
+    dialects; callers apply this to absolute values and reattach the
+    sign)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def _sq8_cols(df: DataFrame, vec_col: str):
+    """Add int8-range scalar quantization of a quantized array<long>
+    column: per-vector scale m = max(|x|) (floored at 1), q8[i] =
+    sign(x)·(|x|·127 div m) ∈ [−127, 127]. Pure HOF arithmetic —
+    codegen'd, exact, bit-identical to the DuckDB mirror."""
+    m = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), F.abs)), F.lit(1).cast("long")
+    )
+    t = df.withColumn("_m", m)
+    q8 = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(x >= 0, _intdiv_pos(x * 127, F.col("_m"))).otherwise(
+            -_intdiv_pos((-x) * 127, F.col("_m"))
+        ),
+    )
+    return t.withColumn("_q8", q8).withColumn("_n8", _norm(F.col("_q8"))).drop("_m")
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank: int = 30,
+) -> DataFrame:
+    """Approximate top-k via an SQ8 FLAT index (FAISS-style): the corpus
+    is scanned in the COMPRESSED domain — per-vector int8 scalar
+    quantization, so the scan moves ~1/8 the bytes of the full-precision
+    brute force — then only the top-``rerank`` candidates per query are
+    re-scored with the exact full-precision cosine and the final top-k
+    is taken from those.
+
+    This is the memory-bandwidth tier of the ANN family: still |Q|·|C|
+    comparisons (IVF/LSH are the pruning tiers), but each comparison
+    touches 64 int8-range values instead of 64 full ints, and the
+    full-precision vectors are only fetched for |Q|·rerank rows via an
+    id equi-join. Deterministic end-to-end: integer q8 math is exact,
+    the approx score's tie-break is the neighbor id, so the candidate
+    set — and hence the exact-rescored result — is reproducible."""
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    qc = _sq8_cols(q_full, "qv").select(
+        "query_id", F.col("_q8").alias("q8q"), F.col("_n8").alias("n8q")
+    )
+    cc = _sq8_cols(c_full, "cv").select(
+        "neighbor_id", F.col("_q8").alias("q8c"), F.col("_n8").alias("n8c")
+    )
+    approx = _dot(F.col("q8q"), F.col("q8c")).cast("double") / (
+        F.col("n8q") * F.col("n8c")
+    )
+    wc = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(qc)
+        .crossJoin(cc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx"))
+        .withColumn("_crnk", F.row_number().over(wc))
+        .filter(F.col("_crnk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -1608,3 +1608,53 @@ def docs_balance_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_oracle("docs_balance_strata", _sql_balance_oracle())
+
+
+@query(
+    "sim_topk_sq8",
+    # Full SQL replay of the SQ8 funnel: per-vector int8 quantization
+    # (sign·(|x|·127 div max|x|) — div applied to absolute values only,
+    # so engine negative-division rounding can't diverge), compressed
+    # approx scoring, top-30 candidate cut with an id tie-break, exact
+    # full-precision rescore, top-10.
+    oracle=f"""
+    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
+               FROM embeddings),
+    s AS (
+      SELECT id, qv,
+        list_transform(qv, x -> CASE WHEN x >= 0
+            THEN (x * 127) // greatest(list_max(list_transform(qv, y -> abs(y))), 1)
+            ELSE -(((-x) * 127) // greatest(list_max(list_transform(qv, y -> abs(y))), 1))
+          END) AS q8
+      FROM v),
+    n AS (SELECT id, q8, {_SQL_NORM.format(v='q8')} AS n8 FROM s),
+    cand AS (
+      SELECT q.id AS query_id, c.id AS neighbor_id,
+        {_SQL_DOT.format(a='q.q8', b='c.q8')} / (q.n8 * c.n8) AS approx
+      FROM n q JOIN n c ON q.id <> c.id WHERE q.id < 100),
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx DESC, neighbor_id) AS crnk
+        FROM cand)
+      WHERE crnk <= 30),
+    scored AS (
+      SELECT t.query_id, t.neighbor_id, {_sql_cos('q.qv', 'c.qv')} AS cosine
+      FROM topc t JOIN v q ON t.query_id = q.id JOIN v c ON t.neighbor_id = c.id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """,
+    tags=("similarity", "B15", "sq8"),
+)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via an SQ8 flat index: int8-compressed corpus
+    scan (1/8 the bytes of full-precision brute force) → top-30
+    candidates per query → exact rescore → top-10. The
+    memory-bandwidth tier of the ANN family (IVF/LSH prune comparisons;
+    SQ8 shrinks each one); deterministic integer quantization gives it
+    a full value-hash oracle like its siblings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_sq8(emb, emb.filter(F.col("vec_id") < 100), k=10, rerank=30)

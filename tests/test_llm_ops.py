@@ -74,6 +74,32 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert avg >= 0.6, f"LSH recall too low: {avg:.2f} ({recalls})"
 
 
+def test_sq8_topk_recall_vs_bruteforce(spark):
+    """SQ8 compressed-scan top-10 must reach ≥90% average recall of the
+    exact top-10 — unlike LSH/IVF it scores EVERY corpus vector (just in
+    int8), so the only loss is quantization reordering at the top-30
+    candidate cut. Every returned cosine must equal the exact score
+    bit-for-bit (the rescore uses the same full-precision math)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    approx = S.cosine_topk_sq8(emb, queries, k=10, rerank=30).collect()
+    from collections import defaultdict
+
+    e, a = defaultdict(set), defaultdict(set)
+    escore = {}
+    for r in exact:
+        e[r.query_id].add(r.neighbor_id)
+        escore[(r.query_id, r.neighbor_id)] = r.cosine
+    for r in approx:
+        a[r.query_id].add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in escore:
+            assert escore[(r.query_id, r.neighbor_id)] == r.cosine
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"SQ8 recall too low: {avg:.2f} ({recalls})"
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     """IVF top-10 at num_cells=8 / nprobe=4 must reach ≥45% average
     recall of the exact top-10 (the fixture embeddings are near-random,
