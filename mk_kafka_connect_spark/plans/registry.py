@@ -25,6 +25,7 @@ __all__ = [
     "oracle_queries",
     "CERTIFICATION_FRONT",
     "R7_PRIORITY",
+    "R7_ADDITIONS",
     "certification_order",
 ]
 
@@ -70,7 +71,37 @@ R7_PRIORITY: tuple[str, ...] = (
     "sim_topk_lsh",
 )
 
-CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + (
+# Queries ADDED (or whose oracle materially changed) during round 7 —
+# zero driver rows in their current form, so they outrank every
+# has-a-green-row backfill candidate (the r6 verdict's never-certified-
+# first principle). The two approx aggs are here because r7 upgraded
+# them from rows-only to full exact-value+bounds oracles.
+R7_ADDITIONS: tuple[str, ...] = (
+    "docs_chunk_overlap",
+    "docs_pack_sequences",
+    "docs_quality_topfrac_by_lang",
+    "emb_label_centroids",
+    "sim_nearest_centroid",
+    "dedup_embedding_clusters",
+    "streaming_dedup_then_window",
+    "events_gapfill_hourly",
+    "events_anomaly_zscore",
+    "docs_ngram_topk",
+    "docs_length_histogram",
+    "pipeline_training_data_v2",
+    "streaming_stream_stream_join",
+    "events_gapfill_locf",
+    "events_rollup_multires",
+    "join_lateral_topk",
+    "docs_vocab_coverage",
+    "text_pii_redact",
+    "docs_balance_strata",
+    "sim_topk_sq8",
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+)
+
+CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # Only one driver row ever (r2) — next-freshest claim needed.
     "bucketed_join_revenue",
     "dedup_embedding_lsh",
@@ -87,44 +118,21 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + (
     "join_asof",
     "expand_customer_flat",
     "expand_items_nested",
-    # Aggregation battery.
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having_filter",
-    "agg_case_when_buckets",
-    "agg_percentiles",
-    "skew_salted_agg",
-    # Subqueries.
-    "subquery_exists",
-    "subquery_in_scalar",
-    "subquery_correlated_scalar",
-    # CDC/dedup family.
+    # CDC/dedup basics.
     "cdc_merge_upsert",
     "dedup_latest_wins",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    # Text family.
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    # Multimodal.
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    # TPC-H r1/r2 era.
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     # A-surface basics (keep the half-open range filter fresh — A2).
     "filter_range_halfopen",
 )
 # Left for the r8 window (all have ≥2 green driver rows + plan/pytest
 # coverage; the two oracle-tier scans are also the slowest queries in the
-# driver run): join_cross, distinct_pairs, filter_predicates,
-# projection_computed, sim_topk_bruteforce, dedup_ngram_jaccard. Everything
+# driver run): the agg battery (agg_stats/rollup/cube/grouping_sets/
+# having_filter/case_when_buckets/percentiles, skew_salted_agg), the
+# subquery trio, dedup_minhash_lsh/simhash/embedding_cosine/ngram_jaccard,
+# the text family (token_stats/quality_score/lang_id/fingerprint),
+# multimodal decode/frame_sample, q3/q5, join_cross, distinct_pairs,
+# filter_predicates, projection_computed, sim_topk_bruteforce. Everything
 # certified in r4–r6 (windows, set ops, scalars, streaming, UDFs, new TPC-H,
 # r4 LLM surface, q1) rotates out with 3 consecutive green rows each.
 

@@ -14,6 +14,7 @@ import __spark_entry__  # noqa: F401  (registers every query)
 from mk_kafka_connect_spark.plans.registry import (
     CERTIFICATION_FRONT,
     QUERIES,
+    R7_ADDITIONS,
     R7_PRIORITY,
     certification_order,
 )
@@ -23,7 +24,7 @@ DRIVER_WINDOW = 50
 
 def test_priority_queries_inside_driver_window():
     window = set(certification_order()[:DRIVER_WINDOW])
-    missing = [n for n in R7_PRIORITY if n not in window]
+    missing = [n for n in R7_PRIORITY + R7_ADDITIONS if n not in window]
     assert not missing, (
         f"priority queries outside the first-{DRIVER_WINDOW} driver window "
         f"(stale CERTIFICATION_FRONT): {missing}"
@@ -45,5 +46,5 @@ def test_front_fills_driver_window_exactly():
 def test_priority_queries_all_have_oracles():
     # Every r7 priority query claims a full DuckDB value-hash oracle —
     # a rows-only driver row would not discharge the certification debt.
-    missing = [n for n in R7_PRIORITY if QUERIES[n].oracle is None]
+    missing = [n for n in R7_PRIORITY + R7_ADDITIONS if QUERIES[n].oracle is None]
     assert not missing, f"priority queries without oracle SQL: {missing}"
