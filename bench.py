@@ -61,6 +61,13 @@ HEADLINE = [
     "emb_label_centroids",
     "sim_nearest_centroid",
     "events_gapfill_hourly",
+    "events_gapfill_locf",
+    "events_rollup_multires",
+    "join_lateral_topk",
+    "sim_topk_sq8",
+    "docs_vocab_coverage",
+    "text_pii_redact",
+    "docs_balance_strata",
 ]
 
 

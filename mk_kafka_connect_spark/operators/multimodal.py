@@ -30,6 +30,7 @@ __all__ = [
     "fake_decode_features",
     "frame_sample",
     "resize_nearest",
+    "average_hash",
     "decode_image",
     "decode_audio",
 ]
@@ -135,6 +136,56 @@ def resize_nearest(bin_df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFra
 
     flat = bin_df.select("doc_id", "payload")
     return flat.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash_hi long, ahash_lo long, n_bright int"
+
+
+def average_hash(bin_df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over the opaque payload: resize to
+    ``grid×grid`` via the nearest-neighbor byte gather, then bit i = 1
+    iff pixel i is strictly brighter than the mean — the standard
+    image-dedup fingerprint (near-dup images differ in a few bits; exact
+    hamming join/ball probing works the same as SimHash text dedup).
+
+    The mean comparison is the pure-integer predicate px·N > Σpx (no
+    float mean), and the 64 bits are emitted as TWO 32-bit words
+    (ahash_hi/ahash_lo) so the value stays inside signed int64 on every
+    engine (1<<63 would overflow). Arrow-batched mapInPandas, one
+    vectorized gather + matmul-free bit pack per batch."""
+    import numpy as np
+
+    target = grid * grid
+    half = target // 2
+
+    def _ahash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lo_w = np.int64(1) << np.arange(half, dtype=np.int64)
+        hi_w = lo_w
+        for pdf in it:
+            his, los, brights = [], [], []
+            for b in pdf["payload"]:
+                n = len(b)
+                if n == 0:
+                    his.append(0)
+                    los.append(0)
+                    brights.append(0)
+                    continue
+                idx = (np.arange(target, dtype=np.int64) * n) // target
+                px = np.frombuffer(b, dtype=np.uint8)[idx].astype(np.int64)
+                bits = (px * target > px.sum()).astype(np.int64)
+                los.append(int((bits[:half] * lo_w).sum()))
+                his.append(int((bits[half:] * hi_w).sum()))
+                brights.append(int(bits.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                    "n_bright": pd.Series(brights, dtype="int32"),
+                }
+            )
+
+    return bin_df.select("doc_id", "payload").mapInPandas(_ahash, schema=AHASH_SCHEMA)
 
 
 def decode_image(payload: bytes):  # pragma: no cover - env-gated

@@ -1658,3 +1658,180 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full value-hash oracle like its siblings."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_sq8(emb, emb.filter(F.col("vec_id") < 100), k=10, rerank=30)
+
+
+@query(
+    "multimodal_ahash",
+    # Mirrors operators/multimodal.py::average_hash on the utf-8 payload
+    # stand-in (ASCII corpus: byte i == codepoint of char i): same
+    # floor(i*n/64) gather as multimodal_resize, integer mean predicate
+    # px*64 > sum(px), bits packed into two 32-bit words so the value
+    # never leaves signed int64.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(range(0, 64),
+          i -> CAST(ascii(substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)) AS BIGINT)) AS px
+      FROM documents WHERE length(text) > 0),
+    s AS (SELECT doc_id, px, list_sum(px) AS tot FROM g),
+    b AS (
+      SELECT doc_id,
+        list_transform(range(0, 64),
+          i -> CASE WHEN px[i+1] * 64 > tot THEN 1 ELSE 0 END) AS bits
+      FROM s)
+    SELECT doc_id,
+      CAST(list_sum(list_transform(range(32, 64), i -> bits[i+1] * (1 << (i - 32)))) AS BIGINT) AS ahash_hi,
+      CAST(list_sum(list_transform(range(0, 32), i -> bits[i+1] * (1 << i))) AS BIGINT) AS ahash_lo,
+      CAST(list_sum(bits) AS INT) AS n_bright
+    FROM b
+    """,
+    tags=("multimodal", "B15", "ahash", "dedup"),
+)
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the multimodal payload column: 8×8
+    nearest-neighbor gather → strictly-brighter-than-mean bits → 64-bit
+    fingerprint as two 32-bit words. The image-side analog of SimHash:
+    near-dup payloads land within a few hamming bits, so downstream
+    dedup is the same band/ball hash-join machinery the text family
+    uses. Pure-integer predicate (px·64 > Σpx), byte-exact oracle."""
+    from ..operators.multimodal import attach_fake_binary, average_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return average_hash(attach_fake_binary(d), grid=8)
+
+
+@query(
+    "docs_tfidf_topterms",
+    # Log-free TF-IDF: score = tf · N / df ranks identically to
+    # tf·log(N/df) within a language for fixed N (both monotone in
+    # tf·N/df ordering... not strictly — log compresses df's influence —
+    # but THIS metric is the declared contract: plain inverse document
+    # frequency without the log, so the score is one IEEE division of
+    # exact int64s and bit-identical cross-engine. An engine-specific
+    # libm log() could differ in the last ulp and break the value hash.)
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    wf AS (SELECT doc_id, lang, word FROM w WHERE word <> ''),
+    tf AS (SELECT lang, word, count(*) AS tf FROM wf GROUP BY lang, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM wf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.word, tf.tf, df.df,
+        CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+      FROM tf JOIN df USING (word), n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, word) AS rnk
+      FROM scored)
+    SELECT lang, word, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 10
+    """,
+    tags=("text", "B15", "corpus-stats", "tfidf"),
+)
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinctive terms by log-free TF-IDF (tf · N/df —
+    exact rational score, see oracle note): the corpus-statistics pass
+    behind language-specific stopword/boilerplate lists. Scale shape:
+    tf and df are partial-aggregable group-bys over the exploded
+    corpus; the join is vocab-sized on word; the rank window runs over
+    |langs| × |vocab| aggregated rows, never corpus rows; the single-row
+    doc count broadcasts."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = wf.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = wf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "word", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def _sql_epoch_oracle() -> str:
+    from ..functions.hashing import SQL_MD5_MOD
+
+    h = SQL_MD5_MOD("'epoch' || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH f AS (
+      SELECT doc_id, source, lang,
+        CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 150 ELSE 100 END AS f_pct
+      FROM documents),
+    e AS (
+      SELECT doc_id, source, lang, f_pct,
+        unnest(range(0, (f_pct + 99) // 100)) AS epoch
+      FROM f)
+    SELECT doc_id, source, lang, CAST(epoch AS BIGINT) AS epoch
+    FROM e
+    WHERE epoch < f_pct // 100
+       OR (epoch = f_pct // 100 AND ({h}) % 100 < f_pct % 100)
+    """
+
+
+@query(
+    "docs_epoch_mixture",
+    oracle=None,  # patched below (needs the md5 helper)
+    tags=("pipeline", "B15", "mixture", "sampling"),
+)
+def docs_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch data mixing: high-quality sources repeat 2.5×
+    (src0) / 1.5× (src1), everything else 1× — the upsampling-with-
+    repetition stage of corpus weighting (a 2.5 factor = 2 guaranteed
+    copies + a deterministic 50% chance of a third, decided by
+    md5('epoch':id) % 100 so the fractional copy is reproducible and
+    independent of split/sample fates). Pure map-side sequence-explode +
+    integer filter: no shuffle, no RNG, output carries the epoch index
+    so downstream global shuffling can interleave copies."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import md5_mod
+
+    f_pct = (
+        F.when(F.col("source") == "src0", 250)
+        .when(F.col("source") == "src1", 150)
+        .otherwise(100)
+    )
+    h = md5_mod(F.concat_ws(":", F.lit("epoch"), F.col("doc_id").cast("string"))) % 100
+    e = (
+        d.select("doc_id", "source", "lang", f_pct.alias("f_pct"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "f_pct",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    ((F.col("f_pct") + 99) / 100).cast("long") - 1,
+                )
+            ).alias("epoch"),
+        )
+    )
+    return e.filter(
+        (F.col("epoch") < (F.col("f_pct") / 100).cast("long"))
+        | (
+            (F.col("epoch") == (F.col("f_pct") / 100).cast("long"))
+            & (h < F.col("f_pct") % 100)
+        )
+    ).select("doc_id", "source", "lang", "epoch")
+
+
+_set_oracle("docs_epoch_mixture", _sql_epoch_oracle())

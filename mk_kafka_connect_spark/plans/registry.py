@@ -99,6 +99,9 @@ R7_ADDITIONS: tuple[str, ...] = (
     "sim_topk_sq8",
     "agg_approx_distinct",
     "agg_approx_quantiles",
+    "multimodal_ahash",
+    "docs_tfidf_topterms",
+    "docs_epoch_mixture",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -114,10 +117,7 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_theta_range",
     "join_asof",
-    "expand_customer_flat",
-    "expand_items_nested",
     # CDC/dedup basics.
     "cdc_merge_upsert",
     "dedup_latest_wins",
@@ -131,7 +131,8 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
 # having_filter/case_when_buckets/percentiles, skew_salted_agg), the
 # subquery trio, dedup_minhash_lsh/simhash/embedding_cosine/ngram_jaccard,
 # the text family (token_stats/quality_score/lang_id/fingerprint),
-# multimodal decode/frame_sample, q3/q5, join_cross, distinct_pairs,
+# multimodal decode/frame_sample, expand_customer_flat/expand_items_nested,
+# join_theta_range, q3/q5, join_cross, distinct_pairs,
 # filter_predicates, projection_computed, sim_topk_bruteforce. Everything
 # certified in r4–r6 (windows, set ops, scalars, streaming, UDFs, new TPC-H,
 # r4 LLM surface, q1) rotates out with 3 consecutive green rows each.

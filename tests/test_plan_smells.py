@@ -32,6 +32,7 @@ ALLOWED = {
     "subquery_correlated_scalar": "decorrelated scalar may plan as 1-row broadcast",
     "docs_vocab_coverage": "1-row corpus-token-total broadcast",
     "docs_balance_strata": "1-row min-stratum-cap broadcast",
+    "docs_tfidf_topterms": "1-row corpus-doc-count broadcast",
     # The build side is the K-row centroid relation (K = |labels|, tens of
     # rows): a broadcast K-row dimension against which every row scores is
     # exactly what nearest-centroid classification IS — bounded by K, not
