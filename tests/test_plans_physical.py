@@ -212,3 +212,31 @@ def test_lsh_near_dup_no_cross_product(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """join_lateral_topk: Catalyst must DECORRELATE the LATERAL subquery
+    into a pre-join WindowGroupLimit (keep ≤2 orders per customer before
+    joining) — never a per-customer re-execution of the inner query."""
+    plan = _plan(QUERIES["join_lateral_topk"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_epoch_mixture_and_ahash_are_shuffle_free(spark):
+    """The map-side pipeline ops (fractional-epoch explode, perceptual
+    hash) must plan with ZERO exchanges — at 100 TB these stream through
+    the scan untouched."""
+    for name in ("docs_epoch_mixture", "multimodal_ahash", "text_pii_redact"):
+        plan = _plan(QUERIES[name].fn(spark, SF))
+        assert "Exchange" not in plan, f"{name} plans a shuffle:\n{plan[:800]}"
+
+
+def test_rollup_cascade_reuses_hourly_exchange(spark):
+    """events_rollup_multires: after AQE the daily tier must REUSE the
+    hourly aggregate's exchange (one raw scan + one hourly shuffle feed
+    both resolutions), not recompute the hourly aggregation."""
+    df = QUERIES["events_rollup_multires"].fn(spark, SF)
+    df.collect()  # AQE finalizes reuse at execution time
+    plan = _plan(df)
+    assert "ReusedExchange" in plan
