@@ -68,6 +68,9 @@ HEADLINE = [
     "docs_vocab_coverage",
     "text_pii_redact",
     "docs_balance_strata",
+    "multimodal_ahash",
+    "docs_tfidf_topterms",
+    "docs_epoch_mixture",
 ]
 
 
