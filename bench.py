@@ -65,6 +65,9 @@ HEADLINE = [
     "events_rollup_multires",
     "join_lateral_topk",
     "sim_topk_sq8",
+    "sim_topk_ivf_sq8",
+    "agg_hll_sketch_merge",
+    "udf_pandas_grouped_agg",
     "docs_vocab_coverage",
     "text_pii_redact",
     "docs_balance_strata",

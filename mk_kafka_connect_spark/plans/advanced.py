@@ -395,6 +395,59 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_hll_sketch_merge",
+    # Sketch bytes are engine-specific; like agg_approx_distinct the row
+    # carries the EXACT count plus a bounds predicate on the merged-sketch
+    # estimate, so the driver's value hash verifies both.
+    oracle="""
+    SELECT n_name,
+           count(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS merged_within_tol
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("agg", "B7", "approx", "sketch"),
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache Datasketches, Spark 3.5+): distinct
+    customers per nation built as PER-SHARD sketches (`hll_sketch_agg`
+    over o_orderkey%4 shards) and combined with `hll_union_agg` — the
+    100 TB distributed-count-distinct idiom where each partition/day/
+    region sketches independently and only KB-sized sketch bytes move in
+    the merge shuffle, never the raw keys. This is strictly stronger
+    evidence than `agg_approx_distinct`'s single-pass HLL++: it proves
+    the REASSOCIATION property (union of shard sketches ≈ sketch of
+    union) that incremental pipelines rely on. The emitted row carries
+    the exact count and a 3-sigma bounds check on the merged estimate
+    (lgConfigK=12 → rse ≈ 1.04/√4096 ≈ 1.6%, 3σ ≈ 4.9%)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    base = o.join(
+        c, o.o_custkey == c.c_custkey
+    ).join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    shard_sketches = base.groupBy(
+        "n_name", (F.col("o_orderkey") % 4).alias("_shard")
+    ).agg(F.hll_sketch_agg("o_custkey", 12).alias("_sk"))
+    merged = shard_sketches.groupBy("n_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = base.groupBy("n_name").agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    return exact.join(merged, "n_name").select(
+        "n_name",
+        "exact_custs",
+        (
+            F.abs(F.col("_est") - F.col("exact_custs"))
+            <= 3 * 0.0163 * F.col("exact_custs")
+        ).alias("merged_within_tol"),
+    )
+
+
 _DISC_PRICE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"

@@ -586,6 +586,18 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
+def _sql_sq8(v: str) -> str:
+    """Mirror of operators/similarity.py::_sq8_cols: per-vector int8
+    scalar quantization, the div applied to absolute values only so
+    engine negative-division rounding can't diverge."""
+    m = f"greatest(list_max(list_transform({v}, y -> abs(y))), 1)"
+    return (
+        f"list_transform({v}, x -> CASE WHEN x >= 0 "
+        f"THEN (x * 127) // {m} "
+        f"ELSE -(((-x) * 127) // {m}) END)"
+    )
+
+
 @query(
     "sim_topk_lsh",
     # The ball-enumeration equi-join is plan shape only; the CONTRACT is
@@ -636,7 +648,10 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sums), and float64 cosine whose dot/norm-square inputs are exact
 # integers < 2^53 (so the matmul in numpy and list_sum in DuckDB agree
 # bit-for-bit; ties break toward the lower cell id in both).
-_IVF_ORACLE = f"""
+# _IVF_PREFIX ends at the trained/assigned state (corp = celled corpus,
+# prob = per-query nprobe probes) so the plain-IVF and IVF+SQ8 oracles
+# share the coarse-quantizer replay verbatim.
+_IVF_PREFIX = f"""
     WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
                FROM embeddings),
     h AS (SELECT id, qv, (id * 2654435761) % 4294967296 AS hh FROM v),
@@ -676,7 +691,9 @@ _IVF_ORACLE = f"""
           row_number() OVER (PARTITION BY h.id
                              ORDER BY {_sql_cos('h.qv', 'c.cv')} DESC, c.cell) AS rnk
         FROM h CROSS JOIN cents c WHERE h.id < 100)
-      WHERE rnk <= 4),
+      WHERE rnk <= 4)"""
+
+_IVF_ORACLE = f"""{_IVF_PREFIX},
     scored AS (
       SELECT p.query_id, c.neighbor_id, {_sql_cos('p.qv', 'c.cvv')} AS cosine
       FROM prob p JOIN corp c USING (cell)
@@ -713,6 +730,62 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = S.train_ivf_centroids(emb, num_cells=8, iters=1)
     return S.cosine_topk_ivf(
         emb, emb.filter(F.col("vec_id") < 100), cents, k=10, nprobe=4
+    )
+
+
+# IVF pruning + SQ8 compressed shortlist scoring + exact rescore — the
+# stacked funnel. Shares the coarse-quantizer replay with _IVF_ORACLE and
+# the int8 quantization with sim_topk_sq8's oracle.
+_IVF_SQ8_ORACLE = f"""{_IVF_PREFIX},
+    corp8 AS (
+      SELECT neighbor_id, cell, {_sql_sq8('cvv')} AS q8 FROM corp),
+    prob8 AS (
+      SELECT query_id, cell, {_sql_sq8('qv')} AS q8 FROM prob),
+    n8c AS (SELECT neighbor_id, cell, q8, {_SQL_NORM.format(v='q8')} AS n8 FROM corp8),
+    n8q AS (SELECT query_id, cell, q8, {_SQL_NORM.format(v='q8')} AS n8 FROM prob8),
+    cand AS (
+      SELECT q.query_id, c.neighbor_id,
+             {_SQL_DOT.format(a='q.q8', b='c.q8')} / (q.n8 * c.n8) AS approx
+      FROM n8q q JOIN n8c c USING (cell)
+      WHERE q.query_id <> c.neighbor_id),
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx DESC, neighbor_id) AS crnk
+        FROM cand)
+      WHERE crnk <= 30),
+    scored AS (
+      SELECT t.query_id, t.neighbor_id, {_sql_cos('q.qv', 'c.cvv')} AS cosine
+      FROM topc t JOIN h q ON t.query_id = q.id
+                  JOIN corp c ON t.neighbor_id = c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query(
+    "sim_topk_ivf_sq8",
+    oracle=_IVF_SQ8_ORACLE,
+    tags=("similarity", "B15", "ivf", "sq8"),
+)
+def sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two ANN tiers STACKED — IVF coarse quantizer prunes which
+    vectors each query compares against, SQ8 shrinks each comparison
+    (int8 shortlist scan, top-30 cut), exact rescore picks the top-10.
+    This is the shape BASELINE.md's scale probe prescribes for 100 TB:
+    `sim_topk_sq8` alone is honestly linear in |C| (bandwidth tier);
+    putting the same int8 scan BEHIND the IVF inverted lists makes the
+    per-query cost candidate-bounded (|C|·nprobe/K) AND byte-cheap,
+    with full-precision vectors fetched only for |Q|·30 id-joined rows.
+    Deterministic end-to-end, so the whole funnel is SQL-replayed and
+    value-hash-checked like the standalone tiers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(emb, num_cells=8, iters=1)
+    return S.cosine_topk_ivf_sq8(
+        emb, emb.filter(F.col("vec_id") < 100), cents, k=10, nprobe=4, rerank=30
     )
 
 
@@ -1620,13 +1693,7 @@ _set_oracle("docs_balance_strata", _sql_balance_oracle())
     oracle=f"""
     WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
                FROM embeddings),
-    s AS (
-      SELECT id, qv,
-        list_transform(qv, x -> CASE WHEN x >= 0
-            THEN (x * 127) // greatest(list_max(list_transform(qv, y -> abs(y))), 1)
-            ELSE -(((-x) * 127) // greatest(list_max(list_transform(qv, y -> abs(y))), 1))
-          END) AS q8
-      FROM v),
+    s AS (SELECT id, qv, {_sql_sq8('qv')} AS q8 FROM v),
     n AS (SELECT id, q8, {_SQL_NORM.format(v='q8')} AS n8 FROM s),
     cand AS (
       SELECT q.id AS query_id, c.id AS neighbor_id,

@@ -102,6 +102,10 @@ R7_ADDITIONS: tuple[str, ...] = (
     "multimodal_ahash",
     "docs_tfidf_topterms",
     "docs_epoch_mixture",
+    # Late-r7 continuation batch.
+    "sim_topk_ivf_sq8",
+    "agg_hll_sketch_merge",
+    "udf_pandas_grouped_agg",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -118,10 +122,6 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     "join_semi",
     "join_anti",
     "join_asof",
-    # CDC/dedup basics.
-    "cdc_merge_upsert",
-    "dedup_latest_wins",
-    "dedup_exact",
     # A-surface basics (keep the half-open range filter fresh — A2).
     "filter_range_halfopen",
 )
@@ -133,7 +133,9 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
 # the text family (token_stats/quality_score/lang_id/fingerprint),
 # multimodal decode/frame_sample, expand_customer_flat/expand_items_nested,
 # join_theta_range, q3/q5, join_cross, distinct_pairs,
-# filter_predicates, projection_computed, sim_topk_bruteforce. Everything
+# filter_predicates, projection_computed, sim_topk_bruteforce, plus the
+# three r2-certified basics bumped by the late-r7 additions
+# (cdc_merge_upsert, dedup_latest_wins, dedup_exact). Everything
 # certified in r4–r6 (windows, set ops, scalars, streaming, UDFs, new TPC-H,
 # r4 LLM surface, q1) rotates out with 3 consecutive green rows each.
 

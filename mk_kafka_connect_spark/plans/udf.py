@@ -1,8 +1,9 @@
-"""UDF surface (SURVEY.md §2.B B14): the four Python extension mechanisms —
-row UDF, vectorized pandas_udf, grouped applyInPandas, and a Python UDTF —
-each oracle-checked. The reference's entire UDF story is one SMT
-(``StringCast.java``); the engine exposes the general machinery with the
-performance ranking made explicit: built-ins ≫ pandas_udf ≫ row UDF.
+"""UDF surface (SURVEY.md §2.B B14): the five Python extension mechanisms —
+row UDF, vectorized pandas_udf, grouped applyInPandas, a pandas
+grouped-aggregate UDF, and a Python UDTF — each oracle-checked. The
+reference's entire UDF story is one SMT (``StringCast.java``); the engine
+exposes the general machinery with the performance ranking made explicit:
+built-ins ≫ pandas_udf ≫ row UDF.
 """
 
 from __future__ import annotations
@@ -101,6 +102,66 @@ def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("user_id").applyInPandas(
         rank_group, schema="user_id long, event_id long, value double, value_rank long"
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT c_mktsegment,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      count(*) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        / count(*) / 100 AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("udf", "B14", "pandas", "agg"),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED-AGGREGATE UDF (Series → scalar inside .agg()) — the
+    fifth Python extension mechanism: custom aggregation logic with Arrow
+    batch transfer, usable alongside built-in aggregates in one groupBy.
+    Unlike applyInPandas it produces one row per group directly, so it
+    slots into the same partial-agg-shaped plan as built-ins (the group's
+    rows do ship to Python — no map-side combine — which is why built-ins
+    still win when they can express the logic; this surface is for when
+    they can't). Determinism: the UDF sums exact integer cents (int64 —
+    associative, order-independent), so the result is bit-stable under
+    any partitioning; the mean is derived outside as one IEEE division
+    mirroring the oracle's expression order."""
+
+    @pandas_udf(T.LongType())
+    def sum_cents_udf(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    # Spark refuses to mix grouped-agg pandas UDFs with JVM aggregates in
+    # one .agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a second
+    # pandas aggregate over the same Arrow batch.
+    @pandas_udf(T.LongType())
+    def count_udf(cents: pd.Series) -> int:
+        return len(cents)
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+    )
+    return (
+        base.groupBy("c_mktsegment")
+        .agg(
+            sum_cents_udf("_cents").alias("sum_cents"),
+            count_udf("_cents").alias("n_orders"),
+        )
+        .select(
+            "c_mktsegment",
+            "sum_cents",
+            "n_orders",
+            (F.col("sum_cents").cast("double") / F.col("n_orders") / 100).alias(
+                "avg_price"
+            ),
+        )
     )
 
 

@@ -127,6 +127,38 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert avg >= 0.45, f"IVF recall too low: {avg:.2f}"
 
 
+def test_ivf_sq8_topk_vs_plain_ivf(spark):
+    """The stacked IVF+SQ8 funnel prunes the SAME candidate cells as
+    plain IVF and only reorders inside them via the int8 cut, so (a) its
+    results are a subset of the IVF candidate universe — every returned
+    neighbor must also be reachable by plain IVF at an unbounded rerank —
+    and (b) with rerank=30 ≥ k=10 the top-10 should almost always match
+    plain IVF's top-10 exactly (≥90% agreement; int8 reordering can only
+    drop a true candidate if 30 compressed scores beat it). Returned
+    cosines must equal plain IVF's bit-for-bit (same exact rescore)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    cents = S.train_ivf_centroids(emb, num_cells=8, iters=1)
+    plain = S.cosine_topk_ivf(emb, queries, cents, k=10, nprobe=4).collect()
+    stacked = S.cosine_topk_ivf_sq8(
+        emb, queries, cents, k=10, nprobe=4, rerank=30
+    ).collect()
+    from collections import defaultdict
+
+    p, s = defaultdict(set), defaultdict(set)
+    pscore = {}
+    for r in plain:
+        p[r.query_id].add(r.neighbor_id)
+        pscore[(r.query_id, r.neighbor_id)] = r.cosine
+    for r in stacked:
+        s[r.query_id].add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in pscore:
+            assert pscore[(r.query_id, r.neighbor_id)] == r.cosine
+    agree = [len(p[q] & s[q]) / len(p[q]) for q in p]
+    avg = sum(agree) / len(agree)
+    assert avg >= 0.9, f"IVF+SQ8 diverges from IVF candidates: {avg:.2f}"
+
+
 def test_ivf_training_is_deterministic(spark):
     """Two independent trainings must produce bit-identical centroids
     (hash-seeded sample + integer-exact Lloyd update — no RNG state)."""

@@ -135,6 +135,35 @@ def test_sq8_quantization_is_exact_and_bounded(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_sq8_binary_pack_matches_hof_codes(spark):
+    """The fused Arrow quantize→SQ8→byte-pack kernel (binary column, the
+    representation the scan paths actually ship) must encode EXACTLY the
+    codes the declarative HOF formulation produces — byte i == q8[i] as a
+    signed int8 — so the packed fast path can never drift from the
+    SQL-mirrored contract."""
+    from mk_kafka_connect_spark.operators.similarity import (
+        _sq8_cols,
+        _sq8_pack_udf,
+        quantize,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(50)
+    q = emb.select(F.col("vec_id"), quantize(F.col("embedding")).alias("qv"))
+    pack = _sq8_pack_udf()
+    rows = (
+        _sq8_cols(q, "qv")
+        .withColumn("packed", pack("qv"))
+        .select("vec_id", "_q8", "packed")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        import numpy as np
+
+        unpacked = np.frombuffer(bytes(r["packed"]), dtype=np.int8).tolist()
+        assert unpacked == list(r["_q8"])
+
+
 def test_stream_stream_join_matches_batch_and_bounds_state(spark):
     """The streaming attribution join over a crafted two-user stream must
     emit exactly the batch-join pairs: in-horizon clicks match, out-of-
