@@ -67,7 +67,10 @@ HEADLINE = [
     "sim_topk_sq8",
     "sim_topk_ivf_sq8",
     "agg_hll_sketch_merge",
+    "agg_heavy_hitters",
     "udf_pandas_grouped_agg",
+    "docs_weighted_sample",
+    "docs_decontaminate_lsh",
     "docs_vocab_coverage",
     "text_pii_redact",
     "docs_balance_strata",

@@ -92,6 +92,90 @@ def decontaminate(
     )
 
 
+def decontaminate_lsh(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination via banded MinHash-LSH — the scale path
+    when the benchmark suite is itself corpus-sized (dozens of eval sets
+    × contamination variants) and broadcasting its full distinct-shingle
+    set (:func:`decontaminate`) no longer fits: both sides reduce to
+    32-component MinHash signatures, candidates come from a hash
+    equi-join on (band_idx, band_key) — never a train×bench product —
+    and a candidate is flagged when the signature-estimated Jaccard
+    clears ``threshold``.
+
+    Complementary contract to the shingle-overlap variant: that one
+    catches ABSOLUTE overlap (≥k shared shingles — verbatim leaked
+    spans), this one catches PROPORTIONAL similarity (near-duplicate
+    documents); production pipelines run both. Signatures ride through
+    the band explode so the signature subtree evaluates once (same
+    plan discipline as ``minhash_near_dups``). Returns every train row:
+    (id, n_bench_matches, max_est_jaccard, contaminated)."""
+    from .dedup import minhash_signatures_agg
+
+    rows = num_hashes // bands
+    band_expr = (
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> struct(b AS band_idx, "
+        f"concat_ws(',', slice(sig, b * {rows} + 1, {rows})) AS band_key))"
+    )
+    sig_t = minhash_signatures_agg(
+        train.select(id_col, text_col), text_col, id_col, n, num_hashes
+    )
+    sig_b = minhash_signatures_agg(
+        benchmark.select(id_col, text_col), text_col, id_col, n, num_hashes
+    )
+    bt = sig_t.select(
+        F.col(id_col), "sig", F.explode(F.expr(band_expr)).alias("band")
+    ).select(id_col, "sig", "band.band_idx", "band.band_key")
+    bb = sig_b.select(
+        F.col(id_col).alias("_bid"),
+        F.col("sig").alias("_bsig"),
+        F.explode(F.expr(band_expr)).alias("band"),
+    ).select("_bid", "_bsig", "band.band_idx", "band.band_key")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig"), F.col("_bsig"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("est_jaccard")
+    flagged = (
+        bt.join(bb, ["band_idx", "band_key"])
+        .select(F.col(id_col), F.col("_bid"), est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_bid").alias("n_bench_matches"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+        )
+    )
+    return (
+        train.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bench_matches"), F.lit(0).cast("long")).alias(
+                "n_bench_matches"
+            ),
+            F.coalesce(F.col("max_est_jaccard"), F.lit(0.0)).alias(
+                "max_est_jaccard"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_bench_matches") > 0)
+    )
+
+
 def balance_strata(df: DataFrame, id_col: str, stratum_col: str) -> DataFrame:
     """DATA-DERIVED stratum rebalancing: deterministically downsample
     every stratum to (in expectation) the size of the SMALLEST one —
@@ -124,6 +208,32 @@ def balance_strata(df: DataFrame, id_col: str, stratum_col: str) -> DataFrame:
         df.join(F.broadcast(counts), stratum_col)
         .crossJoin(F.broadcast(cap))
         .filter(h * F.col("n_stratum") < F.col("cap") * 1000000)
+    )
+
+
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, salt: str = "wsample"
+) -> DataFrame:
+    """Importance sampling with DATA-DERIVED per-row keep probability
+    w/max(w) — the soft-quality selection stage of corpus construction
+    (keep high-weight documents almost surely, low-weight ones rarely,
+    instead of a hard threshold cut). Membership is the pure-integer
+    predicate ``(md5(salt:id) % 1e6) · max_w < w · 1e6`` — exact int64
+    arithmetic, no float rates, bit-identical across engines, reruns,
+    and repartitionings; a row's fate depends only on (salt, id, w,
+    max_w), so adding documents never flips existing decisions unless
+    the corpus maximum itself moves.
+
+    Scale shape: max(w) is a partial-aggregable single-row broadcast
+    cross join; the corpus streams through one map-side filter — no
+    shuffle of the data itself."""
+    mx = df.agg(F.max(F.col(weight_col).cast("long")).alias("w_max"))
+    h = (
+        md5_mod(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+        % 1000000
+    )
+    return df.crossJoin(F.broadcast(mx)).filter(
+        h * F.col("w_max") < F.col(weight_col).cast("long") * 1000000
     )
 
 

@@ -448,6 +448,41 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_heavy_hitters",
+    # Sketch contents depend on within-partition row order, so (like the
+    # other sketch queries) the row carries the EXACT count/share plus
+    # the two Misra-Gries guarantee predicates as booleans.
+    oracle="""
+    WITH t AS (SELECT count(*) AS n_total FROM events)
+    SELECT CAST(event_type AS VARCHAR) AS key,
+           count(*) AS exact_count,
+           (count(*) * 1000000) // (SELECT n_total FROM t) AS share_ppm_floor,
+           TRUE AS within_bounds,
+           TRUE AS present_when_guaranteed
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) * 1000000 > (SELECT n_total FROM t) * 50000
+    """,
+    tags=("agg", "B7", "approx", "sketch", "heavy-hitters"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items via per-partition Misra-Gries summaries merged
+    globally (operators/sketch.py) — the bounded-memory path for "top
+    keys by frequency" at 100 TB: each partition keeps ≤64 counters no
+    matter how many rows it sees, only those KB-sized summaries shuffle,
+    and the merge is a plain per-key sum with a provable error bound
+    (est ≤ exact ≤ est + Σ_p d_p; keys above the bound cannot be
+    missed). Emitted rows: exact counts for the ≥5%-share keys plus the
+    guarantee predicates as driver-verifiable booleans; the eviction
+    math is additionally pinned by a crafted-skew pytest where the
+    sketch actually saturates."""
+    from ..operators.sketch import heavy_hitters_checked
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters_checked(ev, "event_type", capacity=64, min_share_ppm=50000)
+
+
 _DISC_PRICE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"

@@ -973,6 +973,68 @@ _set_oracle(
 
 
 @query(
+    "docs_decontaminate_lsh",
+    oracle=None,  # patched below (needs the shingle/minhash SQL helpers)
+    tags=("pipeline", "B15", "dedup", "lsh"),
+)
+def docs_decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH benchmark decontamination — the scale path when the
+    benchmark suite is corpus-sized and its shingle set can't broadcast:
+    train (source ≠ 'src0') and benchmark (source = 'src0') both reduce
+    to MinHash signatures, candidates come from the banded hash
+    equi-join, and flags require signature-estimated Jaccard ≥ 0.5.
+    Complementary to `docs_decontaminate`'s absolute-overlap contract
+    (verbatim span leaks) — this catches proportional near-duplication;
+    production corpus builds run both."""
+    from ..operators.pipeline import decontaminate_lsh
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return decontaminate_lsh(
+        train, bench, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def _sql_decontaminate_lsh_oracle() -> str:
+    return f"""
+    WITH {_sql_shingle_cte()},
+    sigs AS (SELECT doc_id, {_sql_minhash_sig(32)} AS sig FROM sh),
+    src AS (SELECT doc_id, source FROM documents),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+      FROM sigs, unnest(range(0, 8)) t(b)),
+    bt AS (SELECT bd.* FROM bands bd JOIN src USING (doc_id)
+           WHERE src.source <> 'src0'),
+    bb AS (SELECT bd.doc_id AS bid, bd.band_idx, bd.band_key
+           FROM bands bd JOIN src USING (doc_id) WHERE src.source = 'src0'),
+    cand AS (
+      SELECT DISTINCT t.doc_id, b.bid
+      FROM bt t JOIN bb b ON t.band_idx = b.band_idx AND t.band_key = b.band_key),
+    est AS (
+      SELECT c.doc_id, c.bid,
+        CAST(len(list_filter(list_zip(s1.sig, s2.sig), p -> p[1] = p[2]))
+             AS DOUBLE) / 32 AS est_jaccard
+      FROM cand c JOIN sigs s1 ON c.doc_id = s1.doc_id
+                  JOIN sigs s2 ON c.bid = s2.doc_id),
+    flag AS (
+      SELECT doc_id, count(DISTINCT bid) AS n_bench_matches,
+             max(est_jaccard) AS max_est_jaccard
+      FROM est WHERE est_jaccard >= 0.5 GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(f.n_bench_matches, CAST(0 AS BIGINT)) AS n_bench_matches,
+      coalesce(f.max_est_jaccard, 0.0) AS max_est_jaccard,
+      coalesce(f.n_bench_matches, CAST(0 AS BIGINT)) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN flag f ON d.doc_id = f.doc_id
+    """
+
+
+_set_oracle("docs_decontaminate_lsh", _sql_decontaminate_lsh_oracle())
+
+
+@query(
     "docs_stratified_sample",
     oracle=None,  # patched below (needs the md5 helper)
     tags=("pipeline", "B15", "sampling"),
@@ -1681,6 +1743,44 @@ def docs_balance_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_oracle("docs_balance_strata", _sql_balance_oracle())
+
+
+def _sql_weighted_sample_oracle() -> str:
+    h = SQL_MD5_MOD("'wsample' || ':' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH mx AS (SELECT max(n_chars) AS w_max FROM documents)
+    SELECT d.doc_id, d.lang, d.n_chars, mx.w_max
+    FROM documents d, mx
+    WHERE (({h}) % 1000000) * mx.w_max < d.n_chars * 1000000
+    """
+
+
+@query(
+    "docs_weighted_sample",
+    oracle=None,  # patched below (needs the md5 helper)
+    tags=("pipeline", "B15", "sampling"),
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by document weight: keep probability w/max(w)
+    (here w = n_chars — length-proportional selection, so the expected
+    KEPT TOKEN MASS is uniform per document; swap in a quality score for
+    soft quality filtering à la DCLM). The decision is the exact-integer
+    predicate (md5('wsample':id) % 1e6)·max_w < w·1e6 — reproducible on
+    any engine, stable under repartitioning, and a smooth alternative to
+    the hard gates (`pipeline_training_data`'s quality cut keeps or
+    kills; this keeps proportionally). Completes the sampling family:
+    configured rates (`docs_stratified_sample`), data-derived uniform
+    strata (`docs_balance_strata`), fractional-epoch repeats
+    (`docs_epoch_mixture`), and now data-derived per-row weights."""
+    from ..operators.pipeline import weighted_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_hash_sample(d, "doc_id", "n_chars").select(
+        "doc_id", "lang", "n_chars", "w_max"
+    )
+
+
+_set_oracle("docs_weighted_sample", _sql_weighted_sample_oracle())
 
 
 @query(

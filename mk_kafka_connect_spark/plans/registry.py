@@ -106,20 +106,26 @@ R7_ADDITIONS: tuple[str, ...] = (
     "sim_topk_ivf_sq8",
     "agg_hll_sketch_merge",
     "udf_pandas_grouped_agg",
+    "streaming_stream_stream_left_join",
+    "docs_weighted_sample",
+    "agg_heavy_hitters",
+    "docs_decontaminate_lsh",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # Only one driver row ever (r2) — next-freshest claim needed.
-    "bucketed_join_revenue",
-    "dedup_embedding_lsh",
+    # (dedup_embedding_lsh bumped: its pair contract is re-exercised
+    # end-to-end by dedup_embedding_clusters in R7_ADDITIONS;
+    # bucketed_join_revenue bumped: benched every round, and the bucketed
+    # layout is pinned by tests/test_bucketing.py.)
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
-    # Stalest backfill: last certified r1+r2. Join battery.
+    # Stalest backfill: last certified r1+r2. Join battery (join_right is
+    # the mirrored join_left_nulls — lowest marginal evidence, bumped).
     "join_left_nulls",
-    "join_right",
     "join_full_outer",
-    "join_semi",
+    # (join_semi bumped: the semi shape is r6-green inside q4's EXISTS.)
     "join_anti",
     "join_asof",
     # A-surface basics (keep the half-open range filter fresh — A2).
@@ -134,8 +140,8 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
 # multimodal decode/frame_sample, expand_customer_flat/expand_items_nested,
 # join_theta_range, q3/q5, join_cross, distinct_pairs,
 # filter_predicates, projection_computed, sim_topk_bruteforce, plus the
-# three r2-certified basics bumped by the late-r7 additions
-# (cdc_merge_upsert, dedup_latest_wins, dedup_exact). Everything
+# four r2-certified basics bumped by the late-r7 additions
+# (cdc_merge_upsert, dedup_latest_wins, dedup_exact, join_right). Everything
 # certified in r4–r6 (windows, set ops, scalars, streaming, UDFs, new TPC-H,
 # r4 LLM surface, q1) rotates out with 3 consecutive green rows each.
 

@@ -170,6 +170,42 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           date_diff('microsecond', v.ts, c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+    tags=("streaming", "B13", "join", "stream-stream", "outer"),
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream ⋈ stream attribution: converted views match as
+    they arrive, UNconverted views surface as null-click rows — but only
+    once the watermark proves no click can still come (state-expiry
+    semantics, the half of the stateful-join contract the inner join
+    never exercises). A bounded fixture freezes the watermark at
+    max(ts)−delay, which would withhold the tail's null rows forever, so
+    the replay unions a far-future watermark sentinel (user_id −1,
+    filtered from the output) that models the stream continuing; the
+    no-data micro-batch then flushes every pending outer row and the
+    drain equals the batch LEFT JOIN oracle exactly."""
+    ev = SW.read_events_stream_with_horizon_sentinel(spark, sf_dir, "9 hours")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = SW.stream_stream_attribution_outer(views, clicks, "6 hours")
+    # Strip the sentinel AFTER the drain, on the batch result. Filtering
+    # inside the streaming plan looks equivalent but is not: Catalyst
+    # pushes user_id >= 0 below the EventTimeWatermark operators (it's a
+    # left-side key predicate, propagated to both join inputs), the scan
+    # drops the sentinel rows before the watermark sees them, and the
+    # tail's null rows silently never flush — measured, not theoretical.
+    return SW.run_to_memory(out, "append").filter(F.col("user_id") >= 0)
+
+
+@query(
     "streaming_dedup_then_window",
     # Same aggregate contract as streaming_tumbling_window — which is the
     # point: the input is the fixture UNIONED WITH ITSELF, so if the

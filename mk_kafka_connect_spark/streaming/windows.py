@@ -33,6 +33,8 @@ __all__ = [
     "streaming_dedup",
     "stream_static_join",
     "stream_stream_attribution",
+    "stream_stream_attribution_outer",
+    "read_events_stream_with_horizon_sentinel",
 ]
 
 def _events_schema(ts_field: T.DataType) -> T.StructType:
@@ -187,6 +189,113 @@ def stream_stream_attribution(
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
         "inner",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+def read_events_stream_with_horizon_sentinel(
+    spark: SparkSession, sf_dir: str, advance: str = "9 hours"
+) -> DataFrame:
+    """The events stream UNIONED with a two-row far-future sentinel
+    (one 'view' + one 'click', ``user_id = -1``, ts = fixture max +
+    ``advance``), for bounded replays of OUTER stateful operators.
+
+    Outer join null rows / final session flushes are emitted only when
+    the watermark passes the row's expiry. On an unbounded Kafka feed
+    the next day's traffic advances the watermark for free; a bounded
+    fixture ends instead, freezing the watermark at ``max(ts) − delay``
+    and permanently withholding the tail's outer results. The sentinel
+    models "the stream kept going" — it advances the watermark past
+    every real row's expiry so the no-data micro-batch
+    (SPARK-24156, on by default) flushes ALL pending outer state, making
+    the drain equal the batch oracle exactly. Callers filter
+    ``user_id >= 0`` out of the result; the sentinel rows themselves
+    match nothing (negative user key).
+
+    The sentinel parquet is written driver-side into a throwaway temp dir
+    (normalized µs timestamps), read as a second file stream, and unioned
+    — the fixture dir itself is never touched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = read_events_stream(spark, sf_dir)
+    # Fixture max(ts) from the parquet footer (driver-side, no Spark job);
+    # reuse the probe so nanos/µs fixtures both work.
+    path = os.path.join(sf_dir, "events.parquet")
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index("ts")
+    kind = probe_events_ts(path)
+    max_us = None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            raw = st.max
+            if kind == "nanos":
+                us = int(raw) // 1000 if isinstance(raw, int) else int(raw.timestamp() * 1e6)
+            else:
+                us = int(raw.timestamp() * 1e6)
+            max_us = us if max_us is None else max(max_us, us)
+    if max_us is None:
+        raise ValueError(f"events.ts at {path} has no row-group statistics")
+    qty, unit = advance.split()
+    adv_us = int(qty) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 10**6
+    sent_us = max_us + adv_us
+    d = tempfile.mkdtemp(prefix="wm_sentinel_")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([sent_us, sent_us], pa.timestamp("us")),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["view", "click"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        os.path.join(d, "sentinel.parquet"),
+    )
+    sent = (
+        spark.readStream.schema(_events_schema(T.TimestampNTZType()))
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return ev.unionByName(sent)
+
+
+def stream_stream_attribution_outer(
+    views: DataFrame, clicks: DataFrame, horizon: str = "6 hours"
+) -> DataFrame:
+    """LEFT OUTER stream ⋈ stream attribution: like
+    ``stream_stream_attribution`` but views with no click in the horizon
+    surface as null-click rows — the unconverted-impressions side of the
+    funnel. This exercises the OTHER half of the stateful-join contract:
+    matched rows stream out as they match, but a null row can only be
+    emitted once the watermark proves no matching click can still arrive
+    (v_ts + horizon < watermark), i.e. correctness depends on state
+    EXPIRY, not just state lookup. Feed a bounded replay through
+    ``read_events_stream_with_horizon_sentinel`` so the tail's null rows
+    actually flush (see there)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
     )
     return joined.select(
         F.col("v_user").alias("user_id"),

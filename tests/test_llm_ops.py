@@ -236,3 +236,36 @@ def test_approx_count_distinct_error_bound(spark):
         F.countDistinct("l_partkey").alias("exact"),
     ).first()
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_decontaminate_lsh_catches_true_cross_source_dups(spark):
+    """The LSH decontamination flags must (a) include every train doc
+    whose TRUE 3-gram Jaccard against some benchmark doc is high (the
+    planted cross-source dups, true J ~0.99 -- at that similarity the
+    expected signature agreement is ~J and cannot plausibly fall below
+    the 0.5 gate), and (b) never flag a doc with no banded candidate.
+    Cross-checks the approximate flags against the exact ngram oracle."""
+    from mk_kafka_connect_spark.operators.pipeline import decontaminate_lsh
+
+    d = load_table(spark, SF, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    out = decontaminate_lsh(train, bench, "text", "doc_id", threshold=0.5)
+    flagged = {r["doc_id"]: r for r in out.filter(F.col("contaminated")).collect()}
+    assert flagged, "planted cross-source near-dups must be flagged"
+    for r in flagged.values():
+        assert r["n_bench_matches"] >= 1
+        assert r["max_est_jaccard"] >= 0.5
+    # exact ground truth: cross-source pairs with true jaccard >= 0.9
+    from mk_kafka_connect_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.9).collect()
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    strong = set()
+    for p in pairs:
+        a, b = p["id_a"], p["id_b"]
+        if (a in bench_ids) != (b in bench_ids):
+            strong.add(b if a in bench_ids else a)
+    assert strong, "fixture should contain strong cross-source dups"
+    missed = strong - set(flagged)
+    assert not missed, f"true near-dups missed by LSH decontamination: {missed}"

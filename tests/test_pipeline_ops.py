@@ -97,6 +97,35 @@ def test_top_fraction_keeps_expected_share_per_group(spark):
         assert 0.75 * n <= k <= 0.75 * n + 1, f"{lang}: kept {k} of {n}"
 
 
+def test_weighted_sample_rate_tracks_weights(spark):
+    """Keep probability is w/max(w): the realized keep count should track
+    sum(w)/max(w) (binomial, so allow a generous band), heavier rows must
+    be kept at a higher rate than lighter ones, a weight equal to the max
+    is kept with certainty, and the decision is deterministic."""
+    from mk_kafka_connect_spark.operators.pipeline import weighted_hash_sample
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rows = d.select("doc_id", "n_chars").collect()
+    w = {r["doc_id"]: r["n_chars"] for r in rows}
+    mx = max(w.values())
+    expected = sum(w.values()) / mx
+    kept1 = {r["doc_id"] for r in weighted_hash_sample(d, "doc_id", "n_chars").collect()}
+    kept2 = {r["doc_id"] for r in weighted_hash_sample(d, "doc_id", "n_chars").collect()}
+    assert kept1 == kept2  # deterministic
+    n = len(kept1)
+    sd = math.sqrt(expected)
+    assert expected - 4 * sd <= n <= expected + 4 * sd, (n, expected)
+    for doc_id, weight in w.items():
+        if weight == mx:
+            assert doc_id in kept1  # p = 1 exactly
+    heavy = [d_ for d_, ww in w.items() if ww >= mx * 0.8]
+    light = [d_ for d_, ww in w.items() if ww <= mx * 0.2]
+    if heavy and light:
+        hr = sum(d_ in kept1 for d_ in heavy) / len(heavy)
+        lr = sum(d_ in kept1 for d_ in light) / len(light)
+        assert hr > lr, (hr, lr)
+
+
 def test_label_centroids_match_numpy(spark):
     e = load_table(spark, SF_SMOKE, "embeddings")
     got = {

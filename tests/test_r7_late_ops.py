@@ -197,3 +197,78 @@ def test_stream_stream_join_matches_batch_and_bounds_state(spark):
     )
     got = {(r["view_id"], r["click_id"]) for r in out.collect()}
     assert got == {(1, 2), (4, 3)}
+
+
+def test_stream_stream_left_outer_null_emission(spark):
+    """LEFT OUTER attribution must emit a null-click row for every
+    unmatched view — but only when the watermark proves no click can
+    still arrive. Without a watermark-advancing sentinel the tail view
+    stays buffered forever (the bounded-fixture trap); with one, every
+    unmatched view flushes and the drain equals the batch LEFT JOIN."""
+    import tempfile
+
+    from mk_kafka_connect_spark.streaming.windows import (
+        run_to_memory,
+        stream_stream_attribution_outer,
+    )
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, _ts(0, 0), 1, "view"),
+        (2, _ts(0, 30), 1, "click"),  # matches view 1
+        (3, _ts(1, 0), 2, "view"),  # no click ever -> null row
+        (4, _ts(2, 0), 1, "view"),  # click 5 out of horizon -> null row
+        (5, _ts(3, 30), 1, "click"),
+        # watermark sentinel: far-future pair, filtered from the result;
+        # without it views 3/4 (and even view 1's UNmatched alternative
+        # timelines) could never be declared click-free.
+        (-1, _ts(23, 0) + dt.timedelta(days=2), -1, "view"),
+        (-2, _ts(23, 0) + dt.timedelta(days=2), -1, "click"),
+    ]
+    src = tempfile.mkdtemp(prefix="ssoj_")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    out = run_to_memory(
+        stream_stream_attribution_outer(views, clicks, "1 hour"), "append"
+    ).filter(F.col("user_id") >= 0)
+    got = {(r["view_id"], r["click_id"]) for r in out.collect()}
+    assert got == {(1, 2), (3, None), (4, None)}
+
+
+def test_misra_gries_guarantees_under_forced_eviction(spark):
+    """Crafted Zipf-ish skew with capacity far below the key cardinality,
+    so the sketch MUST evict: the Misra-Gries bracket
+    est(k) <= true(k) <= est(k) + sum_p(err_p) has to hold for every key,
+    and every key heavier than the total error bound must survive."""
+    from mk_kafka_connect_spark.operators.sketch import partition_summaries
+
+    rows = []
+    eid = 0
+    # key i (0..199) appears 400-2i times: ~72k rows, 200 distinct keys.
+    for i in range(200):
+        for _ in range(400 - 2 * i):
+            rows.append((eid, f"k{i:03d}"))
+            eid += 1
+    df = spark.createDataFrame(rows, "row_id long, key string").repartition(8)
+    summaries = partition_summaries(df, "key", capacity=16).collect()
+    assert summaries, "sketch emitted nothing"
+    per_pid_err = {}
+    est = {}
+    for r in summaries:
+        per_pid_err[r["pid"]] = r["err"]
+        est[r["key"]] = est.get(r["key"], 0) + r["est"]
+    total_err = sum(per_pid_err.values())
+    assert total_err > 0, "capacity 16 over 200 keys must force evictions"
+    true = {}
+    for _, k in rows:
+        true[k] = true.get(k, 0) + 1
+    for k, t in true.items():
+        e = est.get(k, 0)
+        assert e <= t <= e + total_err, (k, e, t, total_err)
+        if t > total_err:
+            assert e > 0, f"guaranteed-present key {k} missing (true={t}, bound={total_err})"
