@@ -240,3 +240,51 @@ def test_rollup_cascade_reuses_hourly_exchange(spark):
     df.collect()  # AQE finalizes reuse at execution time
     plan = _plan(df)
     assert "ReusedExchange" in plan
+
+
+def test_ivf_sq8_probe_is_equi_join_with_packed_codes(spark):
+    """sim_topk_ivf_sq8: the candidate stage must be a hash equi-join on
+    cell (no cross product anywhere -- the |Q|x|C| term is gone), and the
+    compressed codes must flow as BINARY (the int8 pack), not array<long>."""
+    df = QUERIES["sim_topk_ivf_sq8"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cell" in plan  # the inverted-list join key survives to the plan
+    # the Arrow pack/score kernels run as vectorized python stages (the
+    # binary-typed codes themselves are pinned by
+    # test_sq8_binary_pack_matches_hof_codes)
+    assert "ArrowEvalPython" in plan
+
+
+def test_hll_sketch_merge_is_two_level_aggregate(spark):
+    """agg_hll_sketch_merge: shard sketches then union -- two aggregate
+    levels, with the nation dimension broadcast into the fact join."""
+    df = QUERIES["agg_hll_sketch_merge"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for both levels
+
+
+def test_heavy_hitters_summaries_shuffle_only_sketch_rows(spark):
+    """agg_heavy_hitters: the Misra-Gries stage must be mapInPandas
+    (ArrowEvalPython/MapInPandas), and the only wide exchange over raw
+    events is the exact-count aggregate (which partial-aggregates)."""
+    df = QUERIES["agg_heavy_hitters"].fn(spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_decontaminate_lsh_is_banded_equi_join(spark):
+    """docs_decontaminate_lsh: candidates come from an equi-join on
+    (band_idx, band_key) -- a shuffled hash/sort-merge join, never a
+    nested loop -- and both signature pipelines partial-aggregate their
+    32 min() components map-side."""
+    df = QUERIES["docs_decontaminate_lsh"].fn(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_key" in plan
+    assert plan.count("partial_min") >= 32 or plan.count("min(") >= 32
