@@ -36,6 +36,8 @@ HEADLINE = [
     "q19_discount_revenue",
     "expand_customer_flat",
     "join_asof",
+    "join_asof_forward",
+    "join_asof_nearest",
     "cdc_merge_upsert",
     "cdc_scd2_history",
     "dedup_latest_wins",

@@ -1,5 +1,6 @@
 """As-of join: for each left row, the latest right row with
-``right_ts <= left_ts`` within the same key group.
+``right_ts <= left_ts`` within the same key group — plus the ``forward``
+and ``nearest`` directions of pandas ``merge_asof``.
 
 Spark has no native ASOF JOIN (DuckDB does; the oracle uses it). A naive
 implementation is a range theta-join → O(n·m) nested loop per key. This one
@@ -12,6 +13,13 @@ is the scalable formulation:
   3. forward-fill the right-side payload with ``last(..., ignorenulls=True)``
      over an unbounded-preceding row frame,
   4. keep left rows.
+
+``direction="forward"`` mirrors the frame (earliest right at-or-after,
+``first(...) over (currentRow, unboundedFollowing)`` with left rows
+sorting before co-timestamped right rows); ``direction="nearest"``
+evaluates both fills over the SAME single exchange (two Window nodes,
+one shuffle) and picks the smaller absolute gap, ties to the backward
+match — pandas ``merge_asof`` tie semantics.
 
 Cost: one shuffle of n+m rows on the join key — the same price as an
 equi-join, independent of time-range density. At 100 TB this is the only
@@ -39,14 +47,20 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """Join each left row to the most recent right row at or before its
-    timestamp, matching on equality of ``on`` keys.
+    timestamp (``direction="backward"``), the earliest at or after
+    (``"forward"``), or whichever is closer (``"nearest"``, ties to the
+    backward match — pandas ``merge_asof`` semantics), matching on
+    equality of ``on`` keys.
 
     ``right_payload``: right columns to carry (default: all non-key,
-    non-ts). ``how``: 'inner' drops left rows with no prior right row;
-    'left' keeps them with null payload.
+    non-ts). ``how``: 'inner' drops left rows with no match in the
+    chosen direction; 'left' keeps them with null payload.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unsupported direction={direction!r}")
     on = list(on)
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in set(on) | {right_ts}]
@@ -73,14 +87,53 @@ def asof_join(
         F.struct(*[F.col(c) for c in [right_ts, *right_payload]]).alias("_asof_right"),
     )
 
-    w = (
+    unioned = l_tag.unionByName(r_tag)
+    # Backward: right(side 0) sorts before left(1) at equal ts, so the
+    # <=-tie right row is inside the preceding frame. Forward mirrors it:
+    # left must sort before the co-timestamped right row, so the >=-tie
+    # right row is inside the following frame.
+    wb = (
         W.partitionBy(*on)
         .orderBy("_asof_ts", "_asof_side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = l_tag.unionByName(r_tag).withColumn(
-        "_asof_match", F.last("_asof_right", ignorenulls=True).over(w)
+    wf = (
+        W.partitionBy(*on)
+        .orderBy("_asof_ts", F.desc("_asof_side"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
+    if direction == "backward":
+        filled = unioned.withColumn(
+            "_asof_match", F.last("_asof_right", ignorenulls=True).over(wb)
+        )
+    elif direction == "forward":
+        filled = unioned.withColumn(
+            "_asof_match", F.first("_asof_right", ignorenulls=True).over(wf)
+        )
+    else:  # nearest: both fills share the one key exchange (two Window
+        # nodes over the same partitioning, each with its own in-partition
+        # sort), then pick the smaller absolute gap; ties -> backward.
+        ts_dt = left.schema[left_ts].dataType.simpleString()
+        # The two sides may disagree on timestamp vs timestamp_ntz (the
+        # fixture's orders are naive); session tz is UTC, so casting both
+        # through TIMESTAMP yields the same exact-microsecond key.
+        as_key = (
+            (lambda c: F.unix_micros(c.cast("timestamp")))
+            if ts_dt.startswith("timestamp")
+            else (lambda c: c.cast("double"))
+        )
+        both = unioned.withColumn(
+            "_asof_b", F.last("_asof_right", ignorenulls=True).over(wb)
+        ).withColumn("_asof_f", F.first("_asof_right", ignorenulls=True).over(wf))
+        gap_b = as_key(F.col("_asof_ts")) - as_key(F.col(f"_asof_b.{right_ts}"))
+        gap_f = as_key(F.col(f"_asof_f.{right_ts}")) - as_key(F.col("_asof_ts"))
+        filled = both.withColumn(
+            "_asof_match",
+            F.when(F.col("_asof_f").isNull(), F.col("_asof_b"))
+            .when(F.col("_asof_b").isNull(), F.col("_asof_f"))
+            .when(gap_b <= gap_f, F.col("_asof_b"))
+            .otherwise(F.col("_asof_f")),
+        )
     out = filled.filter(F.col("_asof_side") == 1).select(
         *[F.col(f"_asof_left.{c}").alias(c) for c in left.columns],
         *[F.col(f"_asof_match.{c}").alias(c) for c in [right_ts, *right_payload]],

@@ -110,6 +110,8 @@ R7_ADDITIONS: tuple[str, ...] = (
     "docs_weighted_sample",
     "agg_heavy_hitters",
     "docs_decontaminate_lsh",
+    "join_asof_forward",
+    "join_asof_nearest",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -125,9 +127,10 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # the mirrored join_left_nulls — lowest marginal evidence, bumped).
     "join_left_nulls",
     "join_full_outer",
-    # (join_semi bumped: the semi shape is r6-green inside q4's EXISTS.)
-    "join_anti",
-    "join_asof",
+    # (join_semi bumped: the semi shape is r6-green inside q4's EXISTS;
+    # join_anti bumped: the anti shape is r6-green inside q21/q22's NOT
+    # EXISTS; join_asof bumped: benched every round, and the same
+    # operator's forward/nearest directions are in R7_ADDITIONS above.)
     # A-surface basics (keep the half-open range filter fresh — A2).
     "filter_range_halfopen",
 )

@@ -422,6 +422,95 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    SELECT v.event_id, v.user_id, v.ts, p.purchase_id, p.purchase_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+    ASOF JOIN (
+        SELECT user_id, ts AS purchase_ts, max(event_id) AS purchase_id
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ) p ON v.user_id = p.user_id AND v.ts <= p.purchase_ts
+    """,
+    tags=("join", "B6", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view matched to the user's EARLIEST
+    purchase at-or-after it — next-conversion attribution, the forward
+    direction of pandas merge_asof. Same one-shuffle union+window
+    operator with the frame mirrored (first-over-following, left rows
+    sorting before co-timestamped right rows so >=-ties match). Oracle:
+    DuckDB native ASOF with the inequality reversed."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join(
+        v, p, on=["user_id"], left_ts="ts", right_ts="purchase_ts",
+        right_payload=["purchase_id"], how="inner", direction="forward",
+    ).select("event_id", "user_id", "ts", "purchase_id", "purchase_ts")
+
+
+@query(
+    "join_asof_nearest",
+    # No native NEAREST in DuckDB: take the per-event max(<=) and min(>=)
+    # candidate timestamps via grouped theta joins (oracle tier), pick the
+    # smaller exact-microsecond gap with ties to backward, then fetch the
+    # payload at the chosen (key, ts) — deterministic because the right
+    # side is deduped to one row per (key, ts).
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    o AS (SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY 1, 2),
+    b AS (SELECT e.event_id, max(o.o_orderdate) AS ts_b
+          FROM e JOIN o USING (user_id) WHERE o.o_orderdate <= e.ts GROUP BY 1),
+    f AS (SELECT e.event_id, min(o.o_orderdate) AS ts_f
+          FROM e JOIN o USING (user_id) WHERE o.o_orderdate >= e.ts GROUP BY 1),
+    pick AS (
+      SELECT e.event_id, e.user_id, e.ts,
+        CASE
+          WHEN f.ts_f IS NULL THEN b.ts_b
+          WHEN b.ts_b IS NULL THEN f.ts_f
+          WHEN date_diff('microsecond', b.ts_b, e.ts)
+               <= date_diff('microsecond', e.ts, f.ts_f) THEN b.ts_b
+          ELSE f.ts_f END AS m_ts
+      FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+    SELECT p.event_id, p.user_id, p.ts, o.o_orderkey, o.o_orderdate
+    FROM pick p JOIN o ON p.user_id = o.user_id AND p.m_ts = o.o_orderdate
+    """,
+    tags=("join", "B6", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (closest order in either direction, exact-
+    microsecond gaps, ties to the backward match — pandas merge_asof
+    nearest semantics). Both directional fills evaluate over ONE key
+    exchange (two Window nodes on the same partitioning), so nearest
+    costs the same single shuffle as backward/forward — never the
+    two-join union a naive formulation would pay."""
+    from ..operators.asof import asof_join
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        e, o, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        right_payload=["o_orderkey"], how="inner", direction="nearest",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+@query(
     "expand_customer_flat",
     oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice, c_custkey, c_name, c_mktsegment, n_name
