@@ -72,6 +72,8 @@ HEADLINE = [
     "agg_heavy_hitters",
     "udf_pandas_grouped_agg",
     "docs_weighted_sample",
+    "join_skew_salted",
+    "emb_covariance",
     "docs_decontaminate_lsh",
     "docs_vocab_coverage",
     "text_pii_redact",

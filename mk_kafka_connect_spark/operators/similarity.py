@@ -751,6 +751,77 @@ def cosine_topk_ivf_sq8(
     )
 
 
+def covariance_gram(
+    emb: DataFrame, vec_col: str, dims: int = 64
+) -> DataFrame:
+    """Exact integer covariance statistics over an embedding column: for
+    every dimension pair i ≤ j, the count plus Σqᵢ, Σqⱼ, Σqᵢqⱼ on the
+    quantized vectors, and cov(i,j) = E[qᵢqⱼ] − E[qᵢ]E[qⱼ] as a double
+    with a fixed evaluation order — the accumulation behind PCA,
+    whitening, and embedding-drift monitoring.
+
+    Scale shape — the mergeable-MATRIX-state pattern: each partition
+    computes its own dims×dims integer Gram block with ONE vectorized
+    AᵀA matmul (Arrow ``mapInPandas``, no row expansion, no shuffle of
+    the vectors), emits dims(dims+1)/2 summary rows, and the merge is a
+    plain integer sum per (i, j) — exactly how the HLL/Misra–Gries
+    sketches merge, but for a dense numeric accumulator. The corpus
+    never shuffles; only |partitions| × 2080 summary rows do. Exact
+    int64 everywhere (q ≤ ~10⁴, so Σqᵢqⱼ stays < 2⁶³ up to ~10¹⁴ rows;
+    past that, shard the sum or lift to decimal)."""
+    qdf = emb.select(quantize(F.col(vec_col)).alias("_qv"))
+    iu = np.triu_indices(dims)
+
+    def gram(batches):
+        tot = np.zeros((dims, dims), dtype=np.int64)
+        sums = np.zeros(dims, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["_qv"].tolist(), dtype=np.int64)
+            tot += A.T @ A
+            sums += A.sum(axis=0)
+            n += len(A)
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "dim_i": iu[0].astype(np.int32),
+                "dim_j": iu[1].astype(np.int32),
+                "n": np.int64(n),
+                "sum_i": sums[iu[0]],
+                "sum_j": sums[iu[1]],
+                "sum_ij": tot[iu],
+            }
+        )
+
+    partials = qdf.mapInPandas(
+        gram, schema="dim_i int, dim_j int, n long, sum_i long, sum_j long, sum_ij long"
+    )
+    merged = partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_i").alias("sum_i"),
+        F.sum("sum_j").alias("sum_j"),
+        F.sum("sum_ij").alias("sum_ij"),
+    )
+    # Fixed evaluation order so the double is bit-identical cross-engine:
+    # sum_ij/n − (sum_i/n)·(sum_j/n), each divide on the exact int64.
+    return merged.select(
+        "dim_i",
+        "dim_j",
+        "n",
+        "sum_i",
+        "sum_j",
+        "sum_ij",
+        (
+            F.col("sum_ij").cast("double") / F.col("n")
+            - (F.col("sum_i").cast("double") / F.col("n"))
+            * (F.col("sum_j").cast("double") / F.col("n"))
+        ).alias("cov"),
+    )
+
+
 def label_centroids(emb: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     """Per-label centroid statistics in exploded (label, dim) form: count,
     exact component sum, and mean — the class-prototype computation behind

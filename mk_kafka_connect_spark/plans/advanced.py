@@ -301,6 +301,41 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_skew_salted",
+    # Same answer as the plain equi-join; the salt is a physical detail.
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.user_id < 50
+    """,
+    tags=("skew", "B6", "scale", "join"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join: the fact side is salted into 16
+    sub-keys and the dimension is EXPLODED across all salt values before
+    the broadcast join on (key, salt) — a hot key's rows land on 16
+    reducers/tasks instead of one, which is what keeps the straggler
+    task from owning the whole join at 100 TB (AQE's skew-join split is
+    the automatic form; this is the explicit, always-on form for keys
+    you KNOW are hot, e.g. the null/default user). Deterministic answer
+    identical to the plain join — the salt never reaches the output."""
+    from ..operators.skew import salted_broadcast_join
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select("event_id", F.col("user_id").alias("c_custkey"), "event_type")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return salted_broadcast_join(ev, c, "c_custkey", salt_buckets=16).select(
+        "event_id",
+        F.col("c_custkey").alias("user_id"),
+        "event_type",
+        "c_mktsegment",
+    )
+
+
+@query(
     "subquery_correlated_scalar",
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice FROM orders o

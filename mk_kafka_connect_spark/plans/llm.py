@@ -789,6 +789,39 @@ def sim_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_covariance",
+    # Exact int64 sums on both engines; the cov double is one fixed
+    # expression order (sum_ij/n − (sum_i/n)(sum_j/n)) so it hash-matches.
+    oracle=f"""
+    WITH v AS (SELECT {_SQL_QUANT.format(e='embedding')} AS qv FROM embeddings),
+    pairs AS (
+      SELECT i AS dim_i, j AS dim_j, count(*) AS n,
+        CAST(SUM(qv[i + 1]) AS BIGINT) AS sum_i,
+        CAST(SUM(qv[j + 1]) AS BIGINT) AS sum_j,
+        CAST(SUM(qv[i + 1] * qv[j + 1]) AS BIGINT) AS sum_ij
+      FROM v, unnest(range(0, 64)) t1(i), unnest(range(0, 64)) t2(j)
+      WHERE i <= j GROUP BY i, j)
+    SELECT dim_i, dim_j, n, sum_i, sum_j, sum_ij,
+      CAST(sum_ij AS DOUBLE) / n
+        - (CAST(sum_i AS DOUBLE) / n) * (CAST(sum_j AS DOUBLE) / n) AS cov
+    FROM pairs
+    """,
+    tags=("similarity", "B15", "B14", "stats"),
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (upper triangle, 2080 rows at
+    dims=64) via the mergeable-matrix-state pattern: each partition does
+    ONE vectorized AᵀA integer matmul over its Arrow batches and emits a
+    2080-row summary; the merge is a plain per-(i,j) sum — the corpus
+    never shuffles. This is the accumulation behind PCA / whitening /
+    drift detection; exact int64 partials make it deterministic under
+    any partitioning (the oracle replays it as a flat pair expansion,
+    which is the same sums by associativity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.covariance_gram(emb, "embedding", dims=_LSH_DIMS)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns.
 # ---------------------------------------------------------------------------

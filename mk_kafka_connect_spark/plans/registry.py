@@ -112,6 +112,8 @@ R7_ADDITIONS: tuple[str, ...] = (
     "docs_decontaminate_lsh",
     "join_asof_forward",
     "join_asof_nearest",
+    "join_skew_salted",
+    "emb_covariance",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -123,14 +125,12 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_type_profit",
-    # Stalest backfill: last certified r1+r2. Join battery (join_right is
-    # the mirrored join_left_nulls — lowest marginal evidence, bumped).
-    "join_left_nulls",
-    "join_full_outer",
-    # (join_semi bumped: the semi shape is r6-green inside q4's EXISTS;
-    # join_anti bumped: the anti shape is r6-green inside q21/q22's NOT
-    # EXISTS; join_asof bumped: benched every round, and the same
-    # operator's forward/nearest directions are in R7_ADDITIONS above.)
+    # Bumped by the continuation additions, stalest-first principle held:
+    # join_left_nulls' left
+    # shape is r6-green inside q13's LEFT JOIN; join_full_outer,
+    # join_semi (q4 EXISTS), join_anti (q21/q22 NOT EXISTS), join_asof
+    # (benched every round; its forward/nearest directions are in
+    # R7_ADDITIONS above), join_right (mirror of left) move to r8.
     # A-surface basics (keep the half-open range filter fresh — A2).
     "filter_range_halfopen",
 )

@@ -250,3 +250,33 @@ def test_trailing_zscore_matches_python_reference(spark):
             else:
                 assert r["zsq"] is None and r["is_anomaly"] is False
     assert checked_flags >= 0  # sanity: loop executed
+
+
+def test_covariance_gram_matches_numpy_and_partitioning_invariant(spark):
+    """The merged Gram statistics must equal a single-machine numpy
+    reference bit-for-bit (exact integer sums), and must be IDENTICAL
+    under different partitionings -- the mergeable-matrix-state property
+    the operator exists to demonstrate."""
+    from mk_kafka_connect_spark.operators.similarity import covariance_gram, quantize
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.select(quantize(F.col("embedding")).alias("qv")).collect()
+    A = np.array([r["qv"] for r in q], dtype=np.int64)
+    n = len(A)
+    G = A.T @ A
+    s = A.sum(axis=0)
+
+    def as_map(rows):
+        return {
+            (r["dim_i"], r["dim_j"]): (r["n"], r["sum_i"], r["sum_j"], r["sum_ij"], r["cov"])
+            for r in rows
+        }
+
+    out1 = as_map(covariance_gram(emb.repartition(1), "embedding").collect())
+    out13 = as_map(covariance_gram(emb.repartition(13), "embedding").collect())
+    assert out1 == out13  # partitioning invariance, including the double
+    assert len(out1) == 64 * 65 // 2
+    for (i, j), (cnt, si, sj, sij, cov) in out1.items():
+        assert cnt == n and si == s[i] and sj == s[j] and sij == G[i, j]
+        expect = sij / n - (si / n) * (sj / n)
+        assert cov == expect
