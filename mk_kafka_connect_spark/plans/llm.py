@@ -1516,9 +1516,24 @@ def pipeline_training_data_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "text", "n_words")
     )
     fp = fingerprint(passed, "text")
-    canon = fp.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
-    dd = fp.join(canon.select("doc_id"), "doc_id", "left_semi")
-    train = dd.filter(F.col("source") != "src0")
+    # Keep-min-id dedup as ONE window pass (row_number over fp_md5), not
+    # groupBy + semi-join: Spark re-evaluates shared subtrees on each
+    # side of a self-join, so the join form computed the gate+fingerprint
+    # twice. Then localCheckpoint the deduped train set — it feeds BOTH
+    # the decontamination shingle explode and the final stats (another
+    # diamond), and materializing it once cuts the plan from 7 documents
+    # scans to 1 (+3 checkpoint reuses). At sf0.1 the wall time is a wash
+    # (the block write offsets the recompute savings on 100 k rows); the
+    # win is asymptotic — at 100 TB, re-running the gate+fingerprint+
+    # shingle pipeline 3× dwarfs writing the gated+deduped survivors
+    # once. Standard persist-between-superstages discipline.
+    wdd = Window.partitionBy("fp_md5").orderBy("doc_id")
+    dd = (
+        fp.withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp_md5")
+    )
+    train = dd.filter(F.col("source") != "src0").localCheckpoint(eager=False)
     flags = decontaminate(
         train, d.filter(F.col("source") == "src0"), "text", "doc_id", n=3, min_overlap=2
     )

@@ -114,6 +114,7 @@ R7_ADDITIONS: tuple[str, ...] = (
     "join_asof_nearest",
     "join_skew_salted",
     "emb_covariance",
+    "transform_smt_chain",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -124,9 +125,8 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # layout is pinned by tests/test_bucketing.py.)
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_type_profit",
     # Bumped by the continuation additions, stalest-first principle held:
-    # join_left_nulls' left
+    # q9 is benched every round (r2-certified); join_left_nulls' left
     # shape is r6-green inside q13's LEFT JOIN; join_full_outer,
     # join_semi (q4 EXISTS), join_anti (q21/q22 NOT EXISTS), join_asof
     # (benched every round; its forward/nearest directions are in

@@ -257,6 +257,39 @@ def string_cast_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "transform_smt_chain",
+    oracle="""
+    SELECT event_id, kind,
+      to_json(value) AS amount,
+      CASE WHEN props IS NOT NULL THEN to_json(props) END AS props
+    FROM (SELECT event_id, event_type AS kind, value, props FROM events)
+    WHERE event_id < 3000 AND kind IN ('purchase', 'refund')
+    """,
+    tags=("transform", "A15", "B14", "chain"),
+)
+def transform_smt_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FOUR-stage config-driven SMT chain — rename → filter →
+    string-cast → drop — composed exactly like Kafka Connect's
+    ``transforms=a,b,c`` list (SMT-README:33-37): each stage is built
+    from its config map and applied in order, and because every stage is
+    declarative the whole chain fuses into one codegen'd projection over
+    the scan (no per-stage materialization — the property that makes
+    config-driven chains free at 100 TB). `string_cast_transform`
+    certifies the single-SMT semantics; this certifies the composition."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    out = apply_chain(
+        ev,
+        [
+            {"name": "rename", "mapping": {"event_type": "kind"}},
+            {"name": "filter_expr", "predicate": "kind IN ('purchase', 'refund')"},
+            {"name": "string_cast", "fields": ["value", "props", "nonexistent"]},
+            {"name": "drop_fields", "fields": ["ts", "user_id"]},
+        ],
+    )
+    return out.select("event_id", "kind", F.col("value").alias("amount"), "props")
+
+
+@query(
     "scalar_map_funcs",
     oracle="""
     SELECT event_id,
