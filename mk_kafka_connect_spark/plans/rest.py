@@ -1,0 +1,92 @@
+"""Driver-certifiable REST-source query: the A-surface (A1 paginated
+scan, A3 sort, A4 limit/offset pagination, A7 keyed records + null-id
+drop, A8 metadata, A17 per-entity fan-out) exercised END-TO-END through
+the real ``paginated_rest`` Python DataSource against an in-process HTTP
+server — not a mock of the source, the source itself doing real HTTP.
+
+The server serves a deterministic slice of the events fixture as the
+``{"response": [...]}`` envelope (ChargeOverApiClient.java:144-158), so
+the DuckDB oracle can state the expected keyed records directly from the
+same table. ``_ingestion_timestamp`` (wall-clock, Task.java:427) is
+excluded from the certified projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources.fake_server import FakeRestServer
+from ..sources.rest_source import register
+from .registry import query
+
+# One server per (process, sf_dir): queries are constructed lazily and
+# evaluated after return, so the server must outlive the call — it parks
+# on a daemon thread for the process lifetime (a few KB of fixture rows).
+_SERVERS: dict[str, FakeRestServer] = {}
+
+
+def _events_server(spark: SparkSession, sf_dir: str) -> FakeRestServer:
+    if sf_dir in _SERVERS:
+        return _SERVERS[sf_dir]
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+        .collect()
+    )
+    data = [
+        {
+            "event_id": str(r["event_id"]),
+            "event_type": r["event_type"],
+            "user_id": str(r["user_id"]),
+        }
+        for r in rows
+    ]
+    # One keyless record: createSourceRecord drops it (Task.java:396-401);
+    # the oracle row set proves it never surfaces.
+    data.append({"event_type": "keyless", "user_id": "0"})
+    srv = FakeRestServer({"events": data})
+    srv.__enter__()
+    _SERVERS[sf_dir] = srv
+    return srv
+
+
+@query(
+    "rest_scan_events",
+    # json.dumps(rec, sort_keys=True) with default separators — stated
+    # literally; every served value is a string so the byte layout is
+    # engine-independent.
+    oracle="""
+    SELECT 'events' AS entity,
+      '{"event_id": "' || CAST(event_id AS VARCHAR) || '"}' AS key,
+      '{"event_id": "' || CAST(event_id AS VARCHAR)
+        || '", "event_type": "' || event_type
+        || '", "user_id": "' || CAST(user_id AS VARCHAR) || '"}' AS payload,
+      'INITIAL_LOAD' AS _load_mode
+    FROM events WHERE event_id < 500
+    """,
+    tags=("rest", "source", "A1", "A4", "A7", "B3"),
+)
+def rest_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REST source end-to-end with a driver row: 500 fixture events
+    served over real localhost HTTP in 100-row pages (5 paginated
+    requests + the hasMore probe), read through the registered
+    ``paginated_rest`` DataSource, keyed and metadata-stamped exactly as
+    the reference's createSourceRecord — including dropping the planted
+    keyless record. This promotes the A1/A4/A7 surface from
+    pytest-contract evidence to the same hash-checked certification as
+    every relational query."""
+    srv = _events_server(spark, sf_dir)
+    register(spark)
+    df = (
+        spark.read.format("paginated_rest")
+        .option("url", srv.url)
+        .option("entities", "events")
+        .option("batch.size", "100")
+        .option("entity.id.fields", "events:event_id")
+        .load()
+    )
+    return df.select("entity", "key", "payload", "_load_mode")
