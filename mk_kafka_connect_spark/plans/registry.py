@@ -116,6 +116,7 @@ R7_ADDITIONS: tuple[str, ...] = (
     "emb_covariance",
     "transform_smt_chain",
     "rest_scan_events",
+    "rest_stream_events",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -124,10 +125,10 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # end-to-end by dedup_embedding_clusters in R7_ADDITIONS;
     # bucketed_join_revenue bumped: benched every round, and the bucketed
     # layout is pinned by tests/test_bucketing.py.)
-    "q7_volume_shipping",
     # Bumped by the continuation additions, stalest-first principle held:
-    # q8/q9 rotate to r8 (q9 is benched every round; q7 stays as the
-    # single-row-r2 TPC-H representative); join_left_nulls' left
+    # q7/q8/q9 rotate to r8 (q5/q7/q9 are benched every round and all
+    # three passed the local oracle-parity suite this session);
+    # join_left_nulls' left
     # shape is r6-green inside q13's LEFT JOIN; join_full_outer,
     # join_semi (q4 EXISTS), join_anti (q21/q22 NOT EXISTS), join_asof
     # (benched every round; its forward/nearest directions are in

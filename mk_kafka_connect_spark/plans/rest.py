@@ -33,7 +33,14 @@ def _events_server(spark: SparkSession, sf_dir: str) -> FakeRestServer:
     rows = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_id") < 500)
-        .select("event_id", "event_type", "user_id")
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            # The incremental field (A2/A11): second-truncated wall form,
+            # lexicographically ordered == chronologically ordered.
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("mod_datetime"),
+        )
         .orderBy("event_id")
         .collect()
     )
@@ -42,6 +49,7 @@ def _events_server(spark: SparkSession, sf_dir: str) -> FakeRestServer:
             "event_id": str(r["event_id"]),
             "event_type": r["event_type"],
             "user_id": str(r["user_id"]),
+            "mod_datetime": r["mod_datetime"],
         }
         for r in rows
     ]
@@ -64,6 +72,7 @@ def _events_server(spark: SparkSession, sf_dir: str) -> FakeRestServer:
       '{"event_id": "' || CAST(event_id AS VARCHAR) || '"}' AS key,
       '{"event_id": "' || CAST(event_id AS VARCHAR)
         || '", "event_type": "' || event_type
+        || '", "mod_datetime": "' || strftime(ts, '%Y-%m-%d %H:%M:%S')
         || '", "user_id": "' || CAST(user_id AS VARCHAR) || '"}' AS payload,
       'INITIAL_LOAD' AS _load_mode
     FROM events WHERE event_id < 500
@@ -90,3 +99,49 @@ def rest_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.select("entity", "key", "payload", "_load_mode")
+
+
+@query(
+    "rest_stream_events",
+    # Same expected rows as the batch scan: the first streaming drain's
+    # half-open window [1970-01-01, batch-start-now) covers the whole
+    # served range, mode INITIAL_LOAD (Task.java:117-129), and the
+    # second micro-batch's window [now1, now2) is empty so the bounded
+    # drain terminates.
+    oracle="""
+    SELECT 'events' AS entity,
+      '{"event_id": "' || CAST(event_id AS VARCHAR) || '"}' AS key,
+      '{"event_id": "' || CAST(event_id AS VARCHAR)
+        || '", "event_type": "' || event_type
+        || '", "mod_datetime": "' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+        || '", "user_id": "' || CAST(user_id AS VARCHAR) || '"}' AS payload,
+      'INITIAL_LOAD' AS _load_mode
+    FROM events WHERE event_id < 500
+    """,
+    tags=("rest", "source", "streaming", "A11", "A12", "B3", "B13"),
+)
+def rest_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING REST source end-to-end with a driver row: the
+    ``paginated_rest`` SimpleDataSourceStreamReader drains the server
+    through real micro-batches — frozen-upper-bound half-open windows,
+    the 7-field EntityState offset dict, INITIAL→INCREMENTAL mode switch
+    (ChargeOverSourceTask.java:245-291) — into a memory sink, and the
+    result hash-matches the batch oracle. This is the reference's actual
+    operating mode (stateful incremental scan driver) certified the same
+    way as every relational query; the crash-replay and window-continuity
+    contracts are additionally pinned in tests/test_incremental.py."""
+    from ..streaming.windows import run_to_memory
+
+    srv = _events_server(spark, sf_dir)
+    register(spark)
+    stream = (
+        spark.readStream.format("paginated_rest")
+        .option("url", srv.url)
+        .option("entities", "events")
+        .option("batch.size", "100")
+        .option("entity.id.fields", "events:event_id")
+        .option("initial.datetimes", "events:1970-01-01 00:00:00")
+        .load()
+        .select("entity", "key", "payload", "_load_mode")
+    )
+    return run_to_memory(stream, "append")
