@@ -117,6 +117,7 @@ R7_ADDITIONS: tuple[str, ...] = (
     "transform_smt_chain",
     "rest_scan_events",
     "rest_stream_events",
+    "rest_roundtrip_events",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -132,9 +133,10 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # shape is r6-green inside q13's LEFT JOIN; join_full_outer,
     # join_semi (q4 EXISTS), join_anti (q21/q22 NOT EXISTS), join_asof
     # (benched every round; its forward/nearest directions are in
-    # R7_ADDITIONS above), join_right (mirror of left) move to r8.
-    # A-surface basics (keep the half-open range filter fresh — A2).
-    "filter_range_halfopen",
+    # R7_ADDITIONS above), join_right (mirror of left) and
+    # filter_range_halfopen (r1+r2 rows, pushdown plan test, and the A2
+    # half-open where-contract now also rides rest_stream_events' HTTP
+    # window filter) move to r8.
 )
 # Left for the r8 window (all have ≥2 green driver rows + plan/pytest
 # coverage; the two oracle-tier scans are also the slowest queries in the

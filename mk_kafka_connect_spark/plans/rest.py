@@ -16,8 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import uuid
+
 from ..catalog import load_table
 from ..sources.fake_server import FakeRestServer
+from ..sources.rest_sink import register_sink
 from ..sources.rest_source import register
 from .registry import query
 
@@ -145,3 +148,61 @@ def rest_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("entity", "key", "payload", "_load_mode")
     )
     return run_to_memory(stream, "append")
+
+
+@query(
+    "rest_roundtrip_events",
+    # The sink posts row dicts; the source re-keys + re-wraps them with
+    # sorted keys, so the expected payloads are identical to the scan's
+    # (minus the dynamic entity name, which is excluded from the output).
+    oracle="""
+    SELECT
+      '{"event_id": "' || CAST(event_id AS VARCHAR) || '"}' AS key,
+      '{"event_id": "' || CAST(event_id AS VARCHAR)
+        || '", "event_type": "' || event_type
+        || '", "user_id": "' || CAST(user_id AS VARCHAR) || '"}' AS payload,
+      'INITIAL_LOAD' AS _load_mode
+    FROM events WHERE event_id < 200
+    """,
+    tags=("rest", "sink", "source", "A10", "A14", "B3"),
+)
+def rest_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink→source ROUND TRIP through real HTTP: 200 fixture events are
+    written through the registered ``rest_sink`` DataSource (batched
+    50-row POSTs with the reference's retry contract — the write runs
+    eagerly at plan-construction time, like IVF training), accumulate on
+    the in-process server under a per-call entity name, and are read
+    back through the ``paginated_rest`` source with the usual keying.
+    The driver's hash check then certifies the WRITE path too: any
+    dropped, duplicated, or mangled POST batch surfaces as a row-count
+    or payload mismatch. A fresh entity per call keeps reruns
+    independent (at-least-once sink + new namespace = exactly-once
+    observable effect)."""
+    srv = _events_server(spark, sf_dir)
+    register(spark)
+    register_sink(spark)
+    entity = f"rt_{uuid.uuid4().hex[:10]}"
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            F.col("event_id").cast("string").alias("event_id"),
+            "event_type",
+            F.col("user_id").cast("string").alias("user_id"),
+        )
+        .write.format("rest_sink")
+        .option("url", srv.url)
+        .option("entity", entity)
+        .option("batch.size", "50")
+        .mode("append")
+        .save()
+    )
+    df = (
+        spark.read.format("paginated_rest")
+        .option("url", srv.url)
+        .option("entities", entity)
+        .option("batch.size", "100")
+        .option("entity.id.fields", f"{entity}:event_id")
+        .load()
+    )
+    return df.select("key", "payload", "_load_mode")

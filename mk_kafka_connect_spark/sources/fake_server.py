@@ -50,7 +50,13 @@ class FakeRestServer:
                 parsed = urllib.parse.urlparse(self.path)
                 entity = parsed.path.rstrip("/").split("/")[-1]
                 qs = urllib.parse.parse_qs(parsed.query)
-                rows = list(outer.data.get(entity, []))
+                # Entities with no configured rows fall back to whatever
+                # has been POSTed under that name — lets a sink write be
+                # read back through the source (round-trip certification).
+                with outer._lock:
+                    rows = list(
+                        outer.data.get(entity) or outer.posted.get(entity, [])
+                    )
                 where = qs.get("where", [None])[0]
                 if where:
                     rows = [r for r in rows if outer._match(r, where)]
