@@ -74,6 +74,8 @@ HEADLINE = [
     "docs_weighted_sample",
     "join_skew_salted",
     "emb_covariance",
+    "transform_smt_chain",
+    "rest_scan_events",
     "docs_decontaminate_lsh",
     "docs_vocab_coverage",
     "text_pii_redact",
