@@ -87,7 +87,6 @@ R7_ADDITIONS: tuple[str, ...] = (
     "events_gapfill_hourly",
     "events_anomaly_zscore",
     "docs_ngram_topk",
-    "docs_length_histogram",
     "pipeline_training_data_v2",
     "streaming_stream_stream_join",
     "events_gapfill_locf",
@@ -118,6 +117,7 @@ R7_ADDITIONS: tuple[str, ...] = (
     "rest_scan_events",
     "rest_stream_events",
     "rest_roundtrip_events",
+    "kafka_file_roundtrip",
 )
 
 CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
@@ -136,7 +136,9 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # R7_ADDITIONS above), join_right (mirror of left) and
     # filter_range_halfopen (r1+r2 rows, pushdown plan test, and the A2
     # half-open where-contract now also rides rest_stream_events' HTTP
-    # window filter) move to r8.
+    # window filter) move to r8, as does docs_length_histogram (the one
+    # r7 addition the 50-slot window could not hold — deferred as the
+    # lowest-risk map-side op; its oracle parity is green in pytest).
 )
 # Left for the r8 window (all have ≥2 green driver rows + plan/pytest
 # coverage; the two oracle-tier scans are also the slowest queries in the

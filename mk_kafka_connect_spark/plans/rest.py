@@ -206,3 +206,68 @@ def rest_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return df.select("key", "payload", "_load_mode")
+
+
+@query(
+    "kafka_file_roundtrip",
+    # Spark's to_json emits no spaces; the key/value byte contracts are
+    # stated literally. _ingestion_timestamp (wall clock) is serialized
+    # into the value but excluded from the certified decode schema.
+    oracle="""
+    SELECT 'cdc.events' AS topic,
+      '{"event_id":' || CAST(event_id AS VARCHAR) || '}' AS key,
+      event_id, event_type, user_id,
+      'events' AS _entity_type, 'INITIAL_LOAD' AS _load_mode
+    FROM events WHERE event_id < 300
+    """,
+    tags=("kafka", "cdc", "A7", "A8", "A9", "A10", "B2"),
+)
+def kafka_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Kafka record pipeline certified broker-lessly: keyed
+    records (A7) → metadata enrichment (A8) → topic routing (A9) → the
+    (topic, key, value) sink shape (A10) — written through the
+    file-transport twin of ``write.format("kafka")`` (BINARY key/value in
+    topic-partitioned parquet, the exact byte contract a broker would
+    receive; eager at plan-construction time) and read back + JSON-decoded
+    through the Kafka source column shape. A serialization, routing, or
+    key-construction defect surfaces as a hash mismatch. The real broker
+    path shares this byte contract and stays classpath-gated
+    (sources/kafka.py); the files themselves are replayable into a live
+    cluster."""
+    import tempfile
+
+    from ..operators.cdc import (
+        enrich_metadata,
+        keyed_records,
+        route_topics,
+        to_kafka_shape,
+    )
+    from ..sources.kafka import (
+        decode_json_topic,
+        read_kafka_files,
+        write_kafka_files,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select("event_id", "event_type", "user_id")
+    )
+    rec = to_kafka_shape(
+        route_topics(
+            enrich_metadata(keyed_records(ev, "event_id"), "events", "INITIAL_LOAD"),
+            "cdc",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="kafka_files_")
+    write_kafka_files(rec, path)
+    back = read_kafka_files(spark, path, topic="cdc.events")
+    decoded = decode_json_topic(
+        back,
+        "event_id long, event_type string, user_id long, "
+        "_entity_type string, _load_mode string",
+    )
+    return decoded.select(
+        "topic", "key", "event_id", "event_type", "user_id",
+        "_entity_type", "_load_mode",
+    )
