@@ -271,3 +271,58 @@ def kafka_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "topic", "key", "event_id", "event_type", "user_id",
         "_entity_type", "_load_mode",
     )
+
+
+@query(
+    "cdc_pipeline_end_to_end",
+    # Drained rows carry entity/key/payload/_load_mode plus the derived
+    # _entity_type and routed topic; _ingestion_timestamp (wall clock) is
+    # dropped by the SMT chain before the sink.
+    oracle="""
+    SELECT 'events' AS entity,
+      '{"event_id": "' || CAST(event_id AS VARCHAR) || '"}' AS key,
+      '{"event_id": "' || CAST(event_id AS VARCHAR)
+        || '", "event_type": "' || event_type
+        || '", "mod_datetime": "' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+        || '", "user_id": "' || CAST(user_id AS VARCHAR) || '"}' AS payload,
+      'INITIAL_LOAD' AS _load_mode,
+      'events' AS _entity_type,
+      'cdc.events' AS topic
+    FROM events WHERE event_id < 500
+    """,
+    tags=("rest", "cdc", "pipeline", "streaming", "B3", "B13", "composite"),
+)
+def cdc_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference deployment as one certified run: a
+    ``CdcPipeline`` (connector options + SMT chain + topic routing)
+    streams the in-process REST server through real micro-batches into a
+    CHECKPOINTED parquet sink — Structured Streaming's offset WAL +
+    commit log standing in for Connect's offset storage
+    (CO-README:70-86) — and the landed files are read back for the hash
+    check. This certifies the one piece the per-stage queries don't: the
+    exactly-once file-sink commit of the streaming drain. Fresh
+    sink/checkpoint dirs per call keep reruns independent."""
+    import tempfile
+
+    from ..pipeline import CdcPipeline
+
+    srv = _events_server(spark, sf_dir)
+    pipe = CdcPipeline(
+        source_options={
+            "url": srv.url,
+            "entities": "events",
+            "batch.size": "100",
+            "entity.id.fields": "events:event_id",
+            "initial.datetimes": "events:1970-01-01 00:00:00",
+        },
+        transform_chain=[
+            {"name": "drop_fields", "fields": ["_ingestion_timestamp"]},
+        ],
+        topic_prefix="cdc",
+    )
+    path = tempfile.mkdtemp(prefix="cdc_sink_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_ckpt_")
+    pipe.run_stream_to_parquet(spark, path, ckpt)
+    return spark.read.parquet(path).select(
+        "entity", "key", "payload", "_load_mode", "_entity_type", "topic"
+    )
