@@ -391,23 +391,22 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the previous label through the update so convergence is a
+        # filter-count on the already-checkpointed frame — not a separate
+        # labels⨝new_labels join (one fewer shuffle per round).
+        upd = (
             labels.join(nbr_min, labels.id == nbr_min.dst, "left")
             .select(
                 "id",
+                F.col("label").alias("_prev"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("label") != F.col("_prev")).count()
+        labels = upd.drop("_prev")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
