@@ -85,3 +85,35 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Spark's Python WORKER
+    processes regardless of how the session was built.
+
+    The Python DataSource readers/writers are module-level classes, so
+    workers unpickle them BY REFERENCE and must import
+    ``mk_kafka_connect_spark`` themselves. ``get_spark`` covers that by
+    exporting PYTHONPATH before the JVM starts — but an externally
+    created session (the round driver, a notebook, spark-submit without
+    --py-files) has no such guarantee, and the failure is a deep
+    worker-side ModuleNotFoundError. This zips the package once per
+    SparkContext and ships it with ``addPyFile`` (workers prepend
+    shipped archives to sys.path) — the same mechanism --py-files uses,
+    done lazily and idempotently. Call it before registering any Python
+    DataSource; a few-hundred-KB zip, built once per context.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_mkkc_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_root)
+    base = os.path.join(tempfile.mkdtemp(prefix="mkkc_pyfiles_"), "mk_kafka_connect_spark_pkg")
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=parent, base_dir="mk_kafka_connect_spark"
+    )
+    sc.addPyFile(zip_path)
+    sc._mkkc_pkg_shipped = True

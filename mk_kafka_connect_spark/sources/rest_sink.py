@@ -145,4 +145,7 @@ class RestSinkDataSource(DataSource):
 
 
 def register_sink(spark) -> None:
+    from ..session import ship_package
+
+    ship_package(spark)  # workers unpickle the writer by reference
     spark.dataSource.register(RestSinkDataSource)

@@ -260,4 +260,25 @@ class PaginatedRestDataSource(DataSource):
 
 
 def register(spark) -> None:
+    """Register the DataSource so it works from ANY session, not just
+    ``get_spark``-built ones: task workers get the package via an
+    ``addPyFile`` zip (``ship_package``), and the STREAMING source runner
+    — a separate helper process that inherits only the JVM's startup env
+    and ignores addPyFile — gets the reader by registering these modules
+    for BY-VALUE cloudpickle serialization (the upstream-recommended
+    pattern for Python data sources outside a packaged deploy). Without
+    both, an externally created session (the round driver, spark-submit
+    sans --py-files) dies with a worker-side ModuleNotFoundError."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from . import config as _config
+    from . import rest_client as _rest_client
+    from ..session import ship_package
+
+    ship_package(spark)  # task workers unpickle the reader by reference
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_config)
+    cloudpickle.register_pickle_by_value(_rest_client)
     spark.dataSource.register(PaginatedRestDataSource)

@@ -254,3 +254,42 @@ def test_streaming_datasource_microbatch(spark, tmp_path):
         got = spark.sql("SELECT * FROM rest_stream").collect()
     assert len(got) == 8
     assert all(r._load_mode == "INITIAL_LOAD" for r in got)
+
+
+def test_datasource_works_without_pythonpath():
+    """The round driver (and any spark-submit without --py-files) builds
+    its own SparkSession with no PYTHONPATH export, so Python workers and
+    the STREAMING source runner must get this package some other way --
+    ship_package's addPyFile zip for task workers, by-value cloudpickle
+    registration for the stream runner (both wired into register()).
+    Reproduces the exact failure mode in a clean subprocess: before the
+    fix this died with a worker-side ModuleNotFoundError."""
+    import os
+    import subprocess
+    import sys
+
+    script = (
+        "import os, sys\n"
+        "os.environ.pop('PYTHONPATH', None)\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '2')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "import __spark_entry__ as E\n"
+        "qs = E.queries()\n"
+        "n1 = qs['rest_scan_events'](spark, '/root/testdata/sf0.001').count()\n"
+        "n2 = qs['rest_stream_events'](spark, '/root/testdata/sf0.001').count()\n"
+        "assert n1 == n2 > 0, (n1, n2)\n"
+        "print('CLEAN_ENV_OK', n1)\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd="/tmp",
+    )
+    assert "CLEAN_ENV_OK" in out.stdout, (out.stdout[-500:], out.stderr[-1500:])
