@@ -206,6 +206,40 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "streaming_active_users_hourly",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "B13", "distinct", "chained"),
+)
+def streaming_active_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly-active-users — DISTINCT aggregation over an
+    unbounded stream, which Spark forbids directly inside a streaming
+    agg: the chained-stateful decomposition is dropDuplicates on the
+    DERIVED (window, user_id) key (state = one row per user per hour,
+    evicted by the watermark) followed by a plain count per window. A
+    different chained shape than streaming_dedup_then_window (whose
+    dedup key is the natural record id): here the dedup key includes a
+    computed event-time column, proving derived-key state works through
+    the two-watermark admission/eviction path. Hash-matches the batch
+    COUNT(DISTINCT) oracle."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withColumn("wstart", F.date_trunc("hour", "ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["wstart", "user_id"])
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("window.start").alias("wstart"), "n_users")
+    )
+    return SW.run_to_memory(agg, "complete")
+
+
+@query(
     "streaming_dedup_then_window",
     # Same aggregate contract as streaming_tumbling_window — which is the
     # point: the input is the fixture UNIONED WITH ITSELF, so if the
