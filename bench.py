@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_ngram_jaccard",
+    "dedup_verbatim_spans",
     "text_quality_score",
     "sim_topk_bruteforce",
     "sim_topk_lsh",

@@ -412,6 +412,54 @@ def connected_components(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def verbatim_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    sample_mod: int = 16,
+    min_shared: int = 2,
+) -> DataFrame:
+    """CHARACTER-level verbatim-overlap detection: document pairs sharing
+    ≥ ``min_shared`` content-sampled ``k``-char substrings — the
+    substring-tier dedup signal (copied paragraphs, boilerplate, license
+    blocks) that word-shingle Jaccard dilutes away on long documents.
+
+    Selection is CONTENT-DEFINED (rsync/LBFS chunking): a k-gram at any
+    offset is kept iff ``hash % sample_mod == 0``, so identical spans
+    select identical fingerprints regardless of their position in either
+    document — no alignment needed, unlike strided sampling. Expected
+    fingerprint density 1/sample_mod per offset; a shared verbatim run of
+    length L carries ~(L−k+1)/sample_mod shared fingerprints, so
+    ``min_shared`` = 2 needs runs of ~k+2·sample_mod chars in expectation
+    (probabilistic, not a hard floor — the standard CDC trade-off;
+    winnowing would give a hard guarantee at higher cost).
+
+    Scale shape: the per-offset explode is the linear cost (len(text)
+    rows/doc) but collapses map-side to the 1/sample_mod sample BEFORE
+    the distinct + self-join, so only fingerprints shuffle; the pair join
+    is a hash equi-join on fingerprint value whose bucket sizes the
+    ``sample_mod`` knob controls. Pure integer md5 arithmetic — exact
+    cross-engine."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+    fp = (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("_g"))
+        .select("doc", md5_mod(F.col("_g")).alias("h"))
+        .filter(F.col("h") % sample_mod == 0)
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= min_shared)
+    )
+
+
 def minhash_near_dups_incremental(
     old_df: DataFrame,
     new_df: DataFrame,

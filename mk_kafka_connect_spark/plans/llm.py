@@ -304,6 +304,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
+def _sql_verbatim_oracle() -> str:
+    h = SQL_MD5_MOD("g")
+    return f"""
+    WITH fp AS (
+      SELECT DISTINCT doc_id AS doc, h FROM (
+        SELECT doc_id, {h} AS h FROM (
+          SELECT doc_id, unnest(list_transform(
+            range(1, greatest(length(text) - 19, 0) + 1),
+            i -> substr(text, CAST(i AS INT), 20))) AS g
+          FROM documents))
+      WHERE h % 16 = 0)
+    SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared_spans
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc < b.doc
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+
+
+@query(
+    "dedup_verbatim_spans",
+    oracle=_sql_verbatim_oracle(),
+    tags=("dedup", "B15", "substring"),
+)
+def dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-tier dedup: pairs sharing ≥2 content-sampled 20-char
+    spans (hash % 16 == 0 selection — rsync/LBFS content-defined
+    chunking, position-independent by construction). Catches copied
+    paragraphs / boilerplate that document-level Jaccard dilutes on long
+    docs; complements the word-shingle families the way
+    `docs_decontaminate`'s absolute-overlap contract complements
+    `docs_decontaminate_lsh`'s proportional one."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.verbatim_span_pairs(d, "text", "doc_id", k=20, sample_mod=16, min_shared=2)
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""

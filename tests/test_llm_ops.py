@@ -269,3 +269,33 @@ def test_decontaminate_lsh_catches_true_cross_source_dups(spark):
     assert strong, "fixture should contain strong cross-source dups"
     missed = strong - set(flagged)
     assert not missed, f"true near-dups missed by LSH decontamination: {missed}"
+
+
+def test_verbatim_spans_position_independent_and_planted(spark):
+    """Content-defined sampling must be position-independent: the same
+    200-char block pasted at DIFFERENT offsets of two otherwise-random
+    documents must be detected, and unrelated docs must not pair."""
+    import random as _random
+
+    from mk_kafka_connect_spark.operators.dedup import verbatim_span_pairs
+
+    rng = _random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    rand = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    block = rand(200)
+    rows = [
+        (1, rand(300) + block + rand(100)),   # block at offset 300
+        (2, rand(50) + block + rand(400)),    # same block at offset 50
+        (3, rand(600)),                        # unrelated
+        (4, rand(600)),                        # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in verbatim_span_pairs(df, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs, f"planted 200-char shared block missed: {pairs}"
+    # ~ (200-19)/16 ≈ 11 expected shared fingerprints
+    assert pairs[(1, 2)] >= 2
+    for p in pairs:
+        assert p == (1, 2), f"false pair {p} between unrelated docs"
