@@ -305,7 +305,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_verbatim_oracle() -> str:
-    h = SQL_MD5_MOD("g")
+    # Same polynomial the Spark convolution kernel computes: Horner with
+    # mod-at-each-step lands in the identical residue class as the
+    # convolved pre-modded weights (both are the poly value mod P).
+    h = sql_poly("g")
     return f"""
     WITH fp AS (
       SELECT DISTINCT doc_id AS doc, h FROM (
