@@ -84,6 +84,10 @@ HEADLINE = [
     "multimodal_ahash",
     "docs_tfidf_topterms",
     "docs_epoch_mixture",
+    "join_bloom_prefilter",
+    "agg_bitmap_distinct",
+    "events_time_weighted_avg",
+    "events_markov_transitions",
 ]
 
 

@@ -23,6 +23,7 @@ __all__ = [
     "gapfill_hourly",
     "gapfill_locf_hourly",
     "rollup_multiresolution",
+    "time_weighted_avg",
     "trailing_zscore_hourly",
 ]
 
@@ -107,6 +108,49 @@ def rollup_multiresolution(df: DataFrame, ts_col: str, val_col: str) -> DataFram
         F.col("_total").cast("double").alias("total_value"),
     )
     return tag(hourly, "hour").unionAll(tag(daily, "day"))
+
+
+def time_weighted_avg(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str, id_col: str
+) -> DataFrame:
+    """Per-key time-weighted average under LOCF interpolation (the
+    TimescaleDB ``time_weight('LOCF', ...)`` shape): each observation's
+    value holds from its timestamp until the next one, so
+    twa = Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). Irregular sampling is
+    why the plain mean lies — a sensor that reports 100 once then 0 every
+    second is ~0, not 50.
+
+    Everything up to the final division is exact integers: values become
+    cents (×100 of the DECIMAL(18,2) cast), durations are epoch-µs longs
+    from a ``lead`` over the per-key (ts, id) total order, and each
+    cents·µs product (< 2^63 for plausible spans) is summed as
+    DECIMAL(38,0). One keyed window + one keyed aggregation — partition-
+    local sort, partial-aggregable sums, no global ordering. Keys with a
+    single observation (zero span) get NULL twa.
+    """
+    cents = (dec2(val_col) * 100).cast("long")
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy("_us", "_id")
+    t = df.select(
+        key_col,
+        cents.alias("_cents"),
+        us.alias("_us"),
+        F.col(id_col).alias("_id"),
+    ).withColumn("_delta", F.lead("_us").over(w) - F.col("_us"))
+    agg = t.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.coalesce(F.sum("_delta"), F.lit(0).cast("long")).alias("span_us"),
+        F.sum((F.col("_cents") * F.col("_delta")).cast("decimal(38,0)")).alias("_num"),
+    )
+    return agg.select(
+        key_col,
+        "n_obs",
+        "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.col("_num").cast("double") / (F.col("span_us") * 100).cast("double"),
+        ).alias("twa_value"),
+    )
 
 
 def trailing_zscore_hourly(

@@ -518,6 +518,95 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_checked(ev, "event_type", capacity=64, min_share_ppm=50000)
 
 
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT CAST(event_type AS VARCHAR) AS event_type,
+           count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events
+    """,
+    tags=("agg", "B7", "bitmap", "distinct"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable count-distinct via bitmap aggregation (Spark 3.5+
+    ``bitmap_construct_agg``/``bitmap_or_agg`` — the ClickHouse/Doris
+    roaring-bitmap idiom): each (event_type, id-bucket) group folds its
+    user ids into a fixed 4 KB bitmap, per-type counts are sums of
+    disjoint-bucket popcounts, and the ALL row is rebuilt by OR-merging
+    the per-type bitmaps — proving the same reassociation property as
+    `agg_hll_sketch_merge` but with zero error. This is the exact
+    alternative to HLL when the key domain is dense integers: partial
+    states are bounded bitmaps instead of raw keys, so a 100 TB
+    count-distinct shuffles KBs per group, pre-aggregates map-side, and
+    composes across shards/days by bitwise OR. Unlike COUNT(DISTINCT),
+    whose Expand-based plan must shuffle every key, the bitmap state is
+    also reusable: the ALL tier here costs one more tiny aggregation
+    over the per-type states, never a second scan."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("_bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("_bm"))
+    per_type = buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("_bm")).alias("distinct_users")
+    )
+    overall = (
+        buckets.groupBy("_bucket")
+        .agg(F.bitmap_or_agg("_bm").alias("_bm"))
+        .agg(F.sum(F.bitmap_count("_bm")).alias("distinct_users"))
+        .select(F.lit("ALL").alias("event_type"), "distinct_users")
+    )
+    return per_type.unionAll(overall)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+             AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY order_month
+    """,
+    tags=("join", "B6", "bloom", "semi-reduction"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): lineitem
+    joined to the urgent ~20% of orders, with the fact side pruned
+    map-side against a broadcast Bloom bitmap of the surviving order
+    keys BEFORE the join shuffle. At 100 TB this is the decisive join
+    optimization when the dim's key set is too large to broadcast as
+    rows but its membership fits in MBs of bits: non-joinable fact rows
+    die during the scan, so the shuffle moves ~20% of the table instead
+    of all of it. No false negatives (Bloom guarantee) and false
+    positives die in the real join, so the result is exactly the plain
+    join — which is precisely what the oracle runs. Catalyst's native
+    runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.*) is
+    the automatic form; this operator is the explicit, tunable one, and
+    tests/test_bloom.py pins the fp-rate and zero-false-negative
+    contracts."""
+    from ..operators.bloom import bloom_prefilter_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = bloom_prefilter_join(li, o.select("o_orderkey", "o_orderdate"), "o_orderkey")
+    return joined.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(dec2("l_extendedprice") * one_minus("l_discount")).alias("revenue"),
+    )
+
+
 _DISC_PRICE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))"

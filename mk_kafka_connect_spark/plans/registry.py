@@ -140,7 +140,12 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
     # r7 addition the 50-slot window could not hold — deferred as the
     # lowest-risk map-side op; its oracle parity is green in pytest).
 )
-# Left for the r8 window (all have ≥2 green driver rows + plan/pytest
+# Left for the r8 window, FIRST the behind-window r7 additions with zero
+# driver rows (pytest-oracle-green this round): docs_length_histogram,
+# dedup_verbatim_spans, streaming_active_users_hourly,
+# cdc_pipeline_end_to_end, join_bloom_prefilter, agg_bitmap_distinct,
+# events_time_weighted_avg, events_markov_transitions. Then the backfill
+# (all have ≥2 green driver rows + plan/pytest
 # coverage; the two oracle-tier scans are also the slowest queries in the
 # driver run): the agg battery (agg_stats/rollup/cube/grouping_sets/
 # having_filter/case_when_buckets/percentiles, skew_salted_agg), the

@@ -1349,3 +1349,88 @@ def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rollup_multiresolution(ev, "ts", "value")
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id)
+          - epoch_us(ts) AS delta
+      FROM events)
+    SELECT user_id,
+      count(*) AS n_obs,
+      CAST(coalesce(sum(delta), 0) AS BIGINT) AS span_us,
+      CASE WHEN coalesce(sum(delta), 0) > 0
+        THEN CAST(sum(cents * delta) AS DOUBLE)
+             / CAST(sum(delta) * 100 AS DOUBLE) END AS twa_value
+    FROM t GROUP BY user_id
+    """,
+    tags=("timeseries", "B7", "B9", "twa"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` under LOCF interpolation
+    (TimescaleDB's `time_weight('LOCF', ...)`): each observation holds
+    until the next one, so irregular sampling can't bias the mean the
+    way a row-average does. Exact to the last bit: cents x epoch-us
+    integer products summed as DECIMAL(38,0), one final IEEE division —
+    identical on any partitioning and in DuckDB. Scale shape: one
+    per-user window (partition-local sort) + one keyed aggregation with
+    map-side partials; nothing global."""
+    from ..operators.timeseries import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT CAST(from_type AS VARCHAR) AS from_type,
+             CAST(to_type AS VARCHAR) AS to_type, count(*) AS n
+      FROM t WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+      CAST(n AS DOUBLE)
+        / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM pairs
+    """,
+    tags=("window", "agg", "B7", "B9", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the session-flow summary
+    behind next-action prediction, funnel discovery, and bot detection
+    (uniform rows betray scripted traffic). One per-user lead window
+    (partition-local sort on the per-user total order), one keyed count,
+    then the per-from normalization runs over the |types|^2-row result —
+    the probability division is one float op over exact longs, so the
+    hash is engine-stable. Scale shape: the only row-sized exchanges are
+    keyed on user_id; everything after the pair count is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+    )

@@ -1,0 +1,81 @@
+"""Semantic tests for the late-round-7 batch-2 operators: time-weighted
+average (hand-computed LOCF integral), Markov transition normalization,
+and exact bitmap count-distinct vs COUNT(DISTINCT)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mk_kafka_connect_spark.catalog import load_table
+from mk_kafka_connect_spark.operators.timeseries import time_weighted_avg
+
+from .conftest import SF_SMOKE
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """3 observations: value 10 holds 60 s, value 20 holds 30 s, last one
+    has no span -> twa = (10*60 + 20*30) / 90 = 13.33..; a single-obs key
+    gets NULL twa and zero span."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10.0, 100),
+        (1, t0 + dt.timedelta(seconds=60), 20.0, 101),
+        (1, t0 + dt.timedelta(seconds=90), 99.0, 102),
+        (2, t0, 55.5, 200),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, event_id long")
+    out = {
+        r["user_id"]: r
+        for r in time_weighted_avg(df, "user_id", "ts", "value", "event_id").collect()
+    }
+    assert out[1]["n_obs"] == 3
+    assert out[1]["span_us"] == 90_000_000
+    assert out[1]["twa_value"] == pytest.approx((10 * 60 + 20 * 30) / 90)
+    assert out[2]["n_obs"] == 1
+    assert out[2]["span_us"] == 0
+    assert out[2]["twa_value"] is None
+
+
+def test_time_weighted_avg_partitioning_invariant(spark):
+    """Exact integer accumulation -> bit-identical on any partitioning."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    a = time_weighted_avg(ev, "user_id", "ts", "value", "event_id")
+    b = time_weighted_avg(ev.repartition(13), "user_id", "ts", "value", "event_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_markov_rows_sum_to_one(spark):
+    """Each from_type's outgoing probabilities must sum to ~1 and its
+    counts to the exact number of non-terminal events of that type."""
+    from mk_kafka_connect_spark.plans.relational import events_markov_transitions
+
+    res = events_markov_transitions(spark, SF_SMOKE)
+    sums = res.groupBy("from_type").agg(
+        F.sum("p").alias("psum"), F.sum("n").alias("nsum")
+    )
+    for r in sums.collect():
+        assert r["psum"] == pytest.approx(1.0, abs=1e-9)
+        assert r["nsum"] > 0
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    """The bitmap popcount path is EXACT — must equal COUNT(DISTINCT) per
+    type, and the OR-merged ALL row must equal the global distinct."""
+    from mk_kafka_connect_spark.plans.advanced import agg_bitmap_distinct
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = {
+        r["event_type"]: r["distinct_users"]
+        for r in agg_bitmap_distinct(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    want["ALL"] = ev.select("user_id").distinct().count()
+    assert got == want
