@@ -95,7 +95,19 @@ def probe_events_ts(path: str) -> str:
     (`streaming.windows.read_events_stream`) loaders branch on this probe
     instead of assuming a format.
     """
-    pf = pq.ParquetFile(path)
+    probe_path = path
+    if os.path.isdir(path):
+        # Spark writes datasets as part-file directories; every part shares
+        # one schema, so footer-probing the first part is sufficient.
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        probe_path = parts[0]
+    pf = pq.ParquetFile(probe_path)
     arrow_ts = pf.schema_arrow.field("ts").type
     if pa.types.is_int64(arrow_ts):
         _assert_nanos_magnitude(pf, path)

@@ -103,3 +103,16 @@ def test_unknown_ts_type_raises(tmp_path):
     _write_events(tmp_path, pa.array(["2024-01-15"], pa.string()))
     with pytest.raises(TypeError, match="unexpected parquet type"):
         probe_events_ts(os.path.join(tmp_path, "events.parquet"))
+
+
+def test_directory_parquet_events_probe_and_load(spark, tmp_path):
+    """Spark writes datasets as part-file DIRECTORIES; the footer probe
+    must handle that layout (probe the first part) so the engine can read
+    its own event output back — the 20x scale probe hit this."""
+    src = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = os.path.join(tmp_path, "events.parquet")
+    src.limit(50).repartition(3).write.parquet(out)
+    assert probe_events_ts(out) in ("nanos", "us_utc", "us_naive")
+    df = load_table(spark, str(tmp_path), "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+    assert df.count() == 50

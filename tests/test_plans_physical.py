@@ -288,3 +288,46 @@ def test_decontaminate_lsh_is_banded_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band_key" in plan
     assert plan.count("partial_min") >= 32 or plan.count("min(") >= 32
+
+
+def test_bloom_probe_filters_inside_join_subtree(spark):
+    """join_bloom_prefilter: the Arrow-vectorized Bloom probe must sit in
+    the fact-side subtree UNDER the join (map-side prune before any rows
+    reach the join), and the revenue agg must still partial-aggregate."""
+    plan = _plan(QUERIES["join_bloom_prefilter"].fn(spark, SF))
+    assert "ArrowEvalPython" in plan  # the probe runs as one Arrow batch pass
+    join_at = min(
+        (plan.index(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") if j in plan),
+        default=-1,
+    )
+    assert join_at != -1
+    assert join_at < plan.index("ArrowEvalPython")  # probe below the join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bitmap_distinct_is_mergeable_two_level_aggregate(spark):
+    """agg_bitmap_distinct: partial bitmap states must build map-side
+    (partial_bitmap_construct_agg before the exchange) and the ALL tier
+    must reuse the per-type bitmap states via bitmap_or_agg — never a
+    second Expand/shuffle of raw keys."""
+    plan = _plan(QUERIES["agg_bitmap_distinct"].fn(spark, SF))
+    assert "partial_bitmap_construct_agg" in plan
+    assert "bitmap_or_agg" in plan
+    assert "Expand" not in plan  # the COUNT(DISTINCT) plan shape is absent
+
+
+def test_time_weighted_avg_single_key_exchange(spark):
+    """events_time_weighted_avg: the lead window and the final aggregate
+    share the user_id partitioning — exactly one hash exchange of event
+    rows."""
+    plan = _plan(QUERIES["events_time_weighted_avg"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_markov_only_one_row_sized_exchange(spark):
+    """events_markov_transitions: the only exchange over event-sized data
+    is the per-user window; the pair count and per-from normalization
+    move |types|^2 rows at most."""
+    plan = _plan(QUERIES["events_markov_transitions"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
