@@ -88,6 +88,7 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "events_time_weighted_avg",
     "events_markov_transitions",
+    "multimodal_ahash_neardup",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "frame_sample",
     "resize_nearest",
     "average_hash",
+    "ahash_near_dups",
     "decode_image",
     "decode_audio",
 ]
@@ -186,6 +187,63 @@ def average_hash(bin_df: DataFrame, grid: int = 8) -> DataFrame:
             )
 
     return bin_df.select("doc_id", "payload").mapInPandas(_ahash, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dups(bin_df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image-side near-dup pairs: documents whose 64-bit aHash
+    fingerprints differ in ≤ ``max_hamming`` bits — the visual analog of
+    SimHash text dedup, resolved with the SAME pigeonhole band machinery
+    (re-encodes, crops-with-padding, and brightness shifts move only a
+    few bits of an average hash).
+
+    The 64 bits (two 32-bit words from ``average_hash``) split into 8
+    bands of 8 bits; any pair with hamming ≤ 7 must agree on at least
+    one band (pigeonhole), so candidates come from a band-key hash
+    equi-join — never an all-pairs scan — and the exact popcount filter
+    runs only on bucket-mates. At 100 TB of images the cost is one
+    fingerprint pass + one band shuffle, identical in shape to
+    ``simhash_near_dups``; ``max_hamming`` must stay < 8 or the band
+    join loses completeness (asserted)."""
+    if max_hamming >= 8:
+        raise ValueError("max_hamming must be < 8 for 8-band completeness")
+    fp = average_hash(bin_df, grid=8).select("doc_id", "ahash_hi", "ahash_lo")
+    banded = fp.select(
+        "doc_id",
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), b -> struct(b AS band_idx, "
+                "CASE WHEN b < 4 THEN shiftright(ahash_lo, b * 8) & 255 "
+                "ELSE shiftright(ahash_hi, (b - 4) * 8) & 255 END AS band_key))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "ahash_hi", "ahash_lo", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.ahash_hi").alias("hi_a"),
+            F.col("a.ahash_lo").alias("lo_a"),
+            F.col("b.ahash_hi").alias("hi_b"),
+            F.col("b.ahash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).alias("hamming")
+    return pairs.select("id_a", "id_b", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )
 
 
 def decode_image(payload: bytes):  # pragma: no cover - env-gated

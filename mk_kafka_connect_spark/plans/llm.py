@@ -1953,6 +1953,52 @@ def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_ahash_neardup",
+    # The oracle verifies the BAND-JOIN result against a full all-pairs
+    # hamming scan: with 8 bands of 8 bits, every pair at hamming <= 7
+    # must share a band (pigeonhole), so the two formulations are
+    # provably identical — any banding bug (wrong shift, lost band,
+    # dropped bucket) surfaces as a missing pair.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+        list_transform(range(0, 64),
+          i -> CAST(ascii(substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)) AS BIGINT)) AS px
+      FROM documents WHERE length(text) > 0),
+    s AS (SELECT doc_id, px, list_sum(px) AS tot FROM g),
+    b AS (
+      SELECT doc_id,
+        list_transform(range(0, 64),
+          i -> CASE WHEN px[i+1] * 64 > tot THEN 1 ELSE 0 END) AS bits
+      FROM s),
+    h AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(32, 64), i -> bits[i+1] * (1 << (i - 32)))) AS BIGINT) AS hi,
+        CAST(list_sum(list_transform(range(0, 32), i -> bits[i+1] * (1 << i))) AS BIGINT) AS lo
+      FROM b)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+    """,
+    tags=("multimodal", "B15", "ahash", "dedup"),
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visually near-duplicate payload pairs: aHash fingerprints within
+    7 hamming bits, candidates from an 8-band pigeonhole hash equi-join
+    (never all-pairs), exact popcount filter on bucket-mates — SimHash
+    text dedup transplanted to the image column, closing the multimodal
+    dedup loop (fingerprint → band → bucket-join → verify works
+    unchanged across modalities). Band keys are 8-bit so buckets stay
+    ~|corpus|/256 per band at scale; the oracle replays the decision
+    over every pair, proving band completeness."""
+    from ..operators.multimodal import ahash_near_dups, attach_fake_binary
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return ahash_near_dups(attach_fake_binary(d), max_hamming=7)
+
+
+@query(
     "docs_tfidf_topterms",
     # Log-free TF-IDF: score = tf · N / df ranks identically to
     # tf·log(N/df) within a language for fixed N (both monotone in

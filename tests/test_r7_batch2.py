@@ -79,3 +79,46 @@ def test_bitmap_distinct_equals_count_distinct(spark):
     }
     want["ALL"] = ev.select("user_id").distinct().count()
     assert got == want
+
+
+def test_ahash_neardup_finds_planted_duplicate(spark):
+    """A byte-identical payload pair must surface at hamming 0; a
+    one-char edit stays within the threshold (aHash is robust to small
+    perturbations — that is its job)."""
+    from mk_kafka_connect_spark.operators.multimodal import (
+        ahash_near_dups,
+        attach_fake_binary,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    base = docs.collect()[0]["text"]
+    extra = spark.createDataFrame(
+        [(9001, base), (9002, base), (9003, base[:-1] + ("x" if base[-1] != "x" else "y"))],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionAll(extra)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dups(attach_fake_binary(d), max_hamming=7).collect()
+    }
+    assert pairs.get((9001, 9002)) == 0
+    assert any(a in (9001, 9002) and b == 9003 for (a, b) in pairs)
+
+
+def test_ahash_band_completeness_property():
+    """Pigeonhole: ANY pair of 64-bit words at hamming <= 7 shares at
+    least one of the 8 8-bit bands — the property that makes the band
+    join a complete candidate generator."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for _ in range(500):
+        a = rng.randint(0, 2**63 - 1, dtype=np.int64)
+        flips = rng.choice(64, size=rng.randint(0, 8), replace=False)
+        b = a
+        for f in flips:
+            b = np.int64(b) ^ (np.int64(1) << np.int64(f))
+        shares = any(
+            (int(a) >> (8 * k)) & 255 == (int(b) >> (8 * k)) & 255 for k in range(8)
+        )
+        assert shares
