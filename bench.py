@@ -89,6 +89,7 @@ HEADLINE = [
     "events_time_weighted_avg",
     "events_markov_transitions",
     "multimodal_ahash_neardup",
+    "events_session_paths",
 ]
 
 

@@ -1434,3 +1434,86 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
     )
+
+
+@query(
+    "events_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, event_id, ts, event_type,
+        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS session_id
+      FROM flagged
+    ), r AS (
+      SELECT user_id, session_id, event_type,
+        row_number() OVER (PARTITION BY user_id, session_id
+                           ORDER BY ts, event_id) AS rn
+      FROM numbered
+    ), paths AS (
+      SELECT user_id, session_id,
+        string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 8 GROUP BY user_id, session_id)
+    SELECT path, count(*) AS n_sessions,
+           count(DISTINCT user_id) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    tags=("window", "B9", "sessionization", "paths"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session FLOW paths: 30-min-gap sessions rendered as ordered
+    event-type strings (first 8 events — the standard truncation that
+    keeps path cardinality bounded), counted across the corpus. The
+    full-sequence complement of `events_markov_transitions`' one-step
+    matrix — 'view>click>purchase' as a first-class value is what flow
+    visualizations and funnel discovery consume.
+
+    Scale shape: BOTH windows (session numbering on user_id, in-session
+    rank on (user_id, session_id)) are satisfied by the single user_id
+    hash exchange — HashPartitioning(user_id) clusters the composite key
+    too, so Catalyst inserts no second row-sized shuffle (pinned in the
+    plan suite). The ordered path is built by one grouped aggregate
+    (array_sort over (rn, type) structs — no per-session second window),
+    the path histogram aggregates |paths| rows, and the top-20 is a
+    TakeOrdered merge, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    numbered = ev.withColumn(
+        "new_session", F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    w2 = W.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    paths = (
+        numbered.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= 8)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

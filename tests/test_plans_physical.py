@@ -331,3 +331,46 @@ def test_markov_only_one_row_sized_exchange(spark):
     plan = _plan(QUERIES["events_markov_transitions"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_native_runtime_bloom_filter_injects(spark):
+    """Catalyst's automatic counterpart of operators/bloom.py: with the
+    size thresholds scaled down to test data (production defaults need a
+    10 GB application side), a selective dim join must inject
+    bloom_filter_agg on the creation side and might_contain on the fact
+    scan — proof the engine's join surface composes with Spark's native
+    runtime filtering at 100 TB, where these thresholds hold naturally."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+
+
+def test_session_paths_single_row_sized_exchange(spark):
+    """events_session_paths: the session-numbering window (user_id) and
+    the in-session rank window (user_id, session_id) must share ONE hash
+    exchange — HashPartitioning(user_id) clusters the composite key, so
+    a second row-sized shuffle would be a regression. Remaining
+    exchanges carry only aggregated path rows."""
+    plan = _plan(QUERIES["events_session_paths"].fn(spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
