@@ -91,12 +91,17 @@ def build_bloom_bits(
     _worker_safe(df.sparkSession)
 
     def partial_bitmaps(batches):
-        bm = np.zeros(num_bits // 8, dtype=np.uint8)
+        # Boolean scatter + one little-endian packbits: same bit layout
+        # as the probe's (idx >> 3, idx & 7) lookup, ~10x faster than a
+        # per-bit bitwise_or.at scatter on the packed bytes.
+        flags = np.zeros(num_bits, dtype=bool)
         for pdf in batches:
             hashed = pdf["_bloom_key"].to_numpy(np.int64).astype(_U64)
             for idx in _bit_positions(hashed, num_bits, num_hashes):
-                np.bitwise_or.at(bm, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
-        yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+                flags[idx] = True
+        yield pd.DataFrame(
+            {"bitmap": [np.packbits(flags, bitorder="little").tobytes()]}
+        )
 
     keyed = df.select(F.xxhash64(key).alias("_bloom_key")).where(
         (F.col(key) if isinstance(key, str) else key).isNotNull()
