@@ -90,6 +90,8 @@ HEADLINE = [
     "events_markov_transitions",
     "multimodal_ahash_neardup",
     "events_session_paths",
+    "funnel_conversion_latency",
+    "orders_rfm_segments",
 ]
 
 

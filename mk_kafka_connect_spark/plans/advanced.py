@@ -854,3 +854,80 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH snap AS (SELECT max(o_orderdate) AS d FROM orders),
+    pc AS (
+      SELECT o_custkey,
+        date_diff('day', max(o_orderdate), (SELECT d FROM snap)) AS recency_days,
+        count(*) AS frequency,
+        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT *,
+        CASE WHEN recency_days <= 90 THEN 3
+             WHEN recency_days <= 270 THEN 2 ELSE 1 END AS r_band,
+        CASE WHEN frequency >= 12 THEN 3
+             WHEN frequency >= 9 THEN 2 ELSE 1 END AS f_band,
+        CASE WHEN monetary >= 2800000 THEN 3
+             WHEN monetary >= 2000000 THEN 2 ELSE 1 END AS m_band
+      FROM pc)
+    SELECT r_band, f_band, m_band,
+      count(*) AS n_customers,
+      CAST(sum(monetary) AS DOUBLE) / count(*) AS avg_monetary,
+      min(recency_days) AS min_recency_days,
+      max(recency_days) AS max_recency_days
+    FROM scored GROUP BY r_band, f_band, m_band
+    """,
+    tags=("agg", "B7", "rfm", "segmentation"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    standard CRM slicing): one keyed aggregation per customer, FIXED
+    documented band thresholds (90/270 days, 9/12 orders, 2.0M/2.8M
+    value), then segment-level counts and exact averages. Fixed bands
+    instead of data-dependent quintiles is the deliberate scale choice:
+    an NTILE over all customers needs a single-partition global sort
+    (broken at 1B customers), while band scoring is pure map-side CASE
+    on the aggregated rows — and fixed thresholds are what CRM teams
+    deploy anyway, because segment definitions must stay stable across
+    refreshes. The snapshot date is a one-row broadcast (scalar max);
+    monetary sums are exact DECIMAL, the avg one IEEE division."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("_snap"))
+    pc = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec2("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(snap))
+        .withColumn("recency_days", F.datediff("_snap", "_last").cast("long"))
+    )
+    scored = pc.select(
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.when(F.col("recency_days") <= 90, 3)
+        .when(F.col("recency_days") <= 270, 2)
+        .otherwise(1)
+        .alias("r_band"),
+        F.when(F.col("frequency") >= 12, 3)
+        .when(F.col("frequency") >= 9, 2)
+        .otherwise(1)
+        .alias("f_band"),
+        F.when(F.col("monetary") >= 2_800_000, 3)
+        .when(F.col("monetary") >= 2_000_000, 2)
+        .otherwise(1)
+        .alias("m_band"),
+    )
+    return scored.groupBy("r_band", "f_band", "m_band").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("monetary").cast("double") / F.count(F.lit(1))).alias("avg_monetary"),
+        F.min("recency_days").alias("min_recency_days"),
+        F.max("recency_days").alias("max_recency_days"),
+    )

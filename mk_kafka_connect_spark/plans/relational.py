@@ -1517,3 +1517,76 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY e.user_id),
+    f AS (SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+          FROM v LEFT JOIN c ON v.user_id = c.user_id
+                 LEFT JOIN p ON v.user_id = p.user_id)
+    SELECT 'view' AS stage_from, 'click' AS stage_to,
+      count(t_click) AS n_converted,
+      CAST(sum(epoch_us(t_click) - epoch_us(t_view)) AS DOUBLE)
+        / count(t_click) AS avg_us,
+      min(epoch_us(t_click) - epoch_us(t_view)) AS min_us,
+      max(epoch_us(t_click) - epoch_us(t_view)) AS max_us
+    FROM f WHERE t_click IS NOT NULL
+    UNION ALL
+    SELECT 'click', 'purchase', count(t_purchase),
+      CAST(sum(epoch_us(t_purchase) - epoch_us(t_click)) AS DOUBLE)
+        / count(t_purchase),
+      min(epoch_us(t_purchase) - epoch_us(t_click)),
+      max(epoch_us(t_purchase) - epoch_us(t_click))
+    FROM f WHERE t_purchase IS NOT NULL
+    UNION ALL
+    SELECT 'view', 'purchase', count(t_purchase),
+      CAST(sum(epoch_us(t_purchase) - epoch_us(t_view)) AS DOUBLE)
+        / count(t_purchase),
+      min(epoch_us(t_purchase) - epoch_us(t_view)),
+      max(epoch_us(t_purchase) - epoch_us(t_view))
+    FROM f WHERE t_purchase IS NOT NULL
+    """,
+    tags=("funnel", "B7", "B9", "composite", "latency"),
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per funnel stage pair: among users who reached
+    both stages (in order — the funnel operator's ordered-min semantics),
+    the count plus exact min/max/avg gap in epoch-microseconds. The
+    numbers a growth team actually tunes against ('how long from click
+    to purchase?'), computed from the same one-row-per-user funnel state
+    as `funnel_view_click_purchase` — no new row-sized work, three tiny
+    aggregations over |users| rows (Catalyst reuses the funnel subtree
+    across the union branches). avg is one IEEE division of an exact
+    µs-long sum by an exact count — engine-stable."""
+    from ..operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    f = funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+    def leg(a: str, b: str, fa: str, fb: str) -> DataFrame:
+        gap = F.unix_micros(F.col(fb)) - F.unix_micros(F.col(fa))
+        return f.where(F.col(fb).isNotNull()).agg(
+            F.lit(a).alias("stage_from"),
+            F.lit(b).alias("stage_to"),
+            F.count(F.col(fb)).alias("n_converted"),
+            (F.sum(gap).cast("double") / F.count(F.col(fb))).alias("avg_us"),
+            F.min(gap).alias("min_us"),
+            F.max(gap).alias("max_us"),
+        )
+
+    return (
+        leg("view", "click", "t_view", "t_click")
+        .unionAll(leg("click", "purchase", "t_click", "t_purchase"))
+        .unionAll(leg("view", "purchase", "t_view", "t_purchase"))
+    )
