@@ -92,6 +92,7 @@ HEADLINE = [
     "events_session_paths",
     "funnel_conversion_latency",
     "orders_rfm_segments",
+    "events_dau_wau",
 ]
 
 

@@ -931,3 +931,71 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("recency_days").alias("min_recency_days"),
         F.max("recency_days").alias("max_recency_days"),
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      FROM events),
+    dau AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1)
+    SELECT d.day, max(dau.dau) AS dau, count(DISTINCT e.user_id) AS wau
+    FROM days d
+    JOIN events e ON e.ts >= d.day - INTERVAL 6 DAY
+                 AND e.ts < d.day + INTERVAL 1 DAY
+    JOIN dau ON dau.day = d.day
+    GROUP BY d.day
+    """,
+    tags=("agg", "B7", "B9", "bitmap", "distinct", "rolling"),
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling active-user counts (DAU + trailing-7-day WAU) via
+    bitmap OR-merge — the growth-metric query that is genuinely hard at
+    scale: a naive per-day COUNT(DISTINCT trailing week) rescans 7x the
+    data per day, while here each (day, id-bucket) pair folds its users
+    into one 4 KB bitmap ONCE, each bitmap row EXPLODES to the 7 target
+    days it contributes to, and the per-target-day OR-merge rebuilds the
+    trailing week. The explode-contribution form (not a RANGE window)
+    is load-bearing for correctness: a bucket with no events on day d
+    has no row for a window frame anchored at d to see, silently
+    dropping that bucket's earlier-in-week users — the contribution
+    rows land on every covered day regardless. Shuffle volume is
+    7x|days|x|buckets| bitmap rows — independent of event count — and
+    the result is exact, not an HLL estimate. Zero-event days emit no
+    row (documented; the fixture has none)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    daily = ev.groupBy(
+        day_idx.alias("_day_idx"),
+        F.bitmap_bucket_number("user_id").alias("_bucket"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("_bm"))
+    dau = daily.groupBy("_day_idx").agg(
+        F.sum(F.bitmap_count("_bm")).alias("dau")
+    )
+    contrib = daily.select(
+        F.explode(F.expr("sequence(_day_idx, _day_idx + 6)")).alias("_t_idx"),
+        "_bucket",
+        "_bm",
+    )
+    wau = (
+        contrib.groupBy("_t_idx", "_bucket")
+        .agg(F.expr("bitmap_or_agg(_bm)").alias("_wbm"))
+        .groupBy("_t_idx")
+        .agg(F.sum(F.bitmap_count("_wbm")).alias("wau"))
+    )
+    return (
+        dau.join(wau, dau._day_idx == wau._t_idx)
+        .select(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("_day_idx"))
+            .cast("timestamp")
+            .alias("day"),
+            "dau",
+            "wau",
+        )
+    )

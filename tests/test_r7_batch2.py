@@ -122,3 +122,34 @@ def test_ahash_band_completeness_property():
             (int(a) >> (8 * k)) & 255 == (int(b) >> (8 * k)) & 255 for k in range(8)
         )
         assert shares
+
+
+def test_dau_wau_counts_bucket_silent_on_target_day(spark):
+    """The failure mode the explode-contribution form exists for: a user
+    active earlier in the trailing week whose id-bucket has NO events on
+    the target day must still count toward that day's WAU. User 0 sits
+    alone in bitmap bucket 0, active only on day 1; day 3's WAU must
+    include them, day 10's must not."""
+    from mk_kafka_connect_spark.plans.advanced import events_dau_wau
+    import datetime as dt
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(1, t0, 0)]  # user 0: bucket 0, day 1 only
+    rows += [
+        (100 + d * 10 + i, t0 + dt.timedelta(days=d), 10 + i)
+        for d in range(0, 12)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, "view", 1.0, "{}") for eid, ts, uid in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = {r["day"].date(): (r["dau"], r["wau"]) for r in events_dau_wau(spark, tmp).collect()}
+    d1, d3, d10 = (dt.date(2024, 3, 1), dt.date(2024, 3, 3), dt.date(2024, 3, 10))
+    assert out[d1] == (4, 4)          # user 0 + 3 regulars
+    assert out[d3] == (3, 4)          # bucket 0 silent on day 3, still in WAU
+    assert out[d10] == (3, 3)         # user 0 aged out of the 7-day window
