@@ -93,6 +93,7 @@ HEADLINE = [
     "funnel_conversion_latency",
     "orders_rfm_segments",
     "events_dau_wau",
+    "dq_checks_orders",
 ]
 
 
