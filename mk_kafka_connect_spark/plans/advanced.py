@@ -1084,3 +1084,45 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return col_rules.unionAll(ri).select(
         "rule", "n_violations", (F.col("n_violations") == 0).alias("passed")
     )
+
+
+@query(
+    "cdc_snapshot_asof",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, event_id, value, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, event_id, value, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20 00:00:00')
+    """,
+    tags=("cdc", "B8", "B9", "scd2", "time-travel"),
+)
+def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD-2 history: the per-key state exactly as
+    of 2024-01-20 — the version row whose [valid_from, valid_to)
+    interval contains the snapshot instant. This is the query the
+    versioned dimension EXISTS for ('what did this customer look like
+    when the order shipped?'); together with `cdc_scd2_history` (build)
+    and `cdc_merge_upsert` (latest-wins) it completes the CDC apply
+    family. Same single key-partitioned window as the history build,
+    then a map-side interval predicate — at scale the predicate prunes
+    with the history's partition layout, never a second shuffle."""
+    from ..operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    t = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    hist = scd2_history(
+        ev.select("user_id", "event_id", "value", "ts"),
+        ["user_id"],
+        "ts",
+        tiebreak_col="event_id",
+    )
+    return hist.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_id", "value", "valid_from")
