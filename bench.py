@@ -94,6 +94,7 @@ HEADLINE = [
     "orders_rfm_segments",
     "events_dau_wau",
     "dq_checks_orders",
+    "sim_topk_pq",
 ]
 
 

@@ -44,6 +44,8 @@ __all__ = [
     "cosine_topk_lsh",
     "train_ivf_centroids",
     "cosine_topk_ivf",
+    "train_pq_codebooks",
+    "cosine_topk_pq",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "label_centroids",
@@ -920,3 +922,205 @@ def nearest_centroid_assign(
         )
     )
     return best
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_sub: int = 4,
+    codes_per_sub: int = 16,
+    iters: int = 1,
+) -> np.ndarray:
+    """Deterministic product-quantization training (FAISS ``PQ4x4``
+    shape): the vector splits into ``num_sub`` contiguous subspaces and
+    each gets its own ``codes_per_sub``-entry codebook. Seeds are the
+    subvectors of the SAME Knuth-mix hash-ordered rows the IVF trainer
+    uses (one K-row collect serves all subspaces), refined with
+    ``iters`` Lloyd steps under integer squared-L2 assignment (ties to
+    the lower code — np.argmin is first-occurrence) and the IVF
+    trainer's exact round-half-away centroid update — so the codebooks
+    are bit-identical across partitionings and SQL-replayable.
+
+    Returns (num_sub × codes_per_sub × dsub) int64. Like the IVF
+    centroids this is model-parameter extraction: K·dims longs total,
+    KBs regardless of corpus size."""
+    base = corpus.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "_h", F.pmod(F.col("id").cast("long") * F.lit(2654435761), F.lit(4294967296))
+    )
+    seeds = base.orderBy("_h", "id").limit(codes_per_sub).select("qv").collect()
+    S0 = np.array([r.qv for r in seeds], dtype=np.int64)  # (K, dims)
+    dims = S0.shape[1]
+    dsub = dims // num_sub
+    books = np.stack(
+        [S0[:, m * dsub : (m + 1) * dsub] for m in range(num_sub)]
+    )  # (M, K, dsub)
+
+    for _ in range(iters):
+        coded = _pq_assign(base, books, vec_col="qv")
+        # (M, code, pos) integer sums over the training rows: the explode
+        # is dims x |rows| — the same expansion the IVF trainer uses —
+        # and the collect is M*K*dsub summary rows (model-sized).
+        sums = (
+            coded.select(
+                F.posexplode("_codes").alias("m", "code"), "qv"
+            )
+            .select(
+                "m",
+                "code",
+                F.posexplode(
+                    F.expr(f"slice(qv, m * {dsub} + 1, {dsub})")
+                ).alias("pos", "val"),
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = books.copy()
+        for r in sums:
+            s, n = r.s, r.n
+            new[r.m, r.code, r.pos] = (
+                (2 * s + n) // (2 * n) if s >= 0 else -((2 * (-s) + n) // (2 * n))
+            )
+        books = new
+    return books
+
+
+def _pq_assign(df: DataFrame, books: np.ndarray, vec_col: str) -> DataFrame:
+    """Attach ``_codes`` (array<int>, one code per subspace): per batch,
+    one integer |x-c|^2 evaluation against each broadcast sub-codebook
+    via matmul identity |x|^2 - 2x.c + |c|^2 — exact int64, stable
+    argmin ties to the lower code."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = books.astype(np.int64)
+    M, K, dsub = B.shape
+
+    @pandas_udf("array<int>")
+    def _codes(qv: pd.Series) -> pd.Series:
+        if qv.empty:
+            return pd.Series([], dtype="object")
+        A = np.array(qv.tolist(), dtype=np.int64)
+        out = np.empty((len(A), M), dtype=np.int32)
+        for m in range(M):
+            X = A[:, m * dsub : (m + 1) * dsub]
+            C = B[m]
+            d = (
+                (X * X).sum(axis=1)[:, None]
+                - 2 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            out[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return df.withColumn("_codes", _codes(F.col(vec_col)))
+
+
+def _pq_pack_udf():
+    """array<int> codes -> BINARY (one uint8 per subspace): the PQ index
+    physically ships num_sub BYTES per vector — with 4 subspaces that is
+    64 B (SQ8) -> 4 B, a further 16x on top of SQ8's 8x."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _pack(codes: pd.Series) -> pd.Series:
+        if codes.empty:
+            return pd.Series([], dtype=object)
+        A = np.array(codes.tolist(), dtype=np.uint8)
+        return pd.Series([row.tobytes() for row in A])
+
+    return _pack
+
+
+def _pq_adc_udf(books: np.ndarray):
+    """Asymmetric distance computation: cosine of the full-precision
+    query against the CODE RECONSTRUCTION, evaluated by codebook gather
+    (never materializing the reconstructed vectors): dot = sum_m
+    LUT[m][code_m] with LUT[m] = q_sub_m . codebook_m, |recon|^2 =
+    sum_m |centroid|^2 gathered the same way. Exact int64 sums, one
+    sqrt/divide — bit-identical to DuckDB scoring the concatenated
+    reconstruction with the shared cosine fragment."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = books.astype(np.int64)
+    M, K, dsub = B.shape
+    cn2 = (B * B).sum(axis=2)  # (M, K) exact |centroid|^2
+
+    @pandas_udf("double")
+    def _adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        if qv.empty:
+            return pd.Series([], dtype="float64")
+        Q = np.array(qv.tolist(), dtype=np.int64)
+        C = np.frombuffer(b"".join(codes), dtype=np.uint8).reshape(len(codes), M)
+        dot = np.zeros(len(Q), dtype=np.int64)
+        r2 = np.zeros(len(Q), dtype=np.int64)
+        for m in range(M):
+            lut = Q[:, m * dsub : (m + 1) * dsub] @ B[m].T  # (rows, K)
+            idx = C[:, m].astype(np.int64)
+            dot += lut[np.arange(len(Q)), idx]
+            r2 += cn2[m][idx]
+        nq = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        return pd.Series(dot.astype(np.float64) / (nq * np.sqrt(r2.astype(np.float64))))
+
+    return _adc
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank: int = 30,
+) -> DataFrame:
+    """Approximate top-k via a PRODUCT-QUANTIZED flat index (FAISS
+    ``PQ``): the corpus scan reads ``num_sub`` BYTES per vector (4 B
+    here — 16x smaller than SQ8's 64 B, ~128x smaller than the
+    full-precision ints), scores by codebook gather (ADC), cuts to the
+    top-``rerank`` per query, and re-scores those exactly. Completes
+    the ANN family's compression axis: LSH/IVF prune WHICH vectors are
+    compared, SQ8 shrinks each comparison 8x, PQ shrinks it to
+    codebook lookups. Deterministic end-to-end (integer training,
+    stable-argmin encoding, id tie-breaks), so the full pipeline —
+    training included — replays in SQL for the driver's value hash."""
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    pack = _pq_pack_udf()
+    cc = (
+        _pq_assign(c_full, books, vec_col="cv")
+        .select("neighbor_id", pack("_codes").alias("pqc"))
+    )
+    adc = _pq_adc_udf(books)
+    wc = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(q_full)
+        .crossJoin(cc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.coalesce(adc(F.col("qv"), F.col("pqc")), F.lit(-2.0)).alias("approx"),
+        )
+        .withColumn("_crnk", F.row_number().over(wc))
+        .filter(F.col("_crnk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

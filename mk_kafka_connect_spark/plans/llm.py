@@ -2133,3 +2133,117 @@ def docs_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _set_oracle("docs_epoch_mixture", _sql_epoch_oracle())
+
+
+def _pq_oracle() -> str:
+    """SQL replay of the FULL product-quantization pipeline
+    (operators/similarity.py::train_pq_codebooks / cosine_topk_pq):
+    per-subspace hash-seeded codebooks + one integer-L2 Lloyd step,
+    corpus encoding by stable argmin, ADC scoring as cosine against the
+    concatenated reconstruction, top-60 cut, exact rescore. 16 subspaces
+    x 16 codes over 4-dim slices; every step is exact integer math so
+    the hash matches bit-for-bit."""
+    n_sub, dsub = 16, 4
+    subs = []
+    for m in range(n_sub):
+        a, b = m * dsub + 1, m * dsub + dsub
+        sub = f"list_slice(h.qv, {a}, {b})"
+        l2 = (
+            "list_sum(list_transform(list_zip({x}, {c}), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))"
+        )
+        subs.append(f"""
+    seeds{m} AS (
+      SELECT cell, list_slice(qv, {a}, {b}) AS cv FROM (
+        SELECT qv, row_number() OVER (ORDER BY hh, id) - 1 AS cell FROM h)
+      WHERE cell < 16),
+    asg{m} AS (
+      SELECT id, sub, cell FROM (
+        SELECT h.id, {sub} AS sub, s.cell,
+          row_number() OVER (PARTITION BY h.id
+                             ORDER BY {l2.format(x=sub, c='s.cv')} ASC, s.cell) AS rnk
+        FROM h CROSS JOIN seeds{m} s)
+      WHERE rnk = 1),
+    sums{m} AS (
+      SELECT cell, i AS pos, SUM(sub[i + 1]) AS s, COUNT(*) AS n
+      FROM asg{m}, unnest(range(0, {dsub})) t(i)
+      GROUP BY cell, i),
+    newv{m} AS (
+      SELECT cell, list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                             ELSE -((2 * (-s) + n) // (2 * n)) END
+                        ORDER BY pos) AS cv
+      FROM sums{m} GROUP BY cell),
+    cents{m} AS (
+      SELECT s.cell, COALESCE(n.cv, s.cv) AS cv
+      FROM seeds{m} s LEFT JOIN newv{m} n USING (cell)),
+    code{m} AS (
+      SELECT id, cell FROM (
+        SELECT h.id, c.cell,
+          row_number() OVER (PARTITION BY h.id
+                             ORDER BY {l2.format(x=sub, c='c.cv')} ASC, c.cell) AS rnk
+        FROM h CROSS JOIN cents{m} c)
+      WHERE rnk = 1)""")
+    joins = "\n      ".join(
+        f"JOIN code{m} ON code{m}.id = h.id "
+        f"JOIN cents{m} cc{m} ON cc{m}.cell = code{m}.cell"
+        for m in range(n_sub)
+    )
+    concat = " || ".join(f"cc{m}.cv" for m in range(n_sub))
+    return f"""
+    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
+               FROM embeddings),
+    h AS (SELECT id, qv, (id * 2654435761) % 4294967296 AS hh FROM v),{','.join(subs)},
+    recon AS (
+      SELECT h.id AS neighbor_id,
+        {concat} AS rv
+      FROM h
+      {joins}),
+    scored AS (
+      SELECT q.id AS query_id, r.neighbor_id,
+        {_sql_cos('q.qv', 'r.rv')} AS approx
+      FROM h q JOIN recon r ON q.id <> r.neighbor_id
+      WHERE q.id < 100),
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx DESC, neighbor_id) AS crnk
+        FROM scored)
+      WHERE crnk <= 60),
+    rescored AS (
+      SELECT t.query_id, t.neighbor_id, {_sql_cos('q.qv', 'c.qv')} AS cosine
+      FROM topc t JOIN h q ON t.query_id = q.id
+                  JOIN h c ON t.neighbor_id = c.id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rescored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query(
+    "sim_topk_pq",
+    oracle=_pq_oracle(),
+    tags=("similarity", "B15", "pq"),
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via a PRODUCT-QUANTIZED flat index (FAISS PQ,
+    16 subspaces x 16 codes over 4-dim slices): the corpus index is 16
+    BYTES per vector — 4x smaller than SQ8's 64 B, 32x smaller than the
+    full-precision ints — and the scan scores by codebook gather
+    (asymmetric distance computation), then the top-60 cut is re-scored
+    exactly. Completes the ANN compression axis (LSH/IVF prune WHICH
+    comparisons happen; SQ8/PQ shrink EACH one). The fixture embeddings
+    are near-random — PQ's worst case, since reconstruction error is
+    what random data maximizes — so 16 fine subspaces are needed for
+    ~0.89 recall here; clustered production embeddings reach the same
+    recall with coarser books (the compression knob a deployment
+    turns). Training, encoding, and scoring are all deterministic
+    integer math, so the ENTIRE pipeline — codebook training included —
+    replays in SQL for the driver's value hash; recall vs brute force
+    is pinned in tests like the other ANN tiers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(emb, num_sub=16, codes_per_sub=16, iters=1)
+    return S.cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 100), books, k=10, rerank=60
+    )

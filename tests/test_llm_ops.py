@@ -299,3 +299,50 @@ def test_verbatim_spans_position_independent_and_planted(spark):
     assert pairs[(1, 2)] >= 2
     for p in pairs:
         assert p == (1, 2), f"false pair {p} between unrelated docs"
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """PQ flat-index top-10 (16 subspaces x 16 codes, rerank=60) must
+    reach >=80% average recall of the exact top-10 on the near-random
+    fixture (PQ's worst case — reconstruction error is maximal without
+    cluster structure; measured ~0.89). Rescored cosines must equal the
+    exact scores bit-for-bit."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    exact = S.cosine_topk_bruteforce(emb, queries, k=10).collect()
+    books = S.train_pq_codebooks(emb, num_sub=16, codes_per_sub=16, iters=1)
+    approx = S.cosine_topk_pq(emb, queries, books, k=10, rerank=60).collect()
+    from collections import defaultdict
+
+    e, a = defaultdict(set), defaultdict(set)
+    escore = {}
+    for r in exact:
+        e[r.query_id].add(r.neighbor_id)
+        escore[(r.query_id, r.neighbor_id)] = r.cosine
+    for r in approx:
+        a[r.query_id].add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in escore:
+            assert escore[(r.query_id, r.neighbor_id)] == r.cosine
+    recalls = [len(e[q] & a[q]) / len(e[q]) for q in e]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.8, f"PQ recall too low: {avg:.2f}"
+
+
+def test_pq_codebooks_deterministic_and_compact(spark):
+    """Training must be bit-identical across partitionings (integer
+    Lloyd, hash-ordered seeds), and the packed index must physically be
+    num_sub bytes per vector."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings")
+    b1 = S.train_pq_codebooks(emb, num_sub=16, codes_per_sub=16, iters=1)
+    b2 = S.train_pq_codebooks(emb.repartition(7), num_sub=16, codes_per_sub=16, iters=1)
+    assert (b1 == b2).all()
+    assert b1.shape == (16, 16, 4)
+    coded = S._pq_assign(
+        emb.select(F.col("vec_id").alias("id"), S.quantize(F.col("embedding")).alias("cv")),
+        b1,
+        vec_col="cv",
+    ).select(S._pq_pack_udf()(F.col("_codes")).alias("pqc"))
+    lens = {len(r.pqc) for r in coded.collect()}
+    assert lens == {16}

@@ -21,6 +21,8 @@ ALLOWED = {
     "sim_topk_bruteforce": "exact |Q|x|C| baseline the ANN paths verify against",
     "sim_topk_sq8": "SQ8 flat index: |Q|x|C| by design at 1/8 scan bandwidth; "
     "IVF/LSH are the comparison-pruning tiers",
+    "sim_topk_pq": "PQ flat index: |Q|x|C| by design at 16 B/vector "
+    "(codebook-gather ADC); IVF/LSH are the comparison-pruning tiers",
     # Declared operator surface.
     "join_cross": "the B6 cross-join coverage query itself",
     "udf_row_python": "deliberate B14 row-UDF surface (paired with vectorized variants)",
