@@ -95,6 +95,7 @@ HEADLINE = [
     "events_dau_wau",
     "dq_checks_orders",
     "sim_topk_pq",
+    "sim_topk_ivf_pq",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "cosine_topk_ivf",
     "train_pq_codebooks",
     "cosine_topk_pq",
+    "cosine_topk_ivf_pq",
     "embedding_near_dup_pairs",
     "embedding_near_dup_lsh",
     "label_centroids",
@@ -1102,6 +1103,69 @@ def cosine_topk_pq(
     cand = (
         F.broadcast(q_full)
         .crossJoin(cc)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.coalesce(adc(F.col("qv"), F.col("pqc")), F.lit(-2.0)).alias("approx"),
+        )
+        .withColumn("_crnk", F.row_number().over(wc))
+        .filter(F.col("_crnk") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 60,
+) -> DataFrame:
+    """The production-default ANN index (FAISS ``IVFx,PQy``): the IVF
+    coarse quantizer prunes WHICH vectors each query compares against
+    (inverted-list hash equi-join on ``cell``), and the shortlist is
+    scored against 16-byte PQ codes by codebook gather before the exact
+    rescore of the top-``rerank``. Relative to IVF+SQ8 the per-candidate
+    bytes drop another 4x; relative to flat PQ the candidate count drops
+    by ~nprobe/num_cells. Same determinism guarantees as both parents —
+    the full pipeline (both trainings included) replays in SQL."""
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    pack = _pq_pack_udf()
+    celled = assign_ivf_cells(c_full, centroids, vec_col="cv", quantized=True, nprobe=1)
+    cc = _pq_assign(celled, books, vec_col="cv").select(
+        "neighbor_id", "cell", pack("_codes").alias("pqc")
+    )
+    probes = (
+        assign_ivf_cells(q_full, centroids, vec_col="qv", quantized=True, nprobe=nprobe)
+        .select("query_id", "qv", F.explode("_cells").alias("cell"))
+    )
+    adc = _pq_adc_udf(books)
+    wc = W.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(probes)
+        .join(cc, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -2135,14 +2135,13 @@ def docs_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _set_oracle("docs_epoch_mixture", _sql_epoch_oracle())
 
 
-def _pq_oracle() -> str:
-    """SQL replay of the FULL product-quantization pipeline
-    (operators/similarity.py::train_pq_codebooks / cosine_topk_pq):
-    per-subspace hash-seeded codebooks + one integer-L2 Lloyd step,
-    corpus encoding by stable argmin, ADC scoring as cosine against the
-    concatenated reconstruction, top-60 cut, exact rescore. 16 subspaces
-    x 16 codes over 4-dim slices; every step is exact integer math so
-    the hash matches bit-for-bit."""
+def _pq_fragments():
+    """Shared SQL fragments replaying train_pq_codebooks + _pq_assign
+    over the corpus CTE ``h``: per-subspace hash-seeded codebooks + one
+    integer-L2 Lloyd step, then stable-argmin encoding and the
+    ``recon`` reconstruction relation. Used by both the flat-PQ and the
+    stacked IVF+PQ oracles (16 subspaces x 16 codes over 4-dim
+    slices)."""
     n_sub, dsub = 16, 4
     subs = []
     for m in range(n_sub):
@@ -2153,51 +2152,59 @@ def _pq_oracle() -> str:
             "p -> (p[1]-p[2])*(p[1]-p[2])))"
         )
         subs.append(f"""
-    seeds{m} AS (
+    pqseed{m} AS (
       SELECT cell, list_slice(qv, {a}, {b}) AS cv FROM (
         SELECT qv, row_number() OVER (ORDER BY hh, id) - 1 AS cell FROM h)
       WHERE cell < 16),
-    asg{m} AS (
+    pqasg{m} AS (
       SELECT id, sub, cell FROM (
         SELECT h.id, {sub} AS sub, s.cell,
           row_number() OVER (PARTITION BY h.id
                              ORDER BY {l2.format(x=sub, c='s.cv')} ASC, s.cell) AS rnk
-        FROM h CROSS JOIN seeds{m} s)
+        FROM h CROSS JOIN pqseed{m} s)
       WHERE rnk = 1),
-    sums{m} AS (
+    pqsum{m} AS (
       SELECT cell, i AS pos, SUM(sub[i + 1]) AS s, COUNT(*) AS n
-      FROM asg{m}, unnest(range(0, {dsub})) t(i)
+      FROM pqasg{m}, unnest(range(0, {dsub})) t(i)
       GROUP BY cell, i),
-    newv{m} AS (
+    pqnew{m} AS (
       SELECT cell, list(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
                              ELSE -((2 * (-s) + n) // (2 * n)) END
                         ORDER BY pos) AS cv
-      FROM sums{m} GROUP BY cell),
-    cents{m} AS (
+      FROM pqsum{m} GROUP BY cell),
+    pqcent{m} AS (
       SELECT s.cell, COALESCE(n.cv, s.cv) AS cv
-      FROM seeds{m} s LEFT JOIN newv{m} n USING (cell)),
-    code{m} AS (
+      FROM pqseed{m} s LEFT JOIN pqnew{m} n USING (cell)),
+    pqcode{m} AS (
       SELECT id, cell FROM (
         SELECT h.id, c.cell,
           row_number() OVER (PARTITION BY h.id
                              ORDER BY {l2.format(x=sub, c='c.cv')} ASC, c.cell) AS rnk
-        FROM h CROSS JOIN cents{m} c)
+        FROM h CROSS JOIN pqcent{m} c)
       WHERE rnk = 1)""")
     joins = "\n      ".join(
-        f"JOIN code{m} ON code{m}.id = h.id "
-        f"JOIN cents{m} cc{m} ON cc{m}.cell = code{m}.cell"
+        f"JOIN pqcode{m} ON pqcode{m}.id = h.id "
+        f"JOIN pqcent{m} cc{m} ON cc{m}.cell = pqcode{m}.cell"
         for m in range(n_sub)
     )
     concat = " || ".join(f"cc{m}.cv" for m in range(n_sub))
-    return f"""
-    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
-               FROM embeddings),
-    h AS (SELECT id, qv, (id * 2654435761) % 4294967296 AS hh FROM v),{','.join(subs)},
+    frags = f"""{','.join(subs)},
     recon AS (
       SELECT h.id AS neighbor_id,
         {concat} AS rv
       FROM h
-      {joins}),
+      {joins})"""
+    return frags
+
+
+def _pq_oracle() -> str:
+    """Flat-PQ oracle: the _pq_fragments replay + ADC scoring of every
+    (query, corpus) pair as cosine against the reconstruction, top-60
+    cut, exact rescore — bit-for-bit the cosine_topk_pq result."""
+    return f"""
+    WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS qv
+               FROM embeddings),
+    h AS (SELECT id, qv, (id * 2654435761) % 4294967296 AS hh FROM v),{_pq_fragments()},
     scored AS (
       SELECT q.id AS query_id, r.neighbor_id,
         {_sql_cos('q.qv', 'r.rv')} AS approx
@@ -2246,4 +2253,53 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = S.train_pq_codebooks(emb, num_sub=16, codes_per_sub=16, iters=1)
     return S.cosine_topk_pq(
         emb, emb.filter(F.col("vec_id") < 100), books, k=10, rerank=60
+    )
+
+
+_IVF_PQ_ORACLE = f"""{_IVF_PREFIX},{_pq_fragments()},
+    scored AS (
+      SELECT p.query_id, c.neighbor_id,
+        {_sql_cos('p.qv', 'r.rv')} AS approx
+      FROM prob p JOIN corp c USING (cell)
+                  JOIN recon r ON r.neighbor_id = c.neighbor_id
+      WHERE p.query_id <> c.neighbor_id),
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx DESC, neighbor_id) AS crnk
+        FROM scored)
+      WHERE crnk <= 60),
+    rescored AS (
+      SELECT t.query_id, t.neighbor_id, {_sql_cos('q.qv', 'c.cvv')} AS cosine
+      FROM topc t JOIN h q ON t.query_id = q.id
+                  JOIN corp c ON t.neighbor_id = c.neighbor_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rescored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@query(
+    "sim_topk_ivf_pq",
+    oracle=_IVF_PQ_ORACLE,
+    tags=("similarity", "B15", "ivf", "pq"),
+)
+def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-DEFAULT ANN index (FAISS ``IVF8,PQ16``): the IVF
+    coarse quantizer prunes WHICH vectors each query compares against
+    (~nprobe/num_cells of the corpus via the inverted-list equi-join)
+    and the PQ codes shrink EACH surviving comparison to a 16-byte
+    codebook gather — a further 4x under IVF+SQ8's int8 scan — before
+    the exact rescore of the top-60. Both quantizers train
+    deterministically (hash seeds, integer Lloyd), so the complete
+    two-tier pipeline — both trainings included — replays in SQL and
+    hash-checks like an exact operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.train_ivf_centroids(emb, num_cells=8, iters=1)
+    books = S.train_pq_codebooks(emb, num_sub=16, codes_per_sub=16, iters=1)
+    return S.cosine_topk_ivf_pq(
+        emb, emb.filter(F.col("vec_id") < 100), cents, books,
+        k=10, nprobe=4, rerank=60,
     )
