@@ -153,3 +153,29 @@ def test_dau_wau_counts_bucket_silent_on_target_day(spark):
     assert out[d1] == (4, 4)          # user 0 + 3 regulars
     assert out[d3] == (3, 4)          # bucket 0 silent on day 3, still in WAU
     assert out[d10] == (3, 3)         # user 0 aged out of the 7-day window
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: a 24-file directory collapses to the
+    size-targeted count, rows and values survive byte-for-byte, and a
+    second run is a no-op."""
+    import os
+
+    from mk_kafka_connect_spark.operators.maintenance import (
+        compact_parquet,
+        layout_stats,
+    )
+
+    src = load_table(spark, SF_SMOKE, "orders")
+    path = os.path.join(tmp_path, "orders_small")
+    src.repartition(24).write.parquet(path)
+    before = layout_stats(spark, path)
+    assert before["n_files"] == 24
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    res = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert res["compacted"] and res["n_files_after"] == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    res2 = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert not res2["compacted"]
