@@ -179,3 +179,47 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
 
     res2 = compact_parquet(spark, path, target_bytes=1 << 30)
     assert not res2["compacted"]
+
+
+def test_zorder_layout_prunes_row_groups(spark, tmp_path):
+    """Z-ordering must make row-group min/max stats selective on BOTH
+    participating columns: for a small box predicate on (l_orderkey,
+    l_partkey), the fraction of row groups whose stats overlap the box
+    must drop by at least 2x vs the natural (insertion-ordered) layout,
+    and the data must survive the rewrite byte-for-byte."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mk_kafka_connect_spark.operators.layout import zorder_write
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    plain, zpath = os.path.join(tmp_path, "plain"), os.path.join(tmp_path, "zord")
+    li.repartition(8).write.parquet(plain)
+    zorder_write(li, zpath, ["l_orderkey", "l_partkey"], n_files=8)
+
+    def overlap_frac(path, lo1, hi1, lo2, hi2):
+        tot = hit = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            pf = pq.ParquetFile(f)
+            i1 = pf.schema_arrow.get_field_index("l_orderkey")
+            i2 = pf.schema_arrow.get_field_index("l_partkey")
+            for rg in range(pf.metadata.num_row_groups):
+                s1 = pf.metadata.row_group(rg).column(i1).statistics
+                s2 = pf.metadata.row_group(rg).column(i2).statistics
+                tot += 1
+                if s1.min <= hi1 and s1.max >= lo1 and s2.min <= hi2 and s2.max >= lo2:
+                    hit += 1
+        return hit / tot
+
+    # A small box in both dimensions (~10% of each domain:
+    # l_orderkey 0..15000, l_partkey 0..2000 in this fixture).
+    f_plain = overlap_frac(plain, 1000, 2500, 100, 300)
+    f_z = overlap_frac(zpath, 1000, 2500, 100, 300)
+    assert f_z <= f_plain / 2, f"z-order did not prune: plain {f_plain:.2f} vs z {f_z:.2f}"
+
+    want = sorted(map(tuple, li.collect()))
+    assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == want
