@@ -223,3 +223,56 @@ def test_zorder_layout_prunes_row_groups(spark, tmp_path):
 
     want = sorted(map(tuple, li.collect()))
     assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == want
+
+
+def _reference_bpe(word_freqs, n_merges):
+    """Pure-Python BPE (the textbook algorithm) to pin the distributed
+    trainer: same tie-break (count desc, pair lexicographic asc), same
+    left-to-right non-overlapping merge application."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark):
+    """The distributed trainer's merge list must equal the pure-Python
+    textbook BPE on the same word frequencies, merge for merge."""
+    from mk_kafka_connect_spark.operators.bpe import train_bpe, word_frequencies
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    wf = {r["word"]: r["freq"] for r in word_frequencies(docs, "text").collect()}
+    want = _reference_bpe(wf, 15)
+    got = train_bpe(docs, "text", n_merges=15, checkpoint_every=5)
+    assert got == want
+    assert len(got) == 15
+
+
+def test_bpe_deterministic_across_partitionings(spark):
+    from mk_kafka_connect_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    assert train_bpe(docs, "text", n_merges=8) == train_bpe(
+        docs.repartition(7), "text", n_merges=8
+    )
