@@ -96,6 +96,7 @@ HEADLINE = [
     "dq_checks_orders",
     "sim_topk_pq",
     "sim_topk_ivf_pq",
+    "basket_brand_affinity",
 ]
 
 

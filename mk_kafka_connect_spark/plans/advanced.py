@@ -1126,3 +1126,80 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "event_id", "value", "valid_from")
+
+
+@query(
+    "basket_brand_affinity",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    per AS (SELECT p_brand, count(*) AS n_b FROM ob GROUP BY p_brand),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+      FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                        AND a.p_brand < b.p_brand
+      GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+      CAST((SELECT n_orders FROM n) * p.n_ab AS DOUBLE)
+        / (pa.n_b * pb.n_b) AS lift
+    FROM pairs p
+      JOIN per pa ON pa.p_brand = p.brand_a
+      JOIN per pb ON pb.p_brand = p.brand_b
+    WHERE p.n_ab >= 20
+    """,
+    tags=("agg", "join", "B6", "B7", "basket", "affinity"),
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over order contents: for every brand
+    pair bought in the same order at least 20 times, the co-occurrence
+    count and its LIFT (n_orders·n_ab / (n_a·n_b) — >1 means the pair
+    attracts, <1 repels). The association-rule primitive behind
+    recommendations and assortment planning.
+
+    Scale shape: the raw table reduces FIRST to distinct (order, brand)
+    — |orders|×|brands-per-order| rows — so the pair self-join explodes
+    only within an order's brand set (~k² per order for k≈4 brands, via
+    the l_orderkey hash equi-join, never a global cross product); brand
+    marginals are a 25-row broadcast and the lift is one IEEE division
+    of exact longs. A 100 TB basket sweep is bounded by Σ k² over
+    orders, the same cost class as the funnel/session operators."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    per = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 20)
+    )
+    pa = per.select(F.col("p_brand").alias("brand_a"), F.col("n_b").alias("_na"))
+    pb = per.select(F.col("p_brand").alias("brand_b"), F.col("n_b").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(pa), "brand_a")
+        .join(F.broadcast(pb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            (
+                (F.col("n_orders") * F.col("n_ab")).cast("double")
+                / (F.col("_na") * F.col("_nb")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -147,8 +147,8 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
 # events_time_weighted_avg, events_markov_transitions,
 # multimodal_ahash_neardup, events_session_paths,
 # funnel_conversion_latency, orders_rfm_segments, events_dau_wau,
-# dq_checks_orders, cdc_snapshot_asof, sim_topk_pq, sim_topk_ivf_pq.
-# Then the backfill
+# dq_checks_orders, cdc_snapshot_asof, sim_topk_pq, sim_topk_ivf_pq,
+# basket_brand_affinity. Then the backfill
 # (all have ≥2 green driver rows + plan/pytest
 # coverage; the two oracle-tier scans are also the slowest queries in the
 # driver run): the agg battery (agg_stats/rollup/cube/grouping_sets/

@@ -37,6 +37,7 @@ ALLOWED = {
     "docs_tfidf_topterms": "1-row corpus-doc-count broadcast",
     "docs_weighted_sample": "1-row max-weight broadcast",
     "orders_rfm_segments": "1-row snapshot-date broadcast",
+    "basket_brand_affinity": "1-row order-count broadcast (lift denominator)",
     "agg_heavy_hitters": "1-row corpus-total + 1-row summed-error broadcasts",
     # The build side is the K-row centroid relation (K = |labels|, tens of
     # rows): a broadcast K-row dimension against which every row scores is
