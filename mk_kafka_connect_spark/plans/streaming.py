@@ -281,3 +281,33 @@ def streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return SW.run_to_memory(agg, "complete")
+
+
+@query(
+    "streaming_stream_stream_full_join",
+    oracle="""
+    SELECT coalesce(v.user_id, c.user_id) AS user_id,
+           v.event_id AS view_id, c.event_id AS click_id,
+           date_diff('microsecond', v.ts, c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+    tags=("streaming", "B13", "join", "stream-stream", "outer", "full"),
+)
+def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream ⋈ stream attribution — completes the streaming
+    join matrix (inner / left / full): unconverted views AND
+    view-less clicks both surface as null-padded rows, each only after
+    the OTHER stream's watermark proves no match can arrive, so both
+    state stores exercise the expiry path. Same watermark-sentinel
+    bounded-replay device as the left join (sentinel rows carry
+    user_id −1 and are stripped AFTER the drain — in-plan filtering
+    sinks below the watermark operators and the nulls never flush);
+    hash-matches the batch FULL JOIN oracle."""
+    ev = SW.read_events_stream_with_horizon_sentinel(spark, sf_dir, "9 hours")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = SW.stream_stream_attribution_full_outer(views, clicks, "6 hours")
+    return SW.run_to_memory(out, "append").filter(F.col("user_id") >= 0)

@@ -34,6 +34,7 @@ __all__ = [
     "stream_static_join",
     "stream_stream_attribution",
     "stream_stream_attribution_outer",
+    "stream_stream_attribution_full_outer",
     "read_events_stream_with_horizon_sentinel",
 ]
 
@@ -299,6 +300,41 @@ def stream_stream_attribution_outer(
     )
     return joined.select(
         F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+def stream_stream_attribution_full_outer(
+    views: DataFrame, clicks: DataFrame, horizon: str = "6 hours"
+) -> DataFrame:
+    """FULL OUTER stream ⋈ stream attribution — both unmatched sides
+    surface: views with no click in the horizon (null click) AND clicks
+    with no preceding view (null view — the organic/untracked
+    conversions). Completes the streaming outer-join matrix (inner /
+    left / full); null rows on EITHER side wait for the other stream's
+    watermark to prove no match can arrive, so both state stores run
+    the expiry path. ``user_id`` is coalesced across sides."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "fullOuter",
+    )
+    return joined.select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
         "view_id",
         "click_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
