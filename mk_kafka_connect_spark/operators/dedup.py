@@ -48,6 +48,7 @@ __all__ = [
     "simhash_fingerprint",
     "simhash_near_dups",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "connected_components",
 ]
 
@@ -551,4 +552,59 @@ def minhash_near_dups_incremental(
         )
         .filter(F.col("est_jaccard") >= threshold)
         .distinct()
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| — the
+    asymmetric cousin of Jaccard that catches a SMALL document quoted
+    inside a much larger one (their Jaccard is diluted by the size
+    mismatch, so symmetric dedup never fires; containment of the small
+    side stays ~1). Emits both directions plus the symmetric Jaccard
+    for pairs where EITHER direction reaches ``threshold``.
+
+    Same shingle-key self-join shape and ``max_shingle_freq`` skew
+    guard as :func:`ngram_jaccard_pairs`; only the normalization
+    differs, so scale posture is identical."""
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
+    )
+    if max_shingle_freq is not None:
+        freq_ok = (
+            ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("s")
+        )
+        ex = ex.join(freq_ok, "s")
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_ab = (F.col("n_common").cast("double") / F.col("n_a").cast("double")).alias(
+        "containment_ab"
+    )
+    c_ba = (F.col("n_common").cast("double") / F.col("n_b").cast("double")).alias(
+        "containment_ba"
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", c_ab, c_ba)
+        .filter(
+            (F.col("containment_ab") >= threshold)
+            | (F.col("containment_ba") >= threshold)
+        )
     )

@@ -2303,3 +2303,43 @@ def sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 100), cents, books,
         k=10, nprobe=4, rerank=60,
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id AS doc, unnest(list_distinct(
+        CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+          list_transform(range(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                 || ' ' || string_split(text, ' ')[i+2])
+        ELSE [] END)) AS s
+      FROM documents),
+    freq_ok AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 100),
+    exf AS (SELECT ex.doc, ex.s FROM ex JOIN freq_ok USING (s)),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM exf GROUP BY doc),
+    common AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+      FROM exf a JOIN exf b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+      CAST(n_common AS DOUBLE) / CAST(x.n_sh AS DOUBLE) AS containment_ab,
+      CAST(n_common AS DOUBLE) / CAST(y.n_sh AS DOUBLE) AS containment_ba
+    FROM common JOIN sizes x ON id_a = x.doc JOIN sizes y ON id_b = y.doc
+    WHERE CAST(n_common AS DOUBLE) / CAST(x.n_sh AS DOUBLE) >= 0.9
+       OR CAST(n_common AS DOUBLE) / CAST(y.n_sh AS DOUBLE) >= 0.9
+    """,
+    tags=("dedup", "B15", "containment"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram CONTAINMENT pairs (|A∩B|/|A| ≥ 0.9 in either
+    direction): the asymmetric dedup semantic symmetric Jaccard misses —
+    a short document quoted inside a long one has diluted Jaccard but
+    near-1 containment on the short side. The quote/boilerplate/subset
+    detector of the dedup family; same shingle self-join shape and
+    stop-shingle skew guard as `dedup_ngram_jaccard` (oracle tier —
+    the exact ground truth; the scale path composes the same
+    normalization with the MinHash signature machinery)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(d, "text", "doc_id", n=3, threshold=0.9)

@@ -276,3 +276,23 @@ def test_bpe_deterministic_across_partitionings(spark):
     assert train_bpe(docs, "text", n_merges=8) == train_bpe(
         docs.repartition(7), "text", n_merges=8
     )
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short document quoted verbatim inside a much longer one:
+    containment of the short side ~1 (fires at 0.9), while symmetric
+    Jaccard is diluted far below the 0.8 dedup threshold."""
+    from mk_kafka_connect_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(30))
+    filler = " ".join(f"pad{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0]["containment_ab"] >= 0.9
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    assert jac == []  # symmetric dedup never fires on this pair
