@@ -160,23 +160,31 @@ def average_hash(bin_df: DataFrame, grid: int = 8) -> DataFrame:
     half = target // 2
 
     def _ahash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One flat-buffer fancy-index per batch instead of a Python loop
+        # per payload: each row's 64 gather positions are floor(i·n/64)
+        # offset into the concatenated byte buffer. Identical integer
+        # math to the scalar form (same bits, same words) — only the
+        # batch shape changed.
         lo_w = np.int64(1) << np.arange(half, dtype=np.int64)
-        hi_w = lo_w
         for pdf in it:
-            his, los, brights = [], [], []
-            for b in pdf["payload"]:
-                n = len(b)
-                if n == 0:
-                    his.append(0)
-                    los.append(0)
-                    brights.append(0)
-                    continue
-                idx = (np.arange(target, dtype=np.int64) * n) // target
-                px = np.frombuffer(b, dtype=np.uint8)[idx].astype(np.int64)
-                bits = (px * target > px.sum()).astype(np.int64)
-                los.append(int((bits[:half] * lo_w).sum()))
-                his.append(int((bits[half:] * hi_w).sum()))
-                brights.append(int(bits.sum()))
+            bufs = list(pdf["payload"])
+            lens = np.array([len(b) if b is not None else 0 for b in bufs], dtype=np.int64)
+            his = np.zeros(len(bufs), dtype=np.int64)
+            los = np.zeros(len(bufs), dtype=np.int64)
+            brights = np.zeros(len(bufs), dtype=np.int32)
+            nz = lens > 0
+            if nz.any():
+                flat = np.frombuffer(
+                    b"".join(b for b in bufs if b is not None and len(b)), dtype=np.uint8
+                )
+                nzl = lens[nz]
+                offs = np.concatenate(([0], np.cumsum(nzl[:-1])))
+                idx = (np.arange(target, dtype=np.int64)[None, :] * nzl[:, None]) // target
+                px = flat[idx + offs[:, None]].astype(np.int64)
+                bits = (px * target > px.sum(axis=1, keepdims=True)).astype(np.int64)
+                los[nz] = (bits[:, :half] * lo_w[None, :]).sum(axis=1)
+                his[nz] = (bits[:, half:] * lo_w[None, :]).sum(axis=1)
+                brights[nz] = bits.sum(axis=1).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
