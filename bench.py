@@ -97,6 +97,7 @@ HEADLINE = [
     "sim_topk_pq",
     "sim_topk_ivf_pq",
     "basket_brand_affinity",
+    "agg_bitmap_audience_overlap",
 ]
 
 
