@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_topk_ivf_pq",
     "basket_brand_affinity",
     "agg_bitmap_audience_overlap",
+    "orders_cohort_ltv",
 ]
 
 

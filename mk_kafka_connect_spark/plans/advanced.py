@@ -1282,3 +1282,67 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_union",
         )
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+        CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS cm
+      FROM orders GROUP BY o_custkey),
+    j AS (
+      SELECT f.cm,
+        CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           - (year(f.cm) * 12 + month(f.cm)) AS BIGINT) AS ms,
+        o.o_custkey,
+        CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN f ON o.o_custkey = f.o_custkey),
+    m AS (
+      SELECT cm AS cohort_month, ms AS months_since,
+        count(DISTINCT o_custkey) AS n_customers, sum(rev) AS rev
+      FROM j GROUP BY 1, 2)
+    SELECT cohort_month, months_since, n_customers,
+      CAST(round(rev, 2) AS DOUBLE) AS revenue,
+      CAST(round(sum(rev) OVER (PARTITION BY cohort_month
+                                ORDER BY months_since), 2) AS DOUBLE)
+        AS cum_revenue
+    FROM m
+    """,
+    tags=("agg", "B7", "B9", "cohort", "ltv"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by
+    first-purchase month, revenue tracked per months-since-acquisition
+    with the cumulative LTV running sum — the finance counterpart of
+    `cohort_retention_weekly` (that one counts active USERS per offset;
+    this one accumulates exact DECIMAL revenue). Scale shape: one keyed
+    aggregation for first-order months, one o_custkey-keyed join back,
+    one (cohort, offset) aggregation with map-side partials; the
+    cumulative window runs over the |cohorts|x|months| matrix, never
+    raw orders. Sums stay DECIMAL through the window and cast to
+    double only on output, so the running values hash identically."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("_cm")
+    )
+    ms = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - (F.year("_cm") * 12 + F.month("_cm"))
+    ).cast("long")
+    m = (
+        o.join(f, "o_custkey")
+        .groupBy(F.col("_cm").alias("cohort_month"), ms.alias("months_since"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(dec2("o_totalprice")).alias("_rev"),
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("months_since")
+    return m.select(
+        "cohort_month",
+        "months_since",
+        "n_customers",
+        F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("_rev").over(w), 2).cast("double").alias("cum_revenue"),
+    )

@@ -2343,3 +2343,58 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization with the MinHash signature machinery)."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_containment_pairs(d, "text", "doc_id", n=3, threshold=0.9)
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+        {_sql_hits('en')} AS hits_en, {_sql_hits('de')} AS hits_de,
+        {_sql_hits('es')} AS hits_es, {_sql_hits('fr')} AS hits_fr
+      FROM documents),
+    pred AS (
+      SELECT lang AS lang_true,
+        CASE WHEN greatest(hits_en, hits_de, hits_es, hits_fr) <= 0 THEN 'und'
+             WHEN hits_en = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'en'
+             WHEN hits_de = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'de'
+             WHEN hits_es = greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred
+      FROM h),
+    n AS (SELECT count(*) AS total FROM pred)
+    SELECT lang_true, lang_pred, count(*) AS n_docs,
+      lang_true = lang_pred AS is_correct,
+      CAST(count(*) AS DOUBLE) / (SELECT total FROM n) AS frac
+    FROM pred GROUP BY lang_true, lang_pred
+    """,
+    tags=("text", "B15", "eval", "confusion"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION over the labeled corpus: the confusion
+    matrix of the stopword language-ID heuristic against the documents
+    table's ground-truth `lang` column — (true, predicted) counts,
+    correctness flags, and corpus fractions. The quality-measurement
+    query every heuristic-driven pipeline gate needs before trusting a
+    filter at 100 TB (a lang-ID that silently drops one language's
+    documents is a dataset bug, not a quality win). Map-side heuristic
+    + one tiny |langs|² aggregation; the fraction is one IEEE division
+    of exact longs."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = TX.lang_id(d, "text").select(
+        F.col("lang").alias("lang_true"), "lang_pred"
+    )
+    counts = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # Corpus total from the |langs|^2 aggregated rows (1-row broadcast),
+    # never a second corpus scan.
+    total = counts.agg(F.sum("n_docs").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (F.col("lang_true") == F.col("lang_pred")).alias("is_correct"),
+        (F.col("n_docs").cast("double") / F.col("_total").cast("double")).alias(
+            "frac"
+        ),
+    )

@@ -149,7 +149,8 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
 # funnel_conversion_latency, orders_rfm_segments, events_dau_wau,
 # dq_checks_orders, cdc_snapshot_asof, sim_topk_pq, sim_topk_ivf_pq,
 # basket_brand_affinity, streaming_stream_stream_full_join,
-# dedup_ngram_containment, agg_bitmap_audience_overlap. Then the
+# dedup_ngram_containment, agg_bitmap_audience_overlap,
+# text_langid_confusion, orders_cohort_ltv. Then the
 # backfill
 # (all have ≥2 green driver rows + plan/pytest
 # coverage; the two oracle-tier scans are also the slowest queries in the

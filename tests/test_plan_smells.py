@@ -38,6 +38,7 @@ ALLOWED = {
     "docs_weighted_sample": "1-row max-weight broadcast",
     "orders_rfm_segments": "1-row snapshot-date broadcast",
     "basket_brand_affinity": "1-row order-count broadcast (lift denominator)",
+    "text_langid_confusion": "1-row corpus-total broadcast (fraction denominator)",
     "agg_heavy_hitters": "1-row corpus-total + 1-row summed-error broadcasts",
     # The build side is the K-row centroid relation (K = |labels|, tens of
     # rows): a broadcast K-row dimension against which every row scores is
