@@ -99,6 +99,7 @@ HEADLINE = [
     "basket_brand_affinity",
     "agg_bitmap_audience_overlap",
     "orders_cohort_ltv",
+    "events_attribution_models",
 ]
 
 

@@ -1346,3 +1346,54 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
         F.round(F.sum("_rev").over(w), 2).cast("double").alias("cum_revenue"),
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH t AS (
+      SELECT s_nationkey, l_suppkey, count(*) AS n
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT s_nationkey, count(*) AS n_suppliers,
+        CAST(sum(n) AS BIGINT) AS total_items,
+        CAST(sum(n * n) AS BIGINT) AS s2
+      FROM t GROUP BY s_nationkey)
+    SELECT n_name, n_suppliers, total_items,
+      CAST(s2 AS DOUBLE) / CAST(total_items * total_items AS DOUBLE) AS hhi
+    FROM agg JOIN nation ON s_nationkey = n_nationkey
+    """,
+    tags=("agg", "B7", "concentration"),
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation —
+    Σ shareᵢ² over each nation's suppliers, the antitrust/procurement
+    measure of how dominated a market is (1/n = perfectly even, 1 =
+    monopoly). Computed as the exact rational Σnᵢ² / N² — integer sums
+    of squares with ONE final IEEE division, so no per-supplier float
+    share ever exists and the hash is engine-stable. Two keyed
+    aggregations with map-side partials + a 25-row dimension join;
+    nothing scales with lineitem count after the first groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    t = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = t.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("n").alias("total_items"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    )
+    return agg.join(F.broadcast(n), agg.s_nationkey == n.n_nationkey).select(
+        "n_name",
+        "n_suppliers",
+        "total_items",
+        (
+            F.col("_s2").cast("double")
+            / (F.col("total_items") * F.col("total_items")).cast("double")
+        ).alias("hhi"),
+    )

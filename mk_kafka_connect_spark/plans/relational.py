@@ -1590,3 +1590,76 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(leg("click", "purchase", "t_click", "t_purchase"))
         .unionAll(leg("view", "purchase", "t_view", "t_purchase"))
     )
+
+
+@query(
+    "events_attribution_models",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch
+      FROM events
+      WHERE event_type IN ('purchase', 'view', 'click')),
+    j AS (
+      SELECT user_id, ts, event_id, value, is_p,
+        last_value(touch IGNORE NULLS) OVER w AS lt,
+        first_value(touch IGNORE NULLS) OVER w AS ft
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    p AS (SELECT * FROM j WHERE is_p = 1)
+    SELECT 'last_touch' AS model, coalesce(lt, 'none') AS touch_type,
+      count(*) AS n_purchases,
+      CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM p GROUP BY 2
+    UNION ALL
+    SELECT 'first_touch', coalesce(ft, 'none'), count(*),
+      CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+    FROM p GROUP BY 2
+    """,
+    tags=("window", "B9", "attribution", "funnel"),
+)
+def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-touch vs FIRST-touch attribution compared in one pass: every
+    purchase credits (a) the most recent prior view/click and (b) the
+    user's earliest-ever prior touch, then revenue rolls up per (model,
+    touch type) — the ad-tech question of which channel 'owns' a
+    conversion, whose answer changes with the model. Both attributions
+    come from the SAME single user-keyed window pass (the as-of union
+    trick: running last(touch) and first(touch) with IGNORE NULLS over
+    one sorted exchange — no per-purchase range join, no second
+    shuffle); the final rollup is a handful of rows. Touchless
+    purchases land in 'none' so the models reconcile to the same
+    purchase total."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    u = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+        F.when(
+            F.col("event_type").isin("view", "click"), F.col("event_type")
+        ).alias("touch"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    p = (
+        u.withColumn("lt", F.last("touch", ignorenulls=True).over(w))
+        .withColumn("ft", F.first("touch", ignorenulls=True).over(w))
+        .where(F.col("is_p") == 1)
+    )
+
+    def roll(model: str, col: str) -> DataFrame:
+        return p.groupBy(F.coalesce(F.col(col), F.lit("none")).alias("touch_type")).agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(dec2("value")).alias("revenue"),
+        ).select(F.lit(model).alias("model"), "touch_type", "n_purchases", "revenue")
+
+    return roll("last_touch", "lt").unionAll(roll("first_touch", "ft"))
