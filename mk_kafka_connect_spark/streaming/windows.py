@@ -225,24 +225,48 @@ def read_events_stream_with_horizon_sentinel(
     import pyarrow.parquet as pq
 
     ev = read_events_stream(spark, sf_dir)
-    # Fixture max(ts) from the parquet footer (driver-side, no Spark job);
-    # reuse the probe so nanos/µs fixtures both work.
+    # Fixture max(ts) from the parquet footers (driver-side, no Spark
+    # job); reuse the probe so nanos/µs fixtures both work, and handle
+    # Spark-written part-file DIRECTORIES like catalog.probe_events_ts
+    # (stats must come from EVERY part — one part's max is not the max).
     path = os.path.join(sf_dir, "events.parquet")
-    pf = pq.ParquetFile(path)
-    idx = pf.schema_arrow.get_field_index("ts")
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        parts = [path]
     kind = probe_events_ts(path)
     max_us = None
-    for rg in range(pf.metadata.num_row_groups):
-        st = pf.metadata.row_group(rg).column(idx).statistics
-        if st is not None and st.has_min_max:
-            raw = st.max
-            if kind == "nanos":
-                us = int(raw) // 1000 if isinstance(raw, int) else int(raw.timestamp() * 1e6)
-            else:
-                us = int(raw.timestamp() * 1e6)
-            max_us = us if max_us is None else max(max_us, us)
+    for part in parts:
+        pf = pq.ParquetFile(part)
+        idx = pf.schema_arrow.get_field_index("ts")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                raw = st.max
+                if kind == "nanos":
+                    us = int(raw) // 1000 if isinstance(raw, int) else int(raw.timestamp() * 1e6)
+                else:
+                    us = int(raw.timestamp() * 1e6)
+                max_us = us if max_us is None else max(max_us, us)
     if max_us is None:
-        raise ValueError(f"events.ts at {path} has no row-group statistics")
+        # Spark's default parquet timestamp output is INT96, which
+        # carries no row-group statistics — decode the ts column instead
+        # (driver-side pyarrow read; acceptable because the sentinel is
+        # a bounded-replay test device, never a production path).
+        import pyarrow.compute as pc
+
+        for part in parts:
+            col = pq.read_table(part, columns=["ts"]).column("ts")
+            m = pc.max(col).as_py()
+            if m is not None:
+                us = int(m.timestamp() * 1e6)
+                max_us = us if max_us is None else max(max_us, us)
+    if max_us is None:
+        raise ValueError(f"events.ts at {path} is empty or unreadable")
     qty, unit = advance.split()
     adv_us = int(qty) * {"hours": 3600, "minutes": 60, "seconds": 1}[unit] * 10**6
     sent_us = max_us + adv_us
