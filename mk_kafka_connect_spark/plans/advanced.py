@@ -1241,6 +1241,12 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = ev.groupBy(
         "event_type", F.bitmap_bucket_number("user_id").alias("_bucket")
     ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("_bm"))
+    # Three consumers (per-type counts, pair contributions, the type
+    # list) would each re-run the raw scan + state build — Catalyst does
+    # not materialize shared subtrees. localCheckpoint pins the KB-sized
+    # state table once (the dedup_clusters device), making 'states built
+    # once' physically true: one events scan total.
+    buckets = buckets.localCheckpoint(eager=True)
     per = buckets.groupBy("event_type").agg(
         F.sum(F.bitmap_count("_bm")).alias("n")
     )
