@@ -100,6 +100,7 @@ HEADLINE = [
     "agg_bitmap_audience_overlap",
     "orders_cohort_ltv",
     "events_attribution_models",
+    "orders_open_backlog",
 ]
 
 

@@ -1403,3 +1403,57 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("total_items") * F.col("total_items")).cast("double")
         ).alias("hhi"),
     )
+
+
+@query(
+    "orders_open_backlog",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+        CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS d0,
+        CAST(date_trunc('day', max(l.l_shipdate)) AS TIMESTAMP)
+          + INTERVAL 1 DAY AS d1
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    deltas AS (
+      SELECT d0 AS day, CAST(1 AS BIGINT) AS delta FROM spans
+      UNION ALL
+      SELECT d1 AS day, CAST(-1 AS BIGINT) AS delta FROM spans),
+    byday AS (
+      SELECT day, sum(delta) AS net FROM deltas GROUP BY day)
+    SELECT day,
+      CAST(sum(net) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_open
+    FROM byday
+    """,
+    tags=("agg", "B7", "B9", "sweepline", "interval"),
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — how many orders are in flight on
+    each day an order opens or closes — via the SWEEP-LINE pattern: each
+    order's [orderdate, last shipdate] span becomes a +1/−1 delta pair,
+    deltas aggregate per day, and one cumulative sum walks the calendar.
+    The interval-stabbing question that a naive per-day range join makes
+    quadratic (every day scans every order) collapses to one keyed
+    aggregation per order, one tiny per-day aggregation, and a running
+    sum over |distinct event days| rows (~thousands regardless of order
+    count — an unpartitioned window is safe ONLY because the input is
+    this bounded calendar, which is the pattern's whole point)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("_last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("d0"),
+            (F.date_trunc("day", "_last_ship") + F.expr("INTERVAL 1 DAY")).alias("d1"),
+        )
+    )
+    deltas = spans.select(F.col("d0").alias("day"), F.lit(1).cast("long").alias("delta")).unionAll(
+        spans.select(F.col("d1").alias("day"), F.lit(-1).cast("long").alias("delta"))
+    )
+    byday = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return byday.select("day", F.sum("net").over(w).alias("n_open"))
