@@ -101,6 +101,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "events_attribution_models",
     "orders_open_backlog",
+    "agg_quantiles_distributed",
 ]
 
 

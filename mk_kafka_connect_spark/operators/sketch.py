@@ -20,6 +20,7 @@ and the eviction math itself is pinned by a crafted-skew pytest.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -124,3 +125,78 @@ def heavy_hitters_checked(
             ).alias("present_when_guaranteed"),
         )
     )
+
+
+def exact_quantile_distributed(
+    df, col: str, q: float = 0.5, buckets: int = 2048, max_refine: int = 6
+):
+    """EXACT quantile by distributed selection — the 100 TB alternative
+    to Spark's ``percentile()``, whose sort-based aggregate buffers every
+    value of a group in one task's memory. Here no task ever holds more
+    than a count:
+
+    repeat: one aggregation pass histograms the current [lo, hi) value
+    range into ``buckets`` equi-width counts (map-side partials, a
+    ``buckets``-row result), the bucket containing the target rank is
+    located driver-side, and the range narrows to it — rank-k selection
+    by radix descent. Stops when the bucket holds one distinct value or
+    ``max_refine`` passes, then one final pass takes the min value at or
+    above the target rank inside the narrowed range. Deterministic:
+    counts are exact, bucket boundaries are pure arithmetic on the
+    initial min/max, and the answer is an actual data value
+    (``quantile_disc`` semantics, rank = ceil(q·n)).
+
+    Returns the value as a Python float (model-parameter extraction —
+    each pass collects ``buckets`` longs, never rows)."""
+    from pyspark.sql import functions as F
+
+    n, lo, hi = df.agg(
+        F.count(col), F.min(col).cast("double"), F.max(col).cast("double")
+    ).collect()[0]
+    if n == 0:
+        return None
+    target = max(1, math.ceil(q * n))  # 1-based rank of the quantile value
+    rank_before = 0  # values strictly below current [lo, hi)
+    for _ in range(max_refine):
+        if lo == hi:
+            break
+        width = (hi - lo) / buckets
+        bucket = F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+        )
+        hist = {
+            r["b"]: r["c"]
+            for r in df.where(
+                (F.col(col) >= lo) & (F.col(col) <= hi)
+            )
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        run = rank_before
+        for b in range(buckets):
+            c = hist.get(b, 0)
+            if run + c >= target:
+                new_lo = lo + b * width
+                new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
+                rank_before, lo, hi = run, new_lo, new_hi
+                break
+            run += c
+        else:  # pragma: no cover - target <= n guarantees a bucket
+            break
+    # Final pass: k-th smallest within the narrowed range, k small enough
+    # to resolve with min() after skipping (target - rank_before - 1)
+    # values — one exact ordered selection over the (tiny) remaining set.
+    remaining = (
+        df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+        .select(F.col(col).cast("double").alias("_v"))
+    )
+    k = target - rank_before
+    from pyspark.sql import Window as _W
+
+    ranked = remaining.withColumn(
+        "_r", F.row_number().over(_W.orderBy("_v"))
+    ).where(F.col("_r") == k)
+    row = ranked.collect()
+    return row[0]["_v"] if row else None

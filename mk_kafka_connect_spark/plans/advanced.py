@@ -1457,3 +1457,37 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     byday = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return byday.select("day", F.sum("net").over(w).alias("n_open"))
+
+
+@query(
+    "agg_quantiles_distributed",
+    oracle="""
+    SELECT quantile_disc(l_extendedprice, 0.1) AS p10,
+           quantile_disc(l_extendedprice, 0.5) AS p50,
+           quantile_disc(l_extendedprice, 0.9) AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem
+    """,
+    tags=("agg", "B7", "percentile", "scale"),
+)
+def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles by DISTRIBUTED SELECTION (radix descent): Spark's
+    own exact `percentile()` buffers every value of a group inside one
+    task (agg_percentiles documents it as the small-group path), so at
+    100 TB the exact answer needs this instead — per quantile, a few
+    histogram aggregation passes narrow the value range by 2048x each
+    (map-side partial counts, a 2048-row collect per pass — model-sized)
+    until the rank-k value is pinned, then one ordered selection over
+    the narrowed remnant. No task ever materializes the column. Same
+    quantile_disc semantics as the oracle, exact to the last bit."""
+    from ..operators.sketch import exact_quantile_distributed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = {
+        name: exact_quantile_distributed(li, "l_extendedprice", q=q)
+        for name, q in [("p10", 0.1), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+    }
+    return spark.createDataFrame(
+        [(vals["p10"], vals["p50"], vals["p90"], vals["p99"])],
+        "p10 double, p50 double, p90 double, p99 double",
+    )

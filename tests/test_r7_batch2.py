@@ -296,3 +296,15 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert len(cont) == 1 and cont[0]["containment_ab"] >= 0.9
     jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.8).collect()
     assert jac == []  # symmetric dedup never fires on this pair
+
+
+def test_distributed_quantile_heavy_duplicates(spark):
+    """Radix descent must terminate and stay exact when the target rank
+    falls inside a massive duplicate run (the lo == hi fast path)."""
+    from mk_kafka_connect_spark.operators.sketch import exact_quantile_distributed
+
+    rows = [(7.0,)] * 5000 + [(1.0,)] * 100 + [(9.0,)] * 100
+    df = spark.createDataFrame(rows, "v double")
+    assert exact_quantile_distributed(df, "v", q=0.5) == 7.0
+    assert exact_quantile_distributed(df, "v", q=0.01) == 1.0
+    assert exact_quantile_distributed(df, "v", q=1.0) == 9.0
