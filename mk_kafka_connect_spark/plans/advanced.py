@@ -1491,3 +1491,75 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(vals["p10"], vals["p50"], vals["p90"], vals["p99"])],
         "p10 double, p50 double, p90 double, p99 double",
     )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, event_id, value, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'purchase'),
+    s1 AS (
+      SELECT user_id, event_id, value FROM hist
+      WHERE valid_from <= TIMESTAMP '2024-01-10 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-10 00:00:00')),
+    s2 AS (
+      SELECT user_id, event_id, value FROM hist
+      WHERE valid_from <= TIMESTAMP '2024-01-25 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-25 00:00:00'))
+    SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+      CASE WHEN s1.user_id IS NULL THEN 'added'
+           WHEN s2.user_id IS NULL THEN 'removed'
+           WHEN s1.event_id <> s2.event_id OR s1.value <> s2.value THEN 'changed'
+           ELSE 'unchanged' END AS change_type,
+      s1.event_id AS old_event_id, s2.event_id AS new_event_id
+    FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+    """,
+    tags=("cdc", "B8", "scd2", "time-travel", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RECONCILIATION across time travel: the per-key state as
+    of Jan 10 full-outer-joined against the state as of Jan 25, each row
+    labeled added / removed / changed / unchanged — the audit query that
+    answers 'what happened to this dimension between the two loads' and
+    catches silent CDC drops. Both snapshots come from the SAME one-
+    window SCD-2 history (two interval predicates over one subtree), and
+    the diff is a single user-keyed full outer join — at 100 TB this is
+    one history shuffle plus one key join, never a re-read per snapshot."""
+    from ..operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hist = scd2_history(
+        ev.select("user_id", "event_id", "value", "ts"),
+        ["user_id"],
+        "ts",
+        tiebreak_col="event_id",
+    ).select("user_id", "event_id", "value", "valid_from", "valid_to")
+
+    def snap(t: str) -> DataFrame:
+        ts = F.lit(t).cast("timestamp")
+        return hist.where(
+            (F.col("valid_from") <= ts)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > ts))
+        ).select("user_id", "event_id", "value")
+
+    s1 = snap("2024-01-10 00:00:00").alias("s1")
+    s2 = snap("2024-01-25 00:00:00").alias("s2")
+    j = s1.join(s2, F.col("s1.user_id") == F.col("s2.user_id"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("s1.user_id"), F.col("s2.user_id")).alias("user_id"),
+        F.when(F.col("s1.user_id").isNull(), "added")
+        .when(F.col("s2.user_id").isNull(), "removed")
+        .when(
+            (F.col("s1.event_id") != F.col("s2.event_id"))
+            | (F.col("s1.value") != F.col("s2.value")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.col("s1.event_id").alias("old_event_id"),
+        F.col("s2.event_id").alias("new_event_id"),
+    )
