@@ -1563,3 +1563,70 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s1.event_id").alias("old_event_id"),
         F.col("s2.event_id").alias("new_event_id"),
     )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+    ev AS (
+      SELECT user_id AS k, count(*) AS n FROM events GROUP BY 1),
+    et AS (
+      SELECT count(*) AS nk, CAST(sum(n) AS BIGINT) AS rows_total,
+             max(n) AS max_rows,
+             max_by(k, n * 1073741824 - k) AS heaviest_key
+      FROM ev),
+    lt AS (
+      SELECT count(*) AS nk, CAST(sum(n) AS BIGINT) AS rows_total,
+             max(n) AS max_rows,
+             max_by(k, n * 1073741824 - k) AS heaviest_key
+      FROM li)
+    SELECT 'lineitem.l_orderkey' AS key, rows_total, nk AS n_keys, max_rows,
+      heaviest_key,
+      CAST(max_rows * nk AS DOUBLE) / rows_total AS skew_factor
+    FROM lt
+    UNION ALL
+    SELECT 'events.user_id', rows_total, nk, max_rows, heaviest_key,
+      CAST(max_rows * nk AS DOUBLE) / rows_total
+    FROM et
+    """,
+    tags=("agg", "B7", "diagnostics", "skew"),
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for the two natural join/agg keys:
+    rows, distinct keys, the heaviest key and its row count, and the
+    skew factor max/avg (= max·|keys|/rows, one IEEE division of exact
+    longs). THE question to ask before any 100 TB join — a skew factor
+    near 1 means hash partitioning balances; tens means the salting /
+    AQE-skew-join machinery (operators/skew.py) is mandatory. Per key:
+    one partial-aggregable count pass, then a |keys|-row summary with
+    a deterministic max_by tie-break — diagnostics cost one aggregation,
+    not a sort."""
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        per = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.lit(label).alias("key"),
+            F.sum("n").alias("rows_total"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_rows"),
+            # Composite argmax as one bigint score: max n wins, ties to
+            # the smallest key (2^30 >> any key value at these scales).
+            F.expr("max_by(k, n * 1073741824 - k)").alias("heaviest_key"),
+        ).select(
+            "key",
+            "rows_total",
+            "n_keys",
+            "max_rows",
+            "heaviest_key",
+            (
+                (F.col("max_rows") * F.col("n_keys")).cast("double")
+                / F.col("rows_total").cast("double")
+            ).alias("skew_factor"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return profile(li, "l_orderkey", "lineitem.l_orderkey").unionAll(
+        profile(ev, "user_id", "events.user_id")
+    )

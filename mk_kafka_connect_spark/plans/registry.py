@@ -152,7 +152,7 @@ CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
 # dedup_ngram_containment, agg_bitmap_audience_overlap,
 # text_langid_confusion, orders_cohort_ltv, events_attribution_models,
 # supplier_concentration_hhi, orders_open_backlog,
-# agg_quantiles_distributed, cdc_snapshot_diff. Then the
+# agg_quantiles_distributed, cdc_snapshot_diff, diag_key_skew. Then the
 # backfill
 # (all have ≥2 green driver rows + plan/pytest
 # coverage; the two oracle-tier scans are also the slowest queries in the
