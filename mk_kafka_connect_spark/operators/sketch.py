@@ -175,15 +175,21 @@ def exact_quantile_distributed(
             .collect()
         }
         run = rank_before
+        located = 0
         for b in range(buckets):
             c = hist.get(b, 0)
             if run + c >= target:
                 new_lo = lo + b * width
                 new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
-                rank_before, lo, hi = run, new_lo, new_hi
+                rank_before, lo, hi, located = run, new_lo, new_hi, c
                 break
             run += c
         else:  # pragma: no cover - target <= n guarantees a bucket
+            break
+        # Early stop: once the located bucket holds few enough values,
+        # the final ordered selection is already cheap — more histogram
+        # passes would only trade one small job for another.
+        if located <= 4096:
             break
     # Final pass: k-th smallest within the narrowed range, k small enough
     # to resolve with min() after skipping (target - rank_before - 1)
