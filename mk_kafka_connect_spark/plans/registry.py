@@ -24,8 +24,9 @@ __all__ = [
     "spark_queries",
     "oracle_queries",
     "CERTIFICATION_FRONT",
-    "R7_PRIORITY",
-    "R7_ADDITIONS",
+    "R8_ADDITIONS",
+    "R8_PRIORITY",
+    "R8_BACKFILL",
     "certification_order",
 ]
 
@@ -53,120 +54,84 @@ QUERIES: dict[str, QuerySpec] = {}
 # The per-round rotation schedule (which rounds certified which queries,
 # and what to pin next round) is documented in COVERAGE.md §"Driver
 # certification rotation".
-# The 10 queries round 7 MUST certify: the 9 registry entries with zero
-# driver rows ever, plus sim_topk_lsh (its full DuckDB oracle landed in
-# 3a254c7 but its last driver evidence is still FAIL(no_oracle) from r2).
-# tests/test_registry_rotation.py asserts these sit inside the first-50
-# driver window so a stale front fails CI instead of wasting a round.
-R7_PRIORITY: tuple[str, ...] = (
-    "cdc_scd2_history",
-    "cohort_retention_weekly",
-    "dedup_clusters",
-    "dedup_minhash_incremental",
-    "docs_stratified_sample",
-    "funnel_view_click_purchase",
-    "join_range_binned",
-    "multimodal_resize",
-    "profile_orders",
-    "sim_topk_lsh",
+#
+# Round-8 window (per the r8 plan in COVERAGE.md): new r8 queries first
+# (zero driver rows by definition), then the 29 r7 additions that did not
+# fit the r7 window (also zero driver rows), then the backfill displaced
+# by the r7 continuation batches, oldest driver row first. The window is
+# the first 50 of the concatenation; anything that overflows stays covered
+# by the local oracle-parity pytest and rotates into r9.
+
+# Queries ADDED during round 8 — append here as they land; they take the
+# front of the window automatically.
+R8_ADDITIONS: tuple[str, ...] = ()
+
+# r7 additions that never fit the r7 driver window — zero driver rows.
+R8_PRIORITY: tuple[str, ...] = (
+    "docs_length_histogram",
+    "dedup_verbatim_spans",
+    "streaming_active_users_hourly",
+    "cdc_pipeline_end_to_end",
+    "join_bloom_prefilter",
+    "agg_bitmap_distinct",
+    "events_time_weighted_avg",
+    "events_markov_transitions",
+    "multimodal_ahash_neardup",
+    "events_session_paths",
+    "funnel_conversion_latency",
+    "orders_rfm_segments",
+    "events_dau_wau",
+    "dq_checks_orders",
+    "cdc_snapshot_asof",
+    "sim_topk_pq",
+    "sim_topk_ivf_pq",
+    "basket_brand_affinity",
+    "streaming_stream_stream_full_join",
+    "dedup_ngram_containment",
+    "agg_bitmap_audience_overlap",
+    "text_langid_confusion",
+    "orders_cohort_ltv",
+    "events_attribution_models",
+    "supplier_concentration_hhi",
+    "orders_open_backlog",
+    "agg_quantiles_distributed",
+    "cdc_snapshot_diff",
+    "diag_key_skew",
 )
 
-# Queries ADDED (or whose oracle materially changed) during round 7 —
-# zero driver rows in their current form, so they outrank every
-# has-a-green-row backfill candidate (the r6 verdict's never-certified-
-# first principle). The two approx aggs are here because r7 upgraded
-# them from rows-only to full exact-value+bounds oracles.
-R7_ADDITIONS: tuple[str, ...] = (
-    "docs_chunk_overlap",
-    "docs_pack_sequences",
-    "docs_quality_topfrac_by_lang",
-    "emb_label_centroids",
-    "sim_nearest_centroid",
-    "dedup_embedding_clusters",
-    "streaming_dedup_then_window",
-    "events_gapfill_hourly",
-    "events_anomaly_zscore",
-    "docs_ngram_topk",
-    "pipeline_training_data_v2",
-    "streaming_stream_stream_join",
-    "events_gapfill_locf",
-    "events_rollup_multires",
-    "join_lateral_topk",
-    "docs_vocab_coverage",
-    "text_pii_redact",
-    "docs_balance_strata",
-    "sim_topk_sq8",
-    "agg_approx_distinct",
-    "agg_approx_quantiles",
-    "multimodal_ahash",
-    "docs_tfidf_topterms",
-    "docs_epoch_mixture",
-    # Late-r7 continuation batch.
-    "sim_topk_ivf_sq8",
-    "agg_hll_sketch_merge",
-    "udf_pandas_grouped_agg",
-    "streaming_stream_stream_left_join",
-    "docs_weighted_sample",
-    "agg_heavy_hitters",
-    "docs_decontaminate_lsh",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_skew_salted",
-    "emb_covariance",
-    "transform_smt_chain",
-    "rest_scan_events",
-    "rest_stream_events",
-    "rest_roundtrip_events",
-    "kafka_file_roundtrip",
+# Backfill: queries whose last driver row is r1/r2 (or that the late-r7
+# additions displaced), stalest first. Overflow past slot 50 rotates to r9.
+R8_BACKFILL: tuple[str, ...] = (
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "join_left_nulls",
+    "join_right",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "filter_range_halfopen",
+    "cdc_merge_upsert",
+    "dedup_latest_wins",
+    "dedup_exact",
+    "bucketed_join_revenue",
+    "dedup_embedding_lsh",
+    "agg_stats",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having_filter",
+    "agg_case_when_buckets",
+    "agg_percentiles",
+    "skew_salted_agg",
 )
 
-CERTIFICATION_FRONT: tuple[str, ...] = R7_PRIORITY + R7_ADDITIONS + (
-    # Only one driver row ever (r2) — next-freshest claim needed.
-    # (dedup_embedding_lsh bumped: its pair contract is re-exercised
-    # end-to-end by dedup_embedding_clusters in R7_ADDITIONS;
-    # bucketed_join_revenue bumped: benched every round, and the bucketed
-    # layout is pinned by tests/test_bucketing.py.)
-    # Bumped by the continuation additions, stalest-first principle held:
-    # q7/q8/q9 rotate to r8 (q5/q7/q9 are benched every round and all
-    # three passed the local oracle-parity suite this session);
-    # join_left_nulls' left
-    # shape is r6-green inside q13's LEFT JOIN; join_full_outer,
-    # join_semi (q4 EXISTS), join_anti (q21/q22 NOT EXISTS), join_asof
-    # (benched every round; its forward/nearest directions are in
-    # R7_ADDITIONS above), join_right (mirror of left) and
-    # filter_range_halfopen (r1+r2 rows, pushdown plan test, and the A2
-    # half-open where-contract now also rides rest_stream_events' HTTP
-    # window filter) move to r8, as does docs_length_histogram (the one
-    # r7 addition the 50-slot window could not hold — deferred as the
-    # lowest-risk map-side op; its oracle parity is green in pytest).
-)
-# Left for the r8 window, FIRST the behind-window r7 additions with zero
-# driver rows (pytest-oracle-green this round): docs_length_histogram,
-# dedup_verbatim_spans, streaming_active_users_hourly,
-# cdc_pipeline_end_to_end, join_bloom_prefilter, agg_bitmap_distinct,
-# events_time_weighted_avg, events_markov_transitions,
-# multimodal_ahash_neardup, events_session_paths,
-# funnel_conversion_latency, orders_rfm_segments, events_dau_wau,
-# dq_checks_orders, cdc_snapshot_asof, sim_topk_pq, sim_topk_ivf_pq,
-# basket_brand_affinity, streaming_stream_stream_full_join,
-# dedup_ngram_containment, agg_bitmap_audience_overlap,
-# text_langid_confusion, orders_cohort_ltv, events_attribution_models,
-# supplier_concentration_hhi, orders_open_backlog,
-# agg_quantiles_distributed, cdc_snapshot_diff, diag_key_skew. Then the
-# backfill
-# (all have ≥2 green driver rows + plan/pytest
-# coverage; the two oracle-tier scans are also the slowest queries in the
-# driver run): the agg battery (agg_stats/rollup/cube/grouping_sets/
-# having_filter/case_when_buckets/percentiles, skew_salted_agg), the
-# subquery trio, dedup_minhash_lsh/simhash/embedding_cosine/ngram_jaccard,
-# the text family (token_stats/quality_score/lang_id/fingerprint),
-# multimodal decode/frame_sample, expand_customer_flat/expand_items_nested,
-# join_theta_range, q3/q5, join_cross, distinct_pairs,
-# filter_predicates, projection_computed, sim_topk_bruteforce, plus the
-# four r2-certified basics bumped by the late-r7 additions
-# (cdc_merge_upsert, dedup_latest_wins, dedup_exact, join_right). Everything
-# certified in r4–r6 (windows, set ops, scalars, streaming, UDFs, new TPC-H,
-# r4 LLM surface, q1) rotates out with 3 consecutive green rows each.
+DRIVER_WINDOW = 50
+
+CERTIFICATION_FRONT: tuple[str, ...] = (R8_ADDITIONS + R8_PRIORITY + R8_BACKFILL)[
+    :DRIVER_WINDOW
+]
 
 
 def certification_order() -> list[str]:
