@@ -64,7 +64,13 @@ QUERIES: dict[str, QuerySpec] = {}
 
 # Queries ADDED during round 8 — append here as they land; they take the
 # front of the window automatically.
-R8_ADDITIONS: tuple[str, ...] = ()
+R8_ADDITIONS: tuple[str, ...] = (
+    "events_ohlc_hourly",
+    "events_ewma",
+    "events_ab_test",
+    "ivm_orders_summary",
+    "join_fact_scd2_temporal",
+)
 
 # r7 additions that never fit the r7 driver window — zero driver rows.
 R8_PRIORITY: tuple[str, ...] = (

@@ -1,0 +1,316 @@
+"""Warehouse analytics: OHLC downsampling, exact finite-memory EWMA,
+A/B-test significance, incremental view maintenance, and the temporal
+(SCD-2) dimension join — round-8 additions extending SURVEY.md §2.B
+B6/B7/B8/B9 with the query shapes a production warehouse runs daily on
+top of the CDC streams the reference produces.
+
+Every float output is either a raw passthrough (min/max/first of stored
+values) or a single IEEE division of exact integer/decimal aggregates,
+so the driver's bit-exact hash comparison holds (functions/exact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.exact import dec2
+from ..functions.hashing import SQL_MD5_MOD, md5_mod
+from .registry import query
+
+
+@query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+        row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rn_open,
+        row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events
+    )
+    SELECT event_type, bar_ts,
+      max(CASE WHEN rn_open = 1 THEN value END) AS open,
+      max(value) AS high, min(value) AS low,
+      max(CASE WHEN rn_close = 1 THEN value END) AS close,
+      count(*) AS n_ticks
+    FROM ordered GROUP BY event_type, bar_ts
+    """,
+    tags=("timeseries", "B7", "B9", "ohlc"),
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling: open/high/low/close of ``value``
+    per (event_type, hour). The financial-tick rollup every time-series
+    store ships (TimescaleDB ``candlestick_agg``, kdb+ ``xbar``).
+
+    One hash aggregation: ``min_by``/``max_by`` on the (ts, event_id)
+    struct pick the first/last tick deterministically (event_id breaks
+    equal-timestamp ties), high/low are plain min/max — all partial-agg
+    friendly, so the map side combines before the one shuffle. Every
+    output is a stored value passed through untouched: bit-exact by
+    construction, no float summation anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.withColumn("bar_ts", F.date_trunc("hour", F.col("ts")))
+        .groupBy("event_type", "bar_ts")
+        .agg(
+            F.min_by("value", ordkey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordkey).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+# Truncated-EWMA weights: alpha = 1/2 over the last 8 observations.
+# Weight of lag i is 2^-(i+1); scaling by 2^8 makes every weight the
+# integer 2^(7-i), so the numerator is an exact DECIMAL sum of
+# cents-exact values times integer weights, the denominator an integer,
+# and the smoothed value ONE IEEE division — bit-identical cross-engine.
+_EWMA_LAGS = 8
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts,
+        {", ".join(
+            f"lag(CAST(value AS DECIMAL(18,2)), {i}) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id) AS l{i}"
+            for i in range(_EWMA_LAGS)
+        )}
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+      CAST({" + ".join(f"coalesce(l{i} * {2 ** (_EWMA_LAGS - 1 - i)}, 0)" for i in range(_EWMA_LAGS))} AS DOUBLE)
+      / ({" + ".join(f"CASE WHEN l{i} IS NOT NULL THEN {2 ** (_EWMA_LAGS - 1 - i)} ELSE 0 END" for i in range(_EWMA_LAGS))})
+      AS ewma
+    FROM lagged
+    """,
+    tags=("timeseries", "B9", "window"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=1/2) of ``value`` per
+    user, truncated to the last 8 observations so it is EXACT: the
+    infinite-memory recurrence s_t = a*x_t + (1-a)*s_{t-1} is inherently
+    sequential and float-accumulating, but with dyadic alpha and a finite
+    window the 2^8-scaled weights are integers, making the numerator an
+    exact decimal dot product and the result a single IEEE division.
+
+    One window pass (one shuffle on user_id); the 8 ``lag`` columns
+    evaluate over the same sorted run map-side. The truncation error vs
+    the infinite EWMA is bounded by (1-a)^8 < 0.4% of the weight mass —
+    the standard production trade for deterministic, order-independent
+    results (the untruncated form changes with partition merge order)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag(dec2("value"), i).over(w).alias(f"l{i}") for i in range(_EWMA_LAGS)]
+    lagged = ev.select("event_id", "user_id", "ts", *lags)
+    num = None
+    den = None
+    for i in range(_EWMA_LAGS):
+        wt = 2 ** (_EWMA_LAGS - 1 - i)
+        term = F.coalesce(F.col(f"l{i}") * wt, F.lit(0).cast("decimal(18,2)"))
+        dterm = F.when(F.col(f"l{i}").isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return lagged.select(
+        "event_id", "user_id", "ts", (num.cast("double") / den).alias("ewma")
+    )
+
+
+@query(
+    "events_ab_test",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id, ({SQL_MD5_MOD("CAST(user_id AS VARCHAR)")}) % 2 AS arm,
+        max(CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END)
+          AS converted
+      FROM events GROUP BY user_id
+    ), counts AS (
+      SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM users
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+      625 * CAST(n_a + n_b AS DECIMAL(38,0))
+          * CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
+          * CAST(conv_a * n_b - conv_b * n_a AS DECIMAL(38,0))
+      > 2401 * CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+             * CAST(conv_a + conv_b AS DECIMAL(38,0))
+             * CAST(n_a + n_b - conv_a - conv_b AS DECIMAL(38,0))
+      AS significant
+    FROM counts
+    """,
+    tags=("experiment", "B7", "abtest"),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test, EXACT: users deterministically
+    assigned to arms by md5(user_id) % 2 (same assignment on every engine
+    and rerun — no RNG state), conversion = any purchase event. The
+    pooled two-proportion z-test at p<0.05 is decided WITHOUT floats by
+    cross-multiplying z^2 > 1.96^2 into the integer inequality
+
+        625*N*(cA*nB - cB*nA)^2  >  2401*nA*nB*C*(N-C)
+
+    (1.96^2 = 2401/625; strict > so the zero-variance degenerate case —
+    everyone or no one converting — reads not-significant), evaluated in
+    DECIMAL(38,0) — exact for cohorts up to ~1e8 users. Two aggregations
+    over user-sized data: per-user conversion rollup (one shuffle on
+    user_id), then a single global row — both partial-agg friendly; the
+    fact table streams once."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 100), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", md5_mod(F.col("user_id").cast("string")) % 2)
+    counts = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    d38 = "decimal(38,0)"
+    n = (F.col("n_a") + F.col("n_b")).cast(d38)
+    diff = (F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")).cast(d38)
+    conv = (F.col("conv_a") + F.col("conv_b")).cast(d38)
+    nonconv = (F.col("n_a") + F.col("n_b") - F.col("conv_a") - F.col("conv_b")).cast(d38)
+    lhs = F.lit(625).cast(d38) * n * diff * diff
+    rhs = (
+        F.lit(2401).cast(d38)
+        * F.col("n_a").cast(d38)
+        * F.col("n_b").cast(d38)
+        * conv
+        * nonconv
+    )
+    return counts.select(
+        "n_a", "conv_a", "n_b", "conv_b", (lhs > rhs).alias("significant")
+    )
+
+
+@query(
+    "ivm_orders_summary",
+    # The oracle is the full recompute: merging partial states must be
+    # indistinguishable from rescanning the base.
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("ivm", "B7", "scale"),
+)
+def ivm_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a per-customer order summary:
+    the materialized base state (orders before the cutoff, pre-aggregated
+    to per-key count + exact decimal sum) is REFRESHED by aggregating only
+    the delta batch and merging partial states per key — count+count,
+    sum+sum — never rescanning the base fact table.
+
+    This is the 100 TB maintenance pattern for every additive aggregate
+    in this registry: because the sums are exact decimals, the merge is
+    associative and the refreshed view is bit-identical to a full
+    recompute (which is exactly what the oracle demands). Cost per
+    refresh: one scan of the delta + a key-sized outer join — independent
+    of base-table size."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum(dec2("o_totalprice")).alias("tot")
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    zero = F.lit(0).cast("decimal(28,2)")
+    merged = base.alias("b").join(delta.alias("d"), "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce(F.col("b.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))).alias("n_orders"),
+        (F.coalesce(F.col("b.tot"), zero) + F.coalesce(F.col("d.tot"), zero)).alias("tot"),
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("tot"), 2).cast("double").alias("total_spent"),
+    )
+
+
+@query(
+    "join_fact_scd2_temporal",
+    oracle="""
+    WITH history AS (
+      SELECT user_id, event_id AS version_id, value AS version_value,
+        ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.ts,
+      h.version_id, h.version_value
+    FROM events e
+    LEFT JOIN history h ON e.user_id = h.user_id
+      AND e.ts >= h.valid_from
+      AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    WHERE e.event_type IN ('view', 'click')
+    """,
+    tags=("cdc", "scd2", "B6", "B8", "temporal-join"),
+)
+def join_fact_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the warehouse staple the SCD-2 history
+    exists FOR: each fact row (view/click event) joins to the dimension
+    VERSION valid at the fact's timestamp (the user's purchase state as
+    of that instant), not the current one.
+
+    A naive formulation is the interval theta-join the oracle runs. The
+    engine path rides :func:`operators.asof.asof_join` instead: because
+    SCD-2 intervals abut ([valid_from, valid_to) with valid_to = next
+    valid_from), "version containing ts" equals "latest version start at
+    or before ts" — a backward as-of join, ONE shuffle of facts+versions
+    on the key, no range explosion at any history depth. Empty versions
+    (two changes at the same instant; superseded at birth) are dropped
+    first, which also makes (user, valid_from) unique so the match is
+    deterministic. LEFT keeps pre-first-purchase facts with null
+    version — same rows the interval predicate produces."""
+    from ..operators.asof import asof_join
+    from ..operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    history = scd2_history(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "value", "ts"
+        ),
+        ["user_id"],
+        "ts",
+        tiebreak_col="event_id",
+    ).filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+    versions = history.select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("version_value"),
+        F.col("valid_from"),
+    )
+    facts = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    joined = asof_join(
+        facts,
+        versions,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        right_payload=["version_id", "version_value"],
+        how="left",
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "ts", "version_id", "version_value"
+    )
