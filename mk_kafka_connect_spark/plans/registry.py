@@ -70,6 +70,7 @@ R8_ADDITIONS: tuple[str, ...] = (
     "events_ab_test",
     "ivm_orders_summary",
     "join_fact_scd2_temporal",
+    "graph_pagerank",
 )
 
 # r7 additions that never fit the r7 driver window — zero driver rows.

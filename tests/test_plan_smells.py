@@ -46,6 +46,7 @@ ALLOWED = {
     # by data volume. Forcing a constant-key hash join would do the same
     # work through one degenerate hash bucket.
     "sim_nearest_centroid": "K-row centroid broadcast (K = |labels|)",
+    "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
 }
 
 _BATCH = [
