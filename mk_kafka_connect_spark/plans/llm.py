@@ -2398,3 +2398,84 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac"
         ),
     )
+
+
+_OOV_VOCAB_K = 20
+
+
+@query(
+    "docs_oov_rate",
+    oracle=None,  # patched below (needs the md5 split helper)
+    tags=("text", "B15", "vocab", "tokenizer"),
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of the validation split against a vocabulary
+    trained on the train split: vocab = top-K words by frequency over
+    'train' docs (md5 hash split, deterministic count-desc/word-asc
+    tie-break; K=20 here — the synthetic corpus has only 31 distinct
+    words, so a production-sized K would degenerate to 0% OOV), then
+    each 'val' doc reports its token count, OOV count,
+    and oov_rate — the fertility/coverage measurement run before freezing
+    a tokenizer or embedding vocab on a new corpus mix.
+
+    Scale shape: vocab training is a partial-aggregable word group-by +
+    a 500-row TakeOrdered (vocabulary-sized, never corpus-sized); scoring
+    is one explode + a broadcast left join against the 500-row vocab +
+    a per-doc aggregation — the corpus streams exactly twice, with no
+    all-pairs or global-sort stage. oov_rate divides two exact int64s."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.pipeline import hash_split
+
+    split = hash_split(d, "doc_id")
+    words = lambda df: df.select(  # noqa: E731 — local shorthand
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    train_counts = (
+        words(split.filter(F.col("split") == "train"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = train_counts.orderBy(F.desc("n"), F.asc("word")).limit(_OOV_VOCAB_K).select("word")
+    val_tokens = words(split.filter(F.col("split") == "val"))
+    scored = val_tokens.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )
+
+
+_set_oracle(
+    "docs_oov_rate",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+        {_sql_split_case(_sql_bucket("CAST(doc_id AS VARCHAR)"))} AS split
+      FROM documents
+    ), train_words AS (
+      SELECT unnest(string_split(text, ' ')) AS word
+      FROM split WHERE split = 'train'
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS n FROM train_words WHERE word <> '' GROUP BY word
+      ) ORDER BY n DESC, word ASC LIMIT {_OOV_VOCAB_K}
+    ), val_tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM split WHERE split = 'val'
+    )
+    SELECT t.doc_id,
+      CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        AS oov_rate
+    FROM val_tokens t LEFT JOIN vocab v ON t.word = v.word
+    WHERE t.word <> ''
+    GROUP BY t.doc_id
+    """,
+)

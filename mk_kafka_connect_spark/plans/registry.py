@@ -71,6 +71,8 @@ R8_ADDITIONS: tuple[str, ...] = (
     "ivm_orders_summary",
     "join_fact_scd2_temporal",
     "graph_pagerank",
+    "er_name_neardup",
+    "docs_oov_rate",
 )
 
 # r7 additions that never fit the r7 driver window — zero driver rows.

@@ -314,3 +314,80 @@ def join_fact_scd2_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", "event_type", "ts", "version_id", "version_value"
     )
+
+
+_SNM_WINDOW = 7  # neighbors compared per row in the sorted order
+_SNM_MAXDIST = 2
+
+
+@query(
+    "er_name_neardup",
+    oracle=f"""
+    WITH r AS (
+      SELECT c_nationkey, c_name, c_custkey,
+        row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name, c_custkey) AS rn
+      FROM customer
+    )
+    SELECT a.c_nationkey AS nationkey,
+      a.c_custkey AS key_a, b.c_custkey AS key_b,
+      a.c_name AS name_a, b.c_name AS name_b,
+      levenshtein(a.c_name, b.c_name) AS dist
+    FROM r a JOIN r b
+      ON a.c_nationkey = b.c_nationkey
+      AND b.rn > a.rn AND b.rn <= a.rn + {_SNM_WINDOW}
+    WHERE levenshtein(a.c_name, b.c_name) <= {_SNM_MAXDIST}
+    """,
+    tags=("er", "dedup", "B6", "B8", "fuzzy"),
+)
+def er_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by BLOCKED SORTED-NEIGHBORHOOD matching
+    (Hernandez–Stolfo): within each block (nation), records sort by name
+    and each row is compared against only its next 7 neighbors in the
+    sorted order; survivors are pairs with levenshtein distance <= 2 —
+    likely duplicate customer records filed under slightly different
+    names.
+
+    This is the ER formulation that scales: candidate generation is ONE
+    window pass (7 lead() columns over the per-block sort — a single
+    shuffle on the block key, map-side comparisons), cost O(n*w) instead
+    of the O(n^2) all-pairs edit-distance join; no skewed bucket can
+    form because the window width is constant by construction. The
+    verify step (levenshtein) is a codegen'd built-in in both engines.
+    The oracle states the same contract declaratively via a rn-banded
+    self-join."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    # Window exprs first (generators can't contain them), explode second.
+    leads = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        *[
+            F.struct(
+                F.lead("c_name", i).over(w).alias("name_b"),
+                F.lead("c_custkey", i).over(w).alias("key_b"),
+            ).alias(f"nbr{i}")
+            for i in range(1, _SNM_WINDOW + 1)
+        ],
+    )
+    pairs = (
+        leads.select(
+            "nationkey",
+            "key_a",
+            "name_a",
+            F.explode(
+                F.array(*[f"nbr{i}" for i in range(1, _SNM_WINDOW + 1)])
+            ).alias("nbr"),
+        )
+        .filter(F.col("nbr.key_b").isNotNull())
+        .select(
+            "nationkey",
+            "key_a",
+            F.col("nbr.key_b").alias("key_b"),
+            "name_a",
+            F.col("nbr.name_b").alias("name_b"),
+        )
+    )
+    return pairs.withColumn(
+        "dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("dist") <= _SNM_MAXDIST)
