@@ -73,6 +73,7 @@ R8_ADDITIONS: tuple[str, ...] = (
     "graph_pagerank",
     "er_name_neardup",
     "docs_oov_rate",
+    "streaming_cdc_scd1",
 )
 
 # r7 additions that never fit the r7 driver window — zero driver rows.

@@ -311,3 +311,64 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
     clicks = ev.filter(F.col("event_type") == "click")
     out = SW.stream_stream_attribution_full_outer(views, clicks, "6 hours")
     return SW.run_to_memory(out, "append").filter(F.col("user_id") >= 0)
+
+
+@query(
+    "streaming_cdc_scd1",
+    # Latest change per user by (ts, event_id); a tombstone ('error')
+    # winner removes the row entirely.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+          AS rn
+      FROM events WHERE event_type IN ('purchase', 'error')
+    )
+    SELECT user_id, event_id, value FROM ranked
+    WHERE rn = 1 AND event_type = 'purchase'
+    """,
+    tags=("streaming", "cdc", "B13", "B8", "scd1"),
+)
+def streaming_cdc_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-1 dimension maintenance — the deployment loop the
+    reference's keyed CDC topics feed: the change stream (purchase =
+    upsert, error = delete tombstone) replays through REAL micro-batches
+    (4 hash-split files, maxFilesPerTrigger=1, checkpointed AvailableNow
+    drain) into a versioned parquet state table maintained by
+    ``scd1_state_writer``'s per-key latest-wins compaction.
+
+    The winner per key is decided by the change's own (ts, event_id)
+    order, NOT batch arrival order — hash-splitting the files interleaves
+    time across batches precisely to prove out-of-order tolerance; the
+    final state must equal the batch 'latest change per user' oracle."""
+    import os as _os
+    import tempfile
+
+    from ..streaming.sinks import run_foreach_batch, scd1_state_writer
+
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            "ts",
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="scd1_src_")
+    changes.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, value double, ts timestamp, is_delete boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_root = tempfile.mkdtemp(prefix="scd1_state_")
+    apply, read_final = scd1_state_writer(
+        state_root, ["user_id"], ["ts", "event_id"], tombstone_col="is_delete"
+    )
+    run_foreach_batch(stream, apply, tempfile.mkdtemp(prefix="scd1_ckpt_"))
+    return read_final(spark).select("user_id", "event_id", "value")
