@@ -102,6 +102,14 @@ HEADLINE = [
     "events_attribution_models",
     "orders_open_backlog",
     "agg_quantiles_distributed",
+    # r8 additions.
+    "events_ohlc_hourly",
+    "events_ewma",
+    "ivm_orders_summary",
+    "join_fact_scd2_temporal",
+    "graph_pagerank",
+    "er_name_neardup",
+    "docs_oov_rate",
 ]
 
 
