@@ -74,6 +74,8 @@ R8_ADDITIONS: tuple[str, ...] = (
     "er_name_neardup",
     "docs_oov_rate",
     "streaming_cdc_scd1",
+    "events_trend_mannkendall",
+    "orders_pareto_customers",
 )
 
 # r7 additions that never fit the r7 driver window — zero driver rows.

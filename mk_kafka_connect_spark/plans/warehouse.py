@@ -391,3 +391,122 @@ def er_name_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn(
         "dist", F.levenshtein("name_a", "name_b")
     ).filter(F.col("dist") <= _SNM_MAXDIST)
+
+
+@query(
+    "events_trend_mannkendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+        CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+             AS BIGINT) AS s_stat,
+        CAST(count(*) AS BIGINT) AS n_pairs
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+      GROUP BY a.event_type
+    ), n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+      CASE WHEN s.s_stat > 0 THEN 1 WHEN s.s_stat < 0 THEN -1 ELSE 0 END AS trend,
+      11250 * s.s_stat * s.s_stat
+        > 2401 * n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) AS significant
+    FROM n JOIN s ON n.event_type = s.event_type
+    """,
+    tags=("timeseries", "B7", "B9", "trend", "stats"),
+)
+def events_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per event type over the daily count series
+    — the standard nonparametric 'is this metric drifting' monitor
+    (rank-based, so spikes don't dominate the way they do in a least-
+    squares slope). S = sum of sign(c_j - c_i) over ordered day pairs;
+    significance at p<0.05 uses Var(S) = n(n-1)(2n+5)/18 and is decided
+    by cross-multiplying |S|/sqrt(Var) > 1.96 into the exact integer
+    inequality 11250*S^2 > 2401*n(n-1)(2n+5) — no sqrt, no floats, so
+    the verdict is bit-stable cross-engine.
+
+    Scale shape: the pair enumeration runs over the AGGREGATED
+    (type, day) relation — calendar-bounded (the orders_open_backlog
+    argument), never event-count-bounded — via an equi-join on the type
+    key; the raw table contributes one partial-aggregable group-by."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type")) & (F.col("b.d") > F.col("a.d")))
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.c") > F.col("a.c"), 1)
+                .when(F.col("b.c") < F.col("a.c"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    out = n.join(s, "event_type")
+    sig = (
+        F.lit(11250) * F.col("s_stat") * F.col("s_stat")
+        > F.lit(2401) * F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.signum("s_stat").cast("int").alias("trend"),
+        sig.alias("significant"),
+    )
+
+
+@query(
+    "orders_pareto_customers",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, r,
+        row_number() OVER (ORDER BY r DESC, o_custkey ASC) AS rnk,
+        sum(r) OVER (ORDER BY r DESC, o_custkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ), tot AS (SELECT sum(r) AS total FROM rev)
+    SELECT rnk, o_custkey, CAST(r AS DOUBLE) AS revenue,
+      (cum - r) * 100 < total * 80 AS in_top80
+    FROM ranked, tot
+    """,
+    tags=("warehouse", "B7", "B9", "pareto"),
+)
+def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue-concentration analysis: customers ranked by exact-
+    decimal lifetime revenue with an in_top80 flag — a customer is in the
+    80% head while the mass STRICTLY BEFORE it is under 80% of total (so
+    the flag flips exactly once and the head always includes rank 1).
+    The comparison cross-multiplies (cum - r)/total < 0.8 into exact
+    decimal arithmetic — no division, bit-stable.
+
+    Scale shape: one partial-aggregable per-customer rollup over orders,
+    then the rank/cumsum window runs over the AGGREGATED customer-sized
+    relation (the docs_vocab_coverage argument) with a 1-row total
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(dec2("o_totalprice")).alias("r"))
+    win = Window.orderBy(F.desc("r"), F.asc("o_custkey"))
+    ranked = rev.select(
+        F.row_number().over(win).alias("rnk"),
+        "o_custkey",
+        "r",
+        F.sum("r").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = rev.agg(F.sum("r").alias("total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rnk",
+        "o_custkey",
+        F.col("r").cast("double").alias("revenue"),
+        ((F.col("cum") - F.col("r")) * 100 < F.col("total") * 80).alias("in_top80"),
+    )

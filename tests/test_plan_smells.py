@@ -47,6 +47,7 @@ ALLOWED = {
     # work through one degenerate hash bucket.
     "sim_nearest_centroid": "K-row centroid broadcast (K = |labels|)",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
+    "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
 }
 
 _BATCH = [

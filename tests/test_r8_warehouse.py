@@ -153,3 +153,58 @@ def test_temporal_join_duplicate_version_timestamps(spark):
         ).collect()
     }
     assert out == {10: None, 11: 2, 12: 2, 13: 3}
+
+
+def test_mannkendall_monotonic_series_significant(spark):
+    # Strictly increasing 10-day series: S = C(10,2) = 45, and
+    # 11250*45^2 = 22.78M > 2401*10*9*25 = 5.4M -> significant uptrend.
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for _ in range(day):  # day k has k events
+            eid += 1
+            rows.append((eid, _ts(f"2024-01-{day:02d} 12:00:00"), 1, "view", 1.0, None))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).createOrReplaceTempView("_r8_mk_events")
+    out = spark.sql("""
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS c
+        FROM _r8_mk_events GROUP BY 1, 2),
+      s AS (
+        SELECT a.event_type,
+          sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+        FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.d > a.d
+        GROUP BY a.event_type),
+      n AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+      SELECT s.s_stat, n.n_days,
+        11250 * s.s_stat * s.s_stat
+          > 2401 * n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) AS significant
+      FROM n JOIN s USING (event_type)
+    """).collect()[0]
+    assert (out.s_stat, out.n_days, out.significant) == (45, 10, True)
+
+
+def test_pareto_flag_boundary_is_strict(spark):
+    # Revenues 80/10/10: rank 1 is the head; rank 2 starts exactly AT the
+    # 80% boundary ((cum - r) = 80% of total) and must be excluded.
+    rows = [(1, 80.0), (2, 10.0), (3, 10.0)]
+    df = spark.createDataFrame(rows, "o_custkey long, r double")
+    from pyspark.sql import Window as W
+
+    from mk_kafka_connect_spark.functions.exact import dec2
+
+    rev = df.select("o_custkey", dec2("r").alias("r"))
+    win = W.orderBy(F.desc("r"), F.asc("o_custkey"))
+    ranked = rev.select(
+        F.row_number().over(win).alias("rnk"), "o_custkey", "r",
+        F.sum("r").over(win.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = rev.agg(F.sum("r").alias("total"))
+    out = {
+        r.rnk: r.in_top80
+        for r in ranked.crossJoin(total).select(
+            "rnk", ((F.col("cum") - F.col("r")) * 100 < F.col("total") * 80).alias("in_top80")
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
