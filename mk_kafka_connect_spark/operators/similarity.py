@@ -1188,3 +1188,87 @@ def cosine_topk_ivf_pq(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
+    1998): greedily pick k results from a pool-sized relevance shortlist,
+    each step maximizing lam*rel(q,c) - (1-lam)*max_{s in selected}
+    sim(c,s) — the retrieval re-rank that stops near-duplicate passages
+    from filling the context window.
+
+    All scores are INTEGER inner products of the quantized vectors (the
+    MIPS formulation — cosine-equivalent when embeddings are normalized
+    upstream) and lambda is the rational lam_num/lam_den, so every greedy
+    comparison is exact int64 arithmetic with an id-asc tie-break:
+    bit-deterministic, and the whole greedy unrolls into the SQL oracle.
+
+    Scale shape: candidate generation is the broadcast-queries relevance
+    scan + a per-query top-pool window (swap in the IVF/LSH tiers when
+    the corpus outgrows a full scan — the re-rank only needs SOME
+    pool-sized shortlist); the greedy itself runs per query group in ONE
+    Arrow batch over pool<=20 rows (pool^2 dots in one numpy matmul) —
+    sequential by nature, but over model-sized state, never corpus rows."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id", _dot(F.col("qv"), F.col("cv")).alias("rel"), "cv"
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    cand = (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= pool)
+        .drop("_rnk")
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["cand_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["cv"].tolist(), dtype=np.int64)
+        S = V @ V.T  # pairwise integer sims, pool x pool
+        n = len(ids)
+        picked: list[int] = []
+        for rank in range(1, min(k, n) + 1):
+            best = None
+            for i in range(n):
+                if i in picked:
+                    continue
+                if picked:
+                    score = lam_num * int(rel[i]) - (lam_den - lam_num) * int(
+                        max(S[i, j] for j in picked)
+                    )
+                else:
+                    score = lam_den * int(rel[i])
+                key = (-score, int(ids[i]))
+                if best is None or key < best[0]:
+                    best = (key, i, rank)
+            picked.append(best[1])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": [int(ids[i]) for i in picked],
+                "rank": list(range(1, len(picked) + 1)),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, neighbor_id long, rank int"
+    )
