@@ -116,7 +116,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="mk_kafka_connect_spark-bench")
+    # The driver recovers the result line from the tail of stdout
+    # (BENCH_r08 recorded "parsed": null when progress-bar/console noise
+    # interleaved with a long JSON line). Keep stdout PRISTINE: console
+    # progress off, all narration to stderr, and the JSON printed once as
+    # the final stdout line. The full JSON is also written to
+    # BENCH_LOCAL.json so a truncated pipe never loses the numbers.
+    spark = get_spark(
+        app_name="mk_kafka_connect_spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     names = [n for n in HEADLINE if n in QUERIES]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -154,8 +163,20 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as ex:  # read-only checkout must not kill the bench
+        print(f"BENCH_LOCAL.json not written: {ex}", file=sys.stderr)
     spark.stop()
+    # Last stdout write of the process, after Spark shutdown, so no
+    # executor/log line can trail it.
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -24,9 +24,8 @@ __all__ = [
     "spark_queries",
     "oracle_queries",
     "CERTIFICATION_FRONT",
-    "R8_ADDITIONS",
-    "R8_PRIORITY",
-    "R8_BACKFILL",
+    "R9_NEVER_CERTIFIED",
+    "R9_ADDITIONS",
     "certification_order",
 ]
 
@@ -55,102 +54,90 @@ QUERIES: dict[str, QuerySpec] = {}
 # and what to pin next round) is documented in COVERAGE.md §"Driver
 # certification rotation".
 #
-# Round-8 window (per the r8 plan in COVERAGE.md): new r8 queries first
-# (zero driver rows by definition), then the 29 r7 additions that did not
-# fit the r7 window (also zero driver rows), then the backfill displaced
-# by the r7 continuation batches, oldest driver row first. The window is
-# the first 50 of the concatenation; anything that overflows stays covered
-# by the local oracle-parity pytest and rotates into r9.
-
-# Queries ADDED during round 8 — append here as they land; they take the
-# front of the window automatically.
-R8_ADDITIONS: tuple[str, ...] = (
-    "events_ohlc_hourly",
-    "events_ewma",
-    "events_ab_test",
-    "ivm_orders_summary",
-    "join_fact_scd2_temporal",
-    "graph_pagerank",
-    "er_name_neardup",
-    "docs_oov_rate",
-    "streaming_cdc_scd1",
-    "events_trend_mannkendall",
-    "orders_pareto_customers",
+# Round-9 window (VERDICT r8 "Next round" #1): after r8, exactly 50 of the
+# 186 registered queries have NO green driver row in any CORRECTNESS_r0N.json
+# (the r7 driver run never happened, so the whole r7 window plus the r8
+# overflow was never independently certified). 50 never-certified queries =
+# 50 driver slots: this window closes driver coverage completely — after a
+# green r9 run, every registered query has at least one driver row ever.
+# The list below is derived from CORRECTNESS_r01–r08 vs the registry (the
+# derivation is pinned by tests/test_registry_rotation.py, which recomputes
+# it from the artifact files).
+R9_NEVER_CERTIFIED: tuple[str, ...] = (
+    "agg_approx_distinct",
+    "agg_approx_quantiles",
+    "agg_heavy_hitters",
+    "agg_hll_sketch_merge",
+    "cdc_scd2_history",
+    "cohort_retention_weekly",
+    "dedup_clusters",
+    "dedup_embedding_clusters",
+    "dedup_minhash_incremental",
+    "docs_balance_strata",
+    "docs_chunk_overlap",
+    "docs_decontaminate_lsh",
+    "docs_epoch_mixture",
+    "docs_ngram_topk",
+    "docs_pack_sequences",
+    "docs_quality_topfrac_by_lang",
+    "docs_stratified_sample",
+    "docs_tfidf_topterms",
+    "docs_vocab_coverage",
+    "docs_weighted_sample",
+    "emb_covariance",
+    "emb_label_centroids",
+    "events_anomaly_zscore",
+    "events_gapfill_hourly",
+    "events_gapfill_locf",
+    "events_rollup_multires",
+    "funnel_view_click_purchase",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_lateral_topk",
+    "join_range_binned",
+    "join_skew_salted",
+    "kafka_file_roundtrip",
+    "multimodal_ahash",
+    "multimodal_resize",
+    "pipeline_training_data_v2",
+    "profile_orders",
+    "rest_roundtrip_events",
+    "rest_scan_events",
+    "rest_stream_events",
+    "sim_nearest_centroid",
+    "sim_topk_ivf_sq8",
+    "sim_topk_lsh",
+    "sim_topk_sq8",
+    "streaming_dedup_then_window",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_join",
+    "text_pii_redact",
+    "transform_smt_chain",
+    "udf_pandas_grouped_agg",
 )
 
-# r7 additions that never fit the r7 driver window — zero driver rows.
-R8_PRIORITY: tuple[str, ...] = (
-    "docs_length_histogram",
-    "dedup_verbatim_spans",
-    "streaming_active_users_hourly",
-    "cdc_pipeline_end_to_end",
-    "join_bloom_prefilter",
-    "agg_bitmap_distinct",
-    "events_time_weighted_avg",
-    "events_markov_transitions",
-    "multimodal_ahash_neardup",
-    "events_session_paths",
-    "funnel_conversion_latency",
-    "orders_rfm_segments",
-    "events_dau_wau",
-    "dq_checks_orders",
-    "cdc_snapshot_asof",
-    "sim_topk_pq",
-    "sim_topk_ivf_pq",
-    "basket_brand_affinity",
-    "streaming_stream_stream_full_join",
-    "dedup_ngram_containment",
-    "agg_bitmap_audience_overlap",
-    "text_langid_confusion",
-    "orders_cohort_ltv",
-    "events_attribution_models",
-    "supplier_concentration_hhi",
-    "orders_open_backlog",
-    "agg_quantiles_distributed",
-    "cdc_snapshot_diff",
-    "diag_key_skew",
-)
-
-# Backfill: queries whose last driver row is r1/r2 (or that the late-r7
-# additions displaced), stalest first. Overflow past slot 50 rotates to r9.
-R8_BACKFILL: tuple[str, ...] = (
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "join_left_nulls",
-    "join_right",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_asof",
-    "filter_range_halfopen",
-    "cdc_merge_upsert",
-    "dedup_latest_wins",
-    "dedup_exact",
-    "bucketed_join_revenue",
-    "dedup_embedding_lsh",
-    "agg_stats",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_having_filter",
-    "agg_case_when_buckets",
-    "agg_percentiles",
-    "skew_salted_agg",
-)
+# Queries ADDED during round 9 — they also have zero driver rows, but the
+# window is exactly filled by the never-certified backlog above, so they
+# queue immediately AFTER the window (first in line for the r10 front) and
+# are covered this round by the local oracle-parity pytest suite.
+R9_ADDITIONS: tuple[str, ...] = ()
 
 DRIVER_WINDOW = 50
 
-CERTIFICATION_FRONT: tuple[str, ...] = (R8_ADDITIONS + R8_PRIORITY + R8_BACKFILL)[
-    :DRIVER_WINDOW
-]
+CERTIFICATION_FRONT: tuple[str, ...] = R9_NEVER_CERTIFIED[:DRIVER_WINDOW]
 
 
 def certification_order() -> list[str]:
-    """Registry names with CERTIFICATION_FRONT pinned to the front."""
+    """Registry names with CERTIFICATION_FRONT pinned to the front.
+
+    R9 additions are slotted directly behind the window so the driver's
+    first-50 certification set stays exactly the never-certified backlog
+    while the newest queries head the queue for the next rotation.
+    """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
-    pinned = set(front)
-    return front + [n for n in QUERIES if n not in pinned]
+    next_up = [n for n in R9_ADDITIONS if n in QUERIES and n not in front]
+    pinned = set(front) | set(next_up)
+    return front + next_up + [n for n in QUERIES if n not in pinned]
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
