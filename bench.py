@@ -110,6 +110,8 @@ HEADLINE = [
     "graph_pagerank",
     "er_name_neardup",
     "docs_oov_rate",
+    # r9 additions.
+    "sim_mmr_rerank",
 ]
 
 

@@ -544,6 +544,78 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS query_id, {_SQL_QUANT.format(e='embedding')} AS qv
+          FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS cand_id, {_SQL_QUANT.format(e='embedding')} AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+        CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS BIGINT)
+          AS rel,
+        cv
+      FROM q CROSS JOIN c WHERE query_id <> cand_id),
+    pool AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= 20),
+    sims AS (
+      SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+        CAST(list_sum(list_transform(list_zip(a.cv, b.cv), p -> p[1] * p[2]))
+             AS BIGINT) AS s
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+    sel AS (
+      SELECT query_id, [cand_id] AS picked, cand_id AS neighbor_id, 1 AS rank
+      FROM pool WHERE rn = 1
+      UNION ALL
+      SELECT s.query_id, list_append(s.picked, nxt.cand_id), nxt.cand_id,
+             s.rank + 1
+      FROM sel s, LATERAL (
+        SELECT p.cand_id
+        FROM pool p
+        WHERE p.query_id = s.query_id AND NOT list_contains(s.picked, p.cand_id)
+        ORDER BY (7 * p.rel - 3 * (
+            SELECT max(sm.s) FROM sims sm
+            WHERE sm.query_id = s.query_id AND sm.ia = p.cand_id
+              AND list_contains(s.picked, sm.ib))) DESC, p.cand_id
+        LIMIT 1) nxt
+      WHERE s.rank < 5)
+    SELECT query_id, neighbor_id, rank FROM sel
+    """,
+    tags=("similarity", "B15", "rerank"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-5 for a 50-query batch
+    (Carbonell & Goldstein 1998): greedy lambda-tradeoff between
+    relevance to the query and max similarity to the already-picked set,
+    lambda = 7/10, over a 20-candidate relevance shortlist — the
+    retrieval re-rank that keeps near-duplicate passages from filling a
+    RAG context window.
+
+    Every comparison is exact int64 arithmetic on the quantized vectors
+    with an id-asc tie-break, so the whole greedy unrolls into the
+    recursive-CTE oracle step for step. Scale shape: shortlist generation
+    here is the bruteforce relevance scan (swap in the IVF/LSH tiers when
+    the corpus outgrows it — the greedy only needs SOME pool-sized
+    shortlist); the greedy itself runs per query in ONE Arrow batch over
+    pool<=20 rows (pool^2 dots in a single numpy matmul) — model-sized
+    state, never corpus rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.mmr_rerank(
+        emb,
+        emb.filter(F.col("vec_id") < 50),
+        k=5,
+        pool=20,
+        lam_num=7,
+        lam_den=10,
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH v AS (SELECT vec_id AS id, {_SQL_QUANT.format(e='embedding')} AS v
@@ -2419,10 +2491,11 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tokenizer or embedding vocab on a new corpus mix.
 
     Scale shape: vocab training is a partial-aggregable word group-by +
-    a 500-row TakeOrdered (vocabulary-sized, never corpus-sized); scoring
-    is one explode + a broadcast left join against the 500-row vocab +
-    a per-doc aggregation — the corpus streams exactly twice, with no
-    all-pairs or global-sort stage. oov_rate divides two exact int64s."""
+    a K-row TakeOrdered (K=_OOV_VOCAB_K — vocabulary-sized, never
+    corpus-sized); scoring is one explode + a broadcast left join against
+    the K-row vocab + a per-doc aggregation — the corpus streams exactly
+    twice, with no all-pairs or global-sort stage. oov_rate divides two
+    exact int64s."""
     d = load_table(spark, sf_dir, "documents")
     from ..operators.pipeline import hash_split
 

@@ -120,7 +120,9 @@ R9_NEVER_CERTIFIED: tuple[str, ...] = (
 # window is exactly filled by the never-certified backlog above, so they
 # queue immediately AFTER the window (first in line for the r10 front) and
 # are covered this round by the local oracle-parity pytest suite.
-R9_ADDITIONS: tuple[str, ...] = ()
+R9_ADDITIONS: tuple[str, ...] = (
+    "sim_mmr_rerank",
+)
 
 DRIVER_WINDOW = 50
 

@@ -341,7 +341,7 @@ def streaming_cdc_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, NOT batch arrival order — hash-splitting the files interleaves
     time across batches precisely to prove out-of-order tolerance; the
     final state must equal the batch 'latest change per user' oracle."""
-    import os as _os
+    import shutil
     import tempfile
 
     from ..streaming.sinks import run_foreach_batch, scd1_state_writer
@@ -357,18 +357,28 @@ def streaming_cdc_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == "error").alias("is_delete"),
         )
     )
-    src = tempfile.mkdtemp(prefix="scd1_src_")
-    changes.repartition(4, "event_id").write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, event_id long, value double, ts timestamp, is_delete boolean"
+    # All three scratch dirs (source files, versioned state, checkpoint)
+    # live under ONE tempdir removed in the finally: repeated bench/cert
+    # invocations must not accumulate copies in /tmp. The final state is
+    # materialized before cleanup — it is dimension-sized (one row per
+    # live user) by definition of SCD-1, so the localized result is the
+    # same size the driver is about to collect anyway.
+    root = tempfile.mkdtemp(prefix="scd1_run_")
+    try:
+        src = f"{root}/src"
+        changes.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, value double, ts timestamp, is_delete boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    state_root = tempfile.mkdtemp(prefix="scd1_state_")
-    apply, read_final = scd1_state_writer(
-        state_root, ["user_id"], ["ts", "event_id"], tombstone_col="is_delete"
-    )
-    run_foreach_batch(stream, apply, tempfile.mkdtemp(prefix="scd1_ckpt_"))
-    return read_final(spark).select("user_id", "event_id", "value")
+        apply, read_final = scd1_state_writer(
+            f"{root}/state", ["user_id"], ["ts", "event_id"], tombstone_col="is_delete"
+        )
+        run_foreach_batch(stream, apply, f"{root}/ckpt")
+        final = read_final(spark).select("user_id", "event_id", "value")
+        return spark.createDataFrame(final.collect(), schema=final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -163,7 +163,11 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (1.96^2 = 2401/625; strict > so the zero-variance degenerate case —
     everyone or no one converting — reads not-significant), evaluated in
-    DECIMAL(38,0) — exact for cohorts up to ~1e8 users. Two aggregations
+    DECIMAL(38,0). The lhs grows like 625·N·(cA·nB − cB·nA)² ≈ 39·N⁵ in
+    the worst (maximally-unbalanced) case, so exactness is guaranteed for
+    cohorts up to ~1e7 users (worst case; ~3e7 for balanced arms) — beyond
+    that Spark yields NULL rather than a wrong answer, and the inequality
+    would need common-factor reduction before scaling further. Two aggregations
     over user-sized data: per-user conversion rollup (one shuffle on
     user_id), then a single global row — both partial-agg friendly; the
     fact table streams once."""

@@ -87,25 +87,44 @@ def scd1_state_writer(
 
     from ..operators.cdc import compact_latest
 
+    def _versions() -> list[int]:
+        import re as _re
+
+        if not _os.path.isdir(state_root):
+            return []
+        return [
+            int(m.group(1))
+            for d in _os.listdir(state_root)
+            if (m := _re.fullmatch(r"v=(\d+)", d))
+        ]
+
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         changes = batch_df.withColumn("_ord", _F.struct(*order_cols))
-        prev_path = _os.path.join(state_root, f"v={epoch_id - 1}")
-        if epoch_id > 0 and _os.path.isdir(prev_path):
+        # Previous state = the HIGHEST existing version below this epoch —
+        # epoch ids are not guaranteed contiguous (checkpoint reuse across
+        # runs, a restart that skipped an empty batch). Assuming
+        # v=<epoch-1> would silently discard all prior state on a gap;
+        # and an epoch>0 with NO prior version at all means the
+        # checkpoint and the state dir are out of sync — error, don't
+        # quietly rebuild from one batch.
+        prior = [v for v in _versions() if v < epoch_id]
+        if prior:
+            prev_path = _os.path.join(state_root, f"v={max(prior)}")
             merged = spark.read.parquet(prev_path).unionByName(changes)
+        elif epoch_id > 0:
+            raise RuntimeError(
+                f"scd1_state_writer: epoch {epoch_id} has no prior state "
+                f"version under {state_root} — checkpoint/state mismatch "
+                "(refusing to silently reset the dimension)"
+            )
         else:
             merged = changes
         out = compact_latest(merged, key_cols, "_ord")
         out.write.mode("overwrite").parquet(_os.path.join(state_root, f"v={epoch_id}"))
 
     def read_final(spark) -> DataFrame:
-        import re as _re
-
-        versions = [
-            int(m.group(1))
-            for d in _os.listdir(state_root)
-            if (m := _re.fullmatch(r"v=(\d+)", d))
-        ]
+        versions = _versions()
         final = spark.read.parquet(_os.path.join(state_root, f"v={max(versions)}"))
         if tombstone_col is not None:
             final = final.filter(~_F.coalesce(_F.col(tombstone_col), _F.lit(False)))

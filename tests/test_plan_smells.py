@@ -23,6 +23,8 @@ ALLOWED = {
     "IVF/LSH are the comparison-pruning tiers",
     "sim_topk_pq": "PQ flat index: |Q|x|C| by design at 16 B/vector "
     "(codebook-gather ADC); IVF/LSH are the comparison-pruning tiers",
+    "sim_mmr_rerank": "shortlist generation is the bruteforce relevance scan "
+    "(swap in IVF/LSH at scale); the greedy runs over pool-sized Arrow batches",
     # Declared operator surface.
     "join_cross": "the B6 cross-join coverage query itself",
     "udf_row_python": "deliberate B14 row-UDF surface (paired with vectorized variants)",

@@ -74,3 +74,30 @@ def test_tombstone_suppresses_late_older_upsert(spark):
         ],
     )
     assert _state(spark, read_final) == {}
+
+
+def test_epoch_gap_resolves_to_highest_prior_version(spark):
+    # Epoch ids need not be contiguous (checkpoint reuse, skipped empty
+    # batches): epoch 5 after epoch 0 must merge with v=0, not silently
+    # reset state to the new batch alone.
+    root = tempfile.mkdtemp(prefix="scd1_test_")
+    apply, read_final = scd1_state_writer(
+        root, ["user_id"], ["ts", "event_id"], tombstone_col="is_delete"
+    )
+    apply(spark.createDataFrame(BATCH_A, SCHEMA), 0)
+    apply(spark.createDataFrame(BATCH_B, SCHEMA), 5)
+    assert _state(spark, read_final) == EXPECTED
+
+
+def test_missing_prior_state_raises_instead_of_resetting(spark):
+    # epoch > 0 with NO state versions at all = checkpoint/state dir
+    # mismatch; resetting the dimension from one batch would be silent
+    # data loss.
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="scd1_test_")
+    apply, _ = scd1_state_writer(
+        root, ["user_id"], ["ts", "event_id"], tombstone_col="is_delete"
+    )
+    with pytest.raises(RuntimeError, match="no prior state"):
+        apply(spark.createDataFrame(BATCH_B, SCHEMA), 3)
