@@ -112,6 +112,7 @@ HEADLINE = [
     "docs_oov_rate",
     # r9 additions.
     "sim_mmr_rerank",
+    "bpe_merges",
 ]
 
 

@@ -2552,3 +2552,96 @@ _set_oracle(
     GROUP BY t.doc_id
     """,
 )
+
+
+_BPE_N_MERGES = 30
+
+
+@query(
+    "bpe_merges",
+    # The full BPE training loop replayed as a recursive CTE: the working
+    # table is ONE row carrying (merge list, vocab) as list columns, each
+    # iteration recomputes weighted adjacent-pair counts with list
+    # lambdas, picks min (-count, pair) — i.e. max count with the
+    # lexicographic (a, b) tie-break — and rewrites every word's symbol
+    # sequence via a delimiter-wrapped string replace (replace() is
+    # left-to-right non-overlapping, exactly the standard BPE merge
+    # application; chr(1)-wrapping each symbol makes partial-symbol
+    # matches impossible). Pairs travel as chr(2)-joined string keys
+    # because DuckDB list_distinct doesn't take structs; since chr(2)
+    # sorts below every text character, key order == (a, b) order.
+    oracle=r"""
+    WITH RECURSIVE
+    wf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word),
+    state AS (
+      SELECT 0 AS it,
+             []::VARCHAR[] AS merges,
+             list(struct_pack(syms := string_split(word, ''), freq := freq))
+               AS vocab
+      FROM wf
+      UNION ALL
+      SELECT it + 1,
+             list_append(merges, best),
+             list_transform(vocab, w -> struct_pack(
+               syms := string_split(
+                 trim(replace(
+                        chr(1) || array_to_string(w.syms, chr(1)||chr(1)) || chr(1),
+                        chr(1) || string_split(best, chr(2))[1] || chr(1)
+                          || chr(1) || string_split(best, chr(2))[2] || chr(1),
+                        chr(1) || string_split(best, chr(2))[1]
+                          || string_split(best, chr(2))[2] || chr(1)),
+                      chr(1)),
+                 chr(1)||chr(1)),
+               freq := w.freq))
+      FROM (
+        SELECT it, merges, vocab,
+          list_sort(list_transform(
+            list_distinct(list_transform(pf, p -> p.k)),
+            d -> struct_pack(
+              negn := -list_sum(list_transform(pf, x ->
+                CASE WHEN x.k = d THEN x.f ELSE 0 END)),
+              k := d)))[1].k AS best
+        FROM (
+          SELECT it, merges, vocab,
+            flatten(list_transform(vocab, w ->
+              CASE WHEN len(w.syms) >= 2 THEN
+                list_transform(range(1, len(w.syms)), i ->
+                  struct_pack(k := w.syms[i] || chr(2) || w.syms[i+1],
+                              f := w.freq))
+              ELSE []::STRUCT(k VARCHAR, f BIGINT)[] END)) AS pf
+          FROM state WHERE it < 30) s1) s2
+      WHERE best IS NOT NULL),
+    final AS (SELECT merges FROM state WHERE it = (SELECT max(it) FROM state))
+    SELECT i AS merge_rank,
+           string_split(merges[i], chr(2))[1] AS left_sym,
+           string_split(merges[i], chr(2))[2] AS right_sym
+    FROM final, unnest(range(1, len(merges) + 1)) t(i)
+    """,
+    tags=("text", "B15", "tokenizer", "bpe"),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training as a RELATION: the learned merge list
+    (merge_rank, left_sym, right_sym) over the documents corpus — 30
+    merges, GPT-2-trainer shape (``operators/bpe.py``): one corpus pass
+    builds the word-frequency table, then every iteration is vocab-sized
+    (weighted adjacent-pair aggregation with map-side partials + one
+    Arrow symbol rewrite + a ONE-ROW argmax collect — model extraction,
+    the same bounded materialization as the IVF/PQ trainings).
+    Deterministic by construction — count-desc, pair-lexicographic-asc
+    tie-break, left-to-right non-overlapping merge application — so the
+    list is bit-identical across partitionings (pinned merge-for-merge
+    against a pure-Python textbook reference in tests/test_r7_batch2.py)
+    and replayable by the recursive-CTE oracle above."""
+    from ..operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=_BPE_N_MERGES)
+    rows = [
+        (i + 1, a, b) for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank bigint, left_sym string, right_sym string"
+    )

@@ -122,6 +122,7 @@ R9_NEVER_CERTIFIED: tuple[str, ...] = (
 # are covered this round by the local oracle-parity pytest suite.
 R9_ADDITIONS: tuple[str, ...] = (
     "sim_mmr_rerank",
+    "bpe_merges",
 )
 
 DRIVER_WINDOW = 50
