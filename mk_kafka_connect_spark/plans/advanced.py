@@ -1250,22 +1250,29 @@ def agg_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = buckets.groupBy("event_type").agg(
         F.sum(F.bitmap_count("_bm")).alias("n")
     )
-    types = [r["event_type"] for r in per.select("event_type").collect()]
-    # Each state row contributes to every pair it belongs to: explode
-    # over the other member; pair key is the sorted (type_a, type_b).
-    other = F.array(*[F.lit(t) for t in types])
-    contrib = (
-        buckets.select(
-            "event_type",
-            "_bucket",
-            "_bm",
-            F.explode(F.filter(other, lambda t: t != F.col("event_type"))).alias("_t2"),
+    # Pair enumeration derived ENTIRELY from the state table — no
+    # driver-side type-list collect: the |types|²/2 pair relation is a
+    # self-join of the per-type summary (types-sized, broadcastable by
+    # construction), and each state row reaches every pair it belongs to
+    # through two broadcast equi-joins (member a, member b) union'd —
+    # hash joins, not a nested-loop theta join, and the checkpointed
+    # KB-sized state table streams twice instead of the raw events.
+    pair_rel = (
+        per.select(F.col("event_type").alias("type_a"))
+        .join(
+            per.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
         )
-        .select(
-            F.least("event_type", "_t2").alias("type_a"),
-            F.greatest("event_type", "_t2").alias("type_b"),
-            "_bucket",
-            "_bm",
+    )
+    contrib = (
+        buckets.join(
+            F.broadcast(pair_rel), F.col("event_type") == F.col("type_a")
+        )
+        .select("type_a", "type_b", "_bucket", "_bm")
+        .unionByName(
+            buckets.join(
+                F.broadcast(pair_rel), F.col("event_type") == F.col("type_b")
+            ).select("type_a", "type_b", "_bucket", "_bm")
         )
     )
     union_counts = (

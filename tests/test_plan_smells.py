@@ -42,6 +42,9 @@ ALLOWED = {
     "basket_brand_affinity": "1-row order-count broadcast (lift denominator)",
     "text_langid_confusion": "1-row corpus-total broadcast (fraction denominator)",
     "agg_heavy_hitters": "1-row corpus-total + 1-row summed-error broadcasts",
+    "agg_bitmap_audience_overlap": "types-sized pair-enumeration self-join "
+    "(|types|^2 rows over the per-type summary) — replaces the former "
+    "driver-side type-list collect; state rows reach pairs via hash joins",
     # The build side is the K-row centroid relation (K = |labels|, tens of
     # rows): a broadcast K-row dimension against which every row scores is
     # exactly what nearest-centroid classification IS — bounded by K, not
