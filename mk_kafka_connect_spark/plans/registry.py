@@ -123,6 +123,7 @@ R9_NEVER_CERTIFIED: tuple[str, ...] = (
 R9_ADDITIONS: tuple[str, ...] = (
     "sim_mmr_rerank",
     "bpe_merges",
+    "streaming_cdc_scd2",
 )
 
 DRIVER_WINDOW = 50

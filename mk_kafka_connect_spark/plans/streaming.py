@@ -382,3 +382,62 @@ def streaming_cdc_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), schema=final.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_scd2",
+    # The full versioned history over the purchase change stream must
+    # equal the batch SCD-2 build, change for change.
+    oracle="""
+    SELECT user_id, event_id, value, ts AS valid_from,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("streaming", "cdc", "B13", "B8", "scd2"),
+)
+def streaming_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD-2 history maintenance — completes the streaming CDC
+    family next to ``streaming_cdc_scd1``: the purchase change stream
+    replays through REAL micro-batches (4 hash-split files,
+    maxFilesPerTrigger=1, checkpointed AvailableNow drain) into a
+    versioned-history parquet table maintained incrementally by
+    ``scd2_state_writer`` (untouched keys carried by anti join, touched
+    keys re-chained by one lead window over their full change set).
+
+    Hash-splitting the files interleaves event time across batches, so
+    late changes must SPLICE into existing chains (rewriting earlier
+    versions' valid_to) — the final history must equal the batch SCD-2
+    oracle exactly, intervals and is_current flags included."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import run_foreach_batch, scd2_state_writer
+
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "ts")
+    )
+    root = tempfile.mkdtemp(prefix="scd2_run_")
+    try:
+        src = f"{root}/src"
+        changes.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, value double, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        apply, read_final = scd2_state_writer(
+            f"{root}/state", ["user_id"], "ts", "event_id"
+        )
+        run_foreach_batch(stream, apply, f"{root}/ckpt")
+        final = read_final(spark).select(
+            "user_id", "event_id", "value", "valid_from", "valid_to", "is_current"
+        )
+        return spark.createDataFrame(final.collect(), schema=final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -17,7 +17,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["epoch_partitioned_writer", "run_foreach_batch"]
+__all__ = [
+    "epoch_partitioned_writer",
+    "run_foreach_batch",
+    "scd1_state_writer",
+    "scd2_state_writer",
+]
 
 
 def epoch_partitioned_writer(path: str) -> Callable[[DataFrame, int], None]:
@@ -129,5 +134,99 @@ def scd1_state_writer(
         if tombstone_col is not None:
             final = final.filter(~_F.coalesce(_F.col(tombstone_col), _F.lit(False)))
         return final.drop("_ord")
+
+    return apply, read_final
+
+
+def scd2_state_writer(
+    state_root: str,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+):
+    """foreachBatch apply maintaining an SCD-2 VERSIONED-HISTORY table
+    under ``state_root`` — the streaming counterpart of
+    ``operators/cdc.py::scd2_history``, completing the streaming CDC
+    family next to :func:`scd1_state_writer` (latest-wins keeps one row
+    per key; this keeps every version with its [valid_from, valid_to)
+    interval).
+
+    Incremental maintenance per epoch: every history row IS its change
+    row (valid_from = the change's ts), so the chain for a key can be
+    rebuilt from state alone. Keys untouched by the batch carry their
+    rows through an anti join; touched keys take (their existing change
+    rows ∪ the batch's rows), dedup on (key, ts, tiebreak) — replayed
+    changes collapse — and ONE lead-window pass re-derives
+    valid_to/is_current. Out-of-order batches are handled by
+    construction: a late change splices into the key's chain wherever
+    its ts falls, because the whole chain is re-sorted, and only
+    batch-touched keys ever re-chain — per-epoch shuffle cost is
+    |touched keys' history| + |batch|, independent of history depth on
+    untouched keys. The batch-key relation is batch-sized and
+    broadcast into both the anti and semi join.
+
+    Same versioned-directory device as :func:`scd1_state_writer`
+    (v=<epoch> dirs, highest-prior-version resolution, error on a
+    missing prior — replay-idempotent, gap-tolerant).
+
+    Returns (apply_fn, read_final_fn).
+    """
+    import os as _os
+
+    from ..operators.cdc import scd2_history
+
+    _derived = ["valid_from", "valid_to", "is_current"]
+
+    def _versions() -> list[int]:
+        import re as _re
+
+        if not _os.path.isdir(state_root):
+            return []
+        return [
+            int(m.group(1))
+            for d in _os.listdir(state_root)
+            if (m := _re.fullmatch(r"v=(\d+)", d))
+        ]
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = [v for v in _versions() if v < epoch_id]
+        if prior:
+            prev = spark.read.parquet(
+                _os.path.join(state_root, f"v={max(prior)}")
+            )
+            bkeys = batch_df.select(*key_cols).distinct()
+            untouched = prev.join(F.broadcast(bkeys), key_cols, "left_anti")
+            touched_changes = prev.join(
+                F.broadcast(bkeys), key_cols, "left_semi"
+            ).drop(*_derived)
+            changes = touched_changes.unionByName(batch_df)
+        elif epoch_id > 0:
+            raise RuntimeError(
+                f"scd2_state_writer: epoch {epoch_id} has no prior state "
+                f"version under {state_root} — checkpoint/state mismatch "
+                "(refusing to silently reset the history)"
+            )
+        else:
+            untouched = None
+            changes = batch_df
+        rebuilt = scd2_history(
+            changes.dropDuplicates(key_cols + [ts_col, tiebreak_col]),
+            key_cols,
+            ts_col,
+            tiebreak_col=tiebreak_col,
+        )
+        out = (
+            rebuilt if untouched is None else untouched.unionByName(rebuilt)
+        )
+        out.write.mode("overwrite").parquet(
+            _os.path.join(state_root, f"v={epoch_id}")
+        )
+
+    def read_final(spark) -> DataFrame:
+        versions = _versions()
+        return spark.read.parquet(
+            _os.path.join(state_root, f"v={max(versions)}")
+        )
 
     return apply, read_final

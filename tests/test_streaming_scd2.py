@@ -1,0 +1,86 @@
+"""Contract tests for the streaming SCD-2 history writer
+(streaming/sinks.py::scd2_state_writer): batch-order invariance (late
+changes splice into existing chains), replay idempotence, epoch-gap
+resolution, and the missing-prior-state error."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+import pytest
+
+from mk_kafka_connect_spark.streaming.sinks import scd2_state_writer
+
+SCHEMA = "user_id long, event_id long, value double, ts timestamp"
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+# Two users; user 1's changes are split across batches OUT of time order,
+# so the later batch must splice a version into the middle of the chain.
+BATCH_A = [
+    (1, 10, 1.0, _ts("2024-01-01 00:00:00")),
+    (1, 12, 3.0, _ts("2024-01-03 00:00:00")),
+    (2, 20, 5.0, _ts("2024-01-02 00:00:00")),
+]
+BATCH_B = [
+    (1, 11, 2.0, _ts("2024-01-02 00:00:00")),  # splices between 10 and 12
+]
+# (event_id -> (valid_from, valid_to, is_current))
+EXPECTED = {
+    10: ("2024-01-01 00:00:00", "2024-01-02 00:00:00", False),
+    11: ("2024-01-02 00:00:00", "2024-01-03 00:00:00", False),
+    12: ("2024-01-03 00:00:00", None, True),
+    20: ("2024-01-02 00:00:00", None, True),
+}
+
+
+def _run(spark, batches, epochs=None):
+    root = tempfile.mkdtemp(prefix="scd2_test_")
+    apply, read_final = scd2_state_writer(root, ["user_id"], "ts", "event_id")
+    for epoch, rows in zip(epochs or range(len(batches)), batches):
+        apply(spark.createDataFrame(rows, SCHEMA), epoch)
+    return apply, read_final
+
+
+def _hist(spark, read_final):
+    out = {}
+    for r in read_final(spark).collect():
+        out[r.event_id] = (
+            r.valid_from.strftime("%Y-%m-%d %H:%M:%S"),
+            r.valid_to.strftime("%Y-%m-%d %H:%M:%S") if r.valid_to else None,
+            r.is_current,
+        )
+    return out
+
+
+def test_late_change_splices_into_chain(spark):
+    _, read_final = _run(spark, [BATCH_A, BATCH_B])
+    assert _hist(spark, read_final) == EXPECTED
+
+
+def test_batch_order_does_not_change_history(spark):
+    _, read_fwd = _run(spark, [BATCH_A, BATCH_B])
+    _, read_rev = _run(spark, [BATCH_B, BATCH_A])
+    assert _hist(spark, read_fwd) == _hist(spark, read_rev) == EXPECTED
+
+
+def test_epoch_replay_is_idempotent(spark):
+    apply, read_final = _run(spark, [BATCH_A, BATCH_B])
+    apply(spark.createDataFrame(BATCH_B, SCHEMA), 1)  # crash-replay epoch 1
+    assert _hist(spark, read_final) == EXPECTED
+
+
+def test_epoch_gap_resolves_to_highest_prior_version(spark):
+    _, read_final = _run(spark, [BATCH_A, BATCH_B], epochs=[0, 7])
+    assert _hist(spark, read_final) == EXPECTED
+
+
+def test_missing_prior_state_raises_instead_of_resetting(spark):
+    root = tempfile.mkdtemp(prefix="scd2_test_")
+    apply, _ = scd2_state_writer(root, ["user_id"], "ts", "event_id")
+    with pytest.raises(RuntimeError, match="no prior state"):
+        apply(spark.createDataFrame(BATCH_B, SCHEMA), 4)
