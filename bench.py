@@ -113,6 +113,7 @@ HEADLINE = [
     # r9 additions.
     "sim_mmr_rerank",
     "bpe_merges",
+    "layout_zorder_pruning_stats",
 ]
 
 

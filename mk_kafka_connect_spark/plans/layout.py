@@ -1,0 +1,198 @@
+"""Data-layout diagnostics (SURVEY.md §2.B B1 maintenance surface):
+an oracle-checkable RELATIONAL MODEL of parquet row-group min/max
+pruning under different physical layouts.
+
+``operators/layout.py::zorder_write`` produces the physical clustered
+layout and ``tests/test_r7_batch2.py`` measures the real footer stats;
+this plan re-derives the same pruning arithmetic purely relationally —
+"row group" = R consecutive rows in write order, stats = per-group
+min/max — so the clustering benefit itself becomes a driver-certifiable
+query with a DuckDB oracle, not just a pytest assertion. The numbers
+model exactly what ``zorder_write`` does physically, because that writer
+range-partitions + sorts by the same Morton code before writing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+_BITS = 16
+_ROWS_PER_GROUP = 4096
+# The measurement box (the tests/test_r7_batch2.py probe): ~1%-selective
+# conjunctive box plus each dimension alone, so the result shows where
+# each layout wins — natural (orderkey-sorted) is tight on orderkey and
+# useless on partkey; Z-order is moderately tight on BOTH.
+_OK_LO, _OK_HI = 1000, 2500
+_PK_LO, _PK_HI = 100, 300
+
+
+def _zorder_layout_oracle() -> str:
+    scaled = {
+        "ok": "least(65535, greatest(0, CAST(floor((CAST(l_orderkey AS DOUBLE)"
+        " - lo_ok) / span_ok * 65535) AS BIGINT)))",
+        "pk": "least(65535, greatest(0, CAST(floor((CAST(l_partkey AS DOUBLE)"
+        " - lo_pk) / span_pk * 65535) AS BIGINT)))",
+    }
+    z_terms = " + ".join(
+        f"(((s_{c} >> {bit}) & 1) << {bit * 2 + i})"
+        for bit in range(_BITS)
+        for i, c in enumerate(("ok", "pk"))
+    )
+    preds = {
+        "box_both": (
+            f"max_ok >= {_OK_LO} AND min_ok <= {_OK_HI} "
+            f"AND max_pk >= {_PK_LO} AND min_pk <= {_PK_HI}"
+        ),
+        "orderkey_only": f"max_ok >= {_OK_LO} AND min_ok <= {_OK_HI}",
+        "partkey_only": f"max_pk >= {_PK_LO} AND min_pk <= {_PK_HI}",
+    }
+    pred_rows = " UNION ALL ".join(
+        f"SELECT layout, '{p}' AS predicate, count(*) AS n_groups, "
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap "
+        f"FROM stats GROUP BY layout"
+        for p, cond in preds.items()
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT CAST(min(l_orderkey) AS DOUBLE) AS lo_ok,
+             CASE WHEN max(l_orderkey) = min(l_orderkey) THEN 1.0
+                  ELSE CAST(max(l_orderkey) - min(l_orderkey) AS DOUBLE) END
+               AS span_ok,
+             CAST(min(l_partkey) AS DOUBLE) AS lo_pk,
+             CASE WHEN max(l_partkey) = min(l_partkey) THEN 1.0
+                  ELSE CAST(max(l_partkey) - min(l_partkey) AS DOUBLE) END
+               AS span_pk
+      FROM lineitem),
+    zed AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             {scaled['ok']} AS s_ok, {scaled['pk']} AS s_pk
+      FROM lineitem, bounds),
+    keyed AS (SELECT *, {z_terms} AS z FROM zed),
+    layouts AS (
+      SELECT 'natural' AS layout, l_orderkey, l_partkey,
+        CAST(floor((CAST(row_number() OVER (
+          ORDER BY l_orderkey, l_linenumber) AS DOUBLE) - 1)
+          / {_ROWS_PER_GROUP}) AS BIGINT) AS g
+      FROM keyed
+      UNION ALL
+      SELECT 'zorder' AS layout, l_orderkey, l_partkey,
+        CAST(floor((CAST(row_number() OVER (
+          ORDER BY z, l_orderkey, l_linenumber) AS DOUBLE) - 1)
+          / {_ROWS_PER_GROUP}) AS BIGINT) AS g
+      FROM keyed),
+    stats AS (
+      SELECT layout, g,
+             min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+             min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+      FROM layouts GROUP BY layout, g)
+    SELECT layout, predicate, n_groups, n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_groups AS overlap_frac
+    FROM ({pred_rows})
+    """
+
+
+@query(
+    "layout_zorder_pruning_stats",
+    oracle=_zorder_layout_oracle(),
+    tags=("layout", "maintenance", "B1", "zorder", "diagnostics"),
+)
+def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group pruning statistics for the natural (orderkey-sorted)
+    vs Z-order (Morton on l_orderkey, l_partkey) layout of lineitem,
+    under three probe predicates — the OPTIMIZE-ZORDER benefit as a
+    relation: for each (layout, predicate), how many of the modeled
+    4096-row row groups have min/max stats overlapping the predicate
+    (a physical scan reads exactly the overlapping groups).
+
+    Expected shape (asserted in tests/test_layout_stats.py): natural is
+    tight on orderkey_only and ~useless on partkey_only (every group
+    spans the full partkey domain); Z-order is moderately tight on BOTH,
+    and wins the conjunctive box — the reason multi-dimension clustering
+    exists. The global row_number here is the MODEL of write order, run
+    over one diagnostic table; the physical layout itself is produced by
+    ``operators/layout.py::zorder_write`` (range-partition + sort — no
+    global single-partition pass), and real footer stats are measured in
+    tests/test_r7_batch2.py. Bit-for-bit cross-engine: the Morton code
+    is integer arithmetic after one deterministic min/max scaling."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    bounds = li.agg(
+        F.min("l_orderkey").cast("double").alias("lo_ok"),
+        F.max("l_orderkey").cast("double").alias("hi_ok"),
+        F.min("l_partkey").cast("double").alias("lo_pk"),
+        F.max("l_partkey").cast("double").alias("hi_pk"),
+    ).collect()[0]
+
+    def scaled(c: str, lo: float, hi: float):
+        span = (hi - lo) or 1.0
+        v = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+        return F.least(
+            F.lit((1 << _BITS) - 1),
+            F.greatest(F.lit(0), F.floor(v * ((1 << _BITS) - 1)).cast("long")),
+        )
+
+    zed = li.withColumn(
+        "s_ok", scaled("l_orderkey", bounds["lo_ok"], bounds["hi_ok"])
+    ).withColumn("s_pk", scaled("l_partkey", bounds["lo_pk"], bounds["hi_pk"]))
+    z = F.lit(0).cast("long")
+    for bit in range(_BITS):
+        for i, c in enumerate(("s_ok", "s_pk")):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(c), bit).bitwiseAND(1), bit * 2 + i
+            )
+    keyed = zed.withColumn("z", z)
+
+    def grouped(df: DataFrame, layout: str, order_cols: list) -> DataFrame:
+        rn = F.row_number().over(Window.orderBy(*order_cols))
+        return (
+            df.withColumn(
+                "g",
+                F.floor((rn.cast("double") - 1) / _ROWS_PER_GROUP).cast("long"),
+            )
+            .groupBy("g")
+            .agg(
+                F.min("l_orderkey").alias("min_ok"),
+                F.max("l_orderkey").alias("max_ok"),
+                F.min("l_partkey").alias("min_pk"),
+                F.max("l_partkey").alias("max_pk"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    stats = grouped(keyed, "natural", ["l_orderkey", "l_linenumber"]).unionByName(
+        grouped(keyed, "zorder", ["z", "l_orderkey", "l_linenumber"])
+    )
+    preds = {
+        "box_both": (
+            (F.col("max_ok") >= _OK_LO)
+            & (F.col("min_ok") <= _OK_HI)
+            & (F.col("max_pk") >= _PK_LO)
+            & (F.col("min_pk") <= _PK_HI)
+        ),
+        "orderkey_only": (F.col("max_ok") >= _OK_LO) & (F.col("min_ok") <= _OK_HI),
+        "partkey_only": (F.col("max_pk") >= _PK_LO) & (F.col("min_pk") <= _PK_HI),
+    }
+    parts = [
+        stats.groupBy("layout").agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_overlap"),
+        ).withColumn("predicate", F.lit(name))
+        for name, cond in preds.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "layout",
+        "predicate",
+        "n_groups",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_groups")).alias(
+            "overlap_frac"
+        ),
+    )

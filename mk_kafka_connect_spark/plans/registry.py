@@ -124,6 +124,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "sim_mmr_rerank",
     "bpe_merges",
     "streaming_cdc_scd2",
+    "layout_zorder_pruning_stats",
 )
 
 DRIVER_WINDOW = 50
