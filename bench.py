@@ -114,6 +114,7 @@ HEADLINE = [
     "sim_mmr_rerank",
     "bpe_merges",
     "layout_zorder_pruning_stats",
+    "graph_triangles",
 ]
 
 

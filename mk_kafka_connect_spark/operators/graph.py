@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_counts"]
 
 SCALE = 10**12
 
@@ -82,3 +82,77 @@ def pagerank(
             ).alias("pr"),
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over an undirected simple graph
+    given as unique pairs with ``src < dst`` — the node-iterator++
+    algorithm (Schank & Wagner 2005; the standard distributed
+    formulation, e.g. Suri & Vassilvitskii's MapReduce variant):
+
+    1. orient every edge from the endpoint with smaller (degree, id) to
+       the larger — each triangle now has exactly ONE wedge node whose
+       two oriented out-edges form it, so nothing is double-counted and,
+       critically for scale, out-degrees are bounded by O(sqrt(m)):
+       wedge generation is Σ outdeg² = O(m^1.5) worst case instead of
+       the Σ deg² a star graph explodes under natural orientation;
+    2. wedges = oriented ⋈ oriented on the wedge node (one self equi-join);
+    3. triangles = wedges ⋈ oriented on the closing pair (one equi-join);
+    4. per-node counts = each triangle credits its three members (map-side
+       explode + one keyed sum).
+
+    Everything is integer arithmetic over equi-joins — no theta join, no
+    iteration — and therefore replays exactly in SQL.
+
+    Returns (node, deg, n_triangles).
+    """
+    a, b = F.col(src), F.col(dst)
+    deg = (
+        edges.select(a.alias("node"))
+        .unionAll(edges.select(b.alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias(src), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias(dst), F.col("deg").alias("_db"))
+    ranked = edges.join(da, src).join(db, dst)
+    lt = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (a < b)
+    )
+    oriented = ranked.select(
+        F.when(lt, a).otherwise(b).alias("u"),
+        F.when(lt, b).otherwise(a).alias("v"),
+        F.when(lt, F.col("_da")).otherwise(F.col("_db")).alias("_du"),
+        F.when(lt, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+    )
+    # Wedge node = u; its two out-neighbors ordered by the same (deg, id)
+    # rank so each unordered out-pair appears once.
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("w1"), F.col("_dv").alias("_d1")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("w2"), F.col("_dv").alias("_d2")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("_d1") < F.col("_d2"))
+        | ((F.col("_d1") == F.col("_d2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"]).select("u", "w1", "w2")
+    members = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("w1").alias("node")))
+        .unionAll(tris.select(F.col("w2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(members, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

@@ -91,3 +91,108 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node DIV 2").alias("key"),
         "pr",
     )
+
+
+_COPURCHASE_MIN = 4
+
+
+def _sql_triangles_oracle() -> str:
+    return f"""
+    WITH os AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS (
+      SELECT a.l_suppkey AS s, b.l_suppkey AS t
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING count(*) >= {_COPURCHASE_MIN}),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT s AS node FROM edges UNION ALL SELECT t FROM edges)
+      GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.s < e.t)
+                  THEN e.s ELSE e.t END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.s < e.t)
+                  THEN e.t ELSE e.s END AS v,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.s < e.t)
+                  THEN db.deg ELSE da.deg END AS dv
+      FROM edges e
+        JOIN deg da ON da.node = e.s
+        JOIN deg db ON db.node = e.t),
+    wedges AS (
+      SELECT o1.u, o1.v AS w1, o2.v AS w2
+      FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u
+      WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+    tris AS (
+      SELECT w.u, w.w1, w.w2
+      FROM wedges w JOIN oriented c ON w.w1 = c.u AND w.w2 = c.v),
+    members AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT u AS node FROM tris
+            UNION ALL SELECT w1 FROM tris
+            UNION ALL SELECT w2 FROM tris)
+      GROUP BY node)
+    SELECT d.node AS suppkey, d.deg,
+           coalesce(m.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN
+             CAST(2 * coalesce(m.n_triangles, 0) AS DOUBLE)
+               / (d.deg * (d.deg - 1))
+           ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN members m ON d.node = m.node
+    """
+
+
+@query(
+    "graph_triangles",
+    oracle=_sql_triangles_oracle(),
+    tags=("graph", "B6", "B7", "triangles", "scale"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-supplier triangle counts and local clustering
+    coefficients over the thresholded co-purchase graph (suppliers
+    adjacent when they co-supply >= 4 distinct orders — thresholding is
+    how real co-occurrence graphs stay sparse). 'How clique-ish is each
+    supplier's neighborhood' — the community-structure diagnostic next
+    to PageRank's centrality.
+
+    Scale shape (operators/graph.py::triangle_counts): edges derive from
+    a WITHIN-ORDER pair self-join (bounded by per-order supplier count,
+    never a global cross product, same device as basket_brand_affinity);
+    triangle enumeration is the degree-oriented node-iterator++ — after
+    orienting every edge toward the higher (degree, id) endpoint,
+    out-degrees are O(sqrt(m)), so the wedge self-join is O(m^1.5)
+    worst-case instead of the star-graph blowup, and each triangle is
+    found exactly once. Three equi-joins + keyed sums, all integer; the
+    one IEEE division (coefficient) is the output cast both engines
+    share."""
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a = os_.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    )
+    b = os_.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("t")
+    )
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= _COPURCHASE_MIN)
+        .select("s", "t")
+    )
+    out = triangle_counts(edges, "s", "t")
+    return out.select(
+        F.col("node").alias("suppkey"),
+        "deg",
+        "n_triangles",
+        F.when(
+            F.col("deg") >= 2,
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

@@ -125,6 +125,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "bpe_merges",
     "streaming_cdc_scd2",
     "layout_zorder_pruning_stats",
+    "graph_triangles",
 )
 
 DRIVER_WINDOW = 50
