@@ -115,6 +115,7 @@ HEADLINE = [
     "bpe_merges",
     "layout_zorder_pruning_stats",
     "graph_triangles",
+    "events_ols_trend",
 ]
 
 

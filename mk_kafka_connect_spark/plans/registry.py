@@ -126,6 +126,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "streaming_cdc_scd2",
     "layout_zorder_pruning_stats",
     "graph_triangles",
+    "events_ols_trend",
 )
 
 DRIVER_WINDOW = 50

@@ -514,3 +514,106 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("double").alias("revenue"),
         ((F.col("cum") - F.col("r")) * 100 < F.col("total") * 80).alias("in_top80"),
     )
+
+
+@query(
+    "events_ols_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+        epoch_us(ts) // 3600000000 AS x,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT event_type,
+        CAST(count(*) AS HUGEINT) AS n,
+        min(x) AS x0,
+        sum(CAST(x AS HUGEINT)) AS sx,
+        sum(CAST(y AS HUGEINT)) AS sy,
+        sum(CAST(x AS HUGEINT) * y) AS sxy,
+        sum(CAST(x AS HUGEINT) * x) AS sxx,
+        sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM pts GROUP BY event_type),
+    c AS (
+      SELECT event_type, n, x0,
+        sx - n * x0 AS csx,
+        sy AS csy,
+        sxy - x0 * sy AS csxy,
+        sxx - 2 * x0 * sx + n * x0 * x0 AS csxx,
+        syy AS csyy
+      FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      CAST(n * csxy - csx * csy AS DOUBLE)
+        / CAST(n * csxx - csx * csx AS DOUBLE) AS slope_cents_per_hour,
+      CAST(csy * csxx - csx * csxy AS DOUBLE)
+        / CAST(n * csxx - csx * csx AS DOUBLE) AS intercept_cents,
+      (CAST(n * csxy - csx * csy AS DOUBLE)
+         * CAST(n * csxy - csx * csy AS DOUBLE))
+        / (CAST(n * csxx - csx * csx AS DOUBLE)
+           * CAST(n * csyy - csy * csy AS DOUBLE)) AS r2
+    FROM c
+    """,
+    tags=("timeseries", "stats", "B7", "regression"),
+)
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary-least-squares trend line of value over
+    time — the magnitude companion to events_trend_mannkendall (that one
+    answers 'is there a monotonic trend?', this one 'how many cents per
+    hour, fitted where?'). Classic sufficient-statistics regression: ONE
+    partial-aggregable pass collects (n, Σx, Σy, Σxy, Σx², Σy², min x)
+    per group — the textbook distributed-OLS shape, map-side combinable,
+    no second scan — then the per-group x-origin shift (x' = x − min x,
+    which keeps every product far inside 128-bit range) is applied
+    ALGEBRAICALLY to the raw sums: Σx' = Σx − n·x0, Σx'y = Σxy − x0·Σy,
+    Σx'² = Σx² − 2·x0·Σx + n·x0².
+
+    x is integer epoch-hours (floor µs/3.6e9), y integer cents, every
+    accumulator an exact integer (DECIMAL(38,0) on the Spark side,
+    HUGEINT in the oracle) — slope and intercept are each ONE IEEE
+    division of exact integers; r² multiplies/divides the same exact
+    statistics in IEEE (its numerator squared can pass 38 digits, so it
+    is float by construction, from exact inputs). Intercept is the
+    fitted value at the group's FIRST hour (x' = 0)."""
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3600000000)).cast("long").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.min("x").alias("x0"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("y"))).alias("sxy"),
+        F.sum((F.col("x").cast(d38) * F.col("x"))).alias("sxx"),
+        F.sum((F.col("y").cast(d38) * F.col("y"))).alias("syy"),
+    )
+    c = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") - F.col("n") * F.col("x0")).alias("csx"),
+        F.col("sy").alias("csy"),
+        (F.col("sxy") - F.col("x0") * F.col("sy")).alias("csxy"),
+        (
+            F.col("sxx")
+            - 2 * F.col("x0") * F.col("sx")
+            + F.col("n") * F.col("x0") * F.col("x0")
+        ).alias("csxx"),
+        F.col("syy").alias("csyy"),
+    )
+    num = F.col("n") * F.col("csxy") - F.col("csx") * F.col("csy")
+    den = F.col("n") * F.col("csxx") - F.col("csx") * F.col("csx")
+    deny = F.col("n") * F.col("csyy") - F.col("csy") * F.col("csy")
+    inum = F.col("csy") * F.col("csxx") - F.col("csx") * F.col("csxy")
+    return c.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (num.cast("double") / den.cast("double")).alias("slope_cents_per_hour"),
+        (inum.cast("double") / den.cast("double")).alias("intercept_cents"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * deny.cast("double"))
+        ).alias("r2"),
+    )
