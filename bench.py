@@ -116,6 +116,8 @@ HEADLINE = [
     "layout_zorder_pruning_stats",
     "graph_triangles",
     "events_ols_trend",
+    "events_decayed_leaderboard",
+    "events_seasonal_backtest",
 ]
 
 

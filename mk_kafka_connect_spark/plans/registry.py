@@ -127,6 +127,8 @@ R9_ADDITIONS: tuple[str, ...] = (
     "layout_zorder_pruning_stats",
     "graph_triangles",
     "events_ols_trend",
+    "events_decayed_leaderboard",
+    "events_seasonal_backtest",
 )
 
 DRIVER_WINDOW = 50

@@ -617,3 +617,209 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (den.cast("double") * deny.cast("double"))
         ).alias("r2"),
     )
+
+
+# Truncated dyadic decay: half-life = 1 day, horizon 30 days. Scaling by
+# 2^30 makes every per-event weight the exact integer 2^(30 - age_days);
+# events older than the horizon carry weight 0 (< 1e-9 of the mass) and
+# are FILTERED before aggregation, so the scan prunes to the hot window.
+_DECAY_HORIZON_DAYS = 30
+_DECAY_TOPK = 100
+
+
+@query(
+    "events_decayed_leaderboard",
+    oracle=f"""
+    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_d FROM events),
+    aged AS (
+      SELECT user_id,
+        date_diff('day', CAST(ts AS DATE), ref_d) AS age
+      FROM events, ref
+      WHERE date_diff('day', CAST(ts AS DATE), ref_d)
+            <= {_DECAY_HORIZON_DAYS}),
+    scores AS (
+      SELECT user_id,
+        sum(CAST(2 AS HUGEINT) ** ({_DECAY_HORIZON_DAYS} - age))
+          AS score_scaled
+      FROM aged GROUP BY user_id)
+    SELECT user_id, CAST(score_scaled AS BIGINT) AS score_scaled,
+           CAST(score_scaled AS DOUBLE) / {2 ** _DECAY_HORIZON_DAYS}
+             AS score
+    FROM scores
+    ORDER BY score_scaled DESC, user_id
+    LIMIT {_DECAY_TOPK}
+    """,
+    tags=("timeseries", "B7", "leaderboard", "decay"),
+)
+def events_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now leaderboard: top-{_DECAY_TOPK} users by exponentially
+    time-decayed event count (half-life 1 day) — the freshness-weighted
+    ranking every feed/abuse/trending system runs, made EXACT by the
+    same dyadic-decay device as events_ewma: with half-life one day and
+    a 30-day horizon, the 2^30-scaled weight of an event aged d days is
+    the integer 2^(30-d), so each user's score is an exact int64 sum and
+    the reported score one exact binary scaling (division by 2^30 is
+    lossless in IEEE). Events past the horizon (< 1e-9 of the mass) are
+    dropped BEFORE the shuffle — at 100 TB the scan prunes to the hot
+    30-day partition range instead of decaying cold history by zero.
+
+    One partial-aggregable user-keyed sum + a {_DECAY_TOPK}-row
+    TakeOrdered with the (score desc, user asc) deterministic tie-break;
+    the 1-row reference-date broadcast pins 'now' to the corpus max so
+    every engine and rerun ranks the same instant."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_d"))
+    aged = (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.datediff(F.col("ref_d"), F.to_date("ts")).alias("age"),
+        )
+        .filter(F.col("age") <= _DECAY_HORIZON_DAYS)
+    )
+    scores = aged.groupBy("user_id").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {_DECAY_HORIZON_DAYS} - age)"
+            )
+        ).alias("score_scaled")
+    )
+    return (
+        scores.orderBy(F.desc("score_scaled"), "user_id")
+        .limit(_DECAY_TOPK)
+        .select(
+            "user_id",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(float(2 ** _DECAY_HORIZON_DAYS))).alias("score"),
+        )
+    )
+
+
+# Seasonal-naive backtest: lcm(1..9) — every possible train-day count of
+# one weekday slot (<= 4 in a 23-day train window, 9 leaves headroom)
+# divides it, so per-bucket errors with denominator nd scale to exact
+# integers via err * (2520 / nd) and MAE is ONE final IEEE division.
+_SEASONAL_LCM = 2520
+_BACKTEST_DAYS = 7
+
+
+@query(
+    "events_seasonal_backtest",
+    oracle=f"""
+    WITH ref AS (SELECT max(CAST(ts AS DATE)) AS ref_d FROM events),
+    buckets AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, hour(ts) AS h,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2, 3),
+    marked AS (
+      SELECT b.*, date_diff('day', DATE '1970-01-05', d) % 7 AS dow,
+             d > ref_d - {_BACKTEST_DAYS} AS is_test
+      FROM buckets b, ref),
+    nd AS (
+      SELECT dow, CAST(count(DISTINCT d) AS BIGINT) AS n_days
+      FROM marked WHERE NOT is_test GROUP BY dow),
+    train AS (
+      SELECT event_type, dow, h,
+        CAST(sum(cents) AS BIGINT) AS train_cents
+      FROM marked WHERE NOT is_test GROUP BY 1, 2, 3),
+    test AS (
+      SELECT m.event_type, m.dow, m.h, m.cents,
+        coalesce(t.train_cents, 0) AS train_cents, nd.n_days
+      FROM marked m
+        LEFT JOIN train t ON m.event_type = t.event_type
+                         AND m.dow = t.dow AND m.h = t.h
+        JOIN nd ON m.dow = nd.dow
+      WHERE m.is_test),
+    scored AS (
+      SELECT event_type,
+        abs(cents * n_days - train_cents) * ({_SEASONAL_LCM} // n_days)
+          AS abs_scaled,
+        (cents * n_days - train_cents) * ({_SEASONAL_LCM} // n_days)
+          AS signed_scaled
+      FROM test)
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_buckets,
+      CAST(sum(abs_scaled) AS DOUBLE) / ({_SEASONAL_LCM} * count(*))
+        AS mae_cents,
+      CAST(sum(signed_scaled) AS DOUBLE) / ({_SEASONAL_LCM} * count(*))
+        AS bias_cents
+    FROM scored GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "B7", "backtest"),
+)
+def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: hold out the last
+    {_BACKTEST_DAYS} days, forecast each test (event_type, weekday,
+    hour) slot's hourly revenue as the train-period mean of the same
+    slot, and report exact MAE + signed bias per event type — the
+    evaluate-before-you-trust step of every capacity/revenue forecast,
+    expressed as a relation.
+
+    All arithmetic is exact until the final division: actuals are
+    integer cents per bucket; a slot's forecast is the RATIONAL
+    train_total/nd (nd = that weekday's train-day count), so each
+    bucket's error scales to the exact integer
+    |actual·nd − train_total| · (2520/nd) (2520 = lcm(1..9), every nd
+    divides it), and MAE = Σ / (2520·|buckets|) is one IEEE division.
+    Weekday is pure date arithmetic (days-since-Monday-epoch mod 7) —
+    no engine-specific DOW convention. Shuffle profile: one hourly
+    aggregation of the events scan, then everything runs on
+    bucket-sized data (slot table and the 7-row nd relation broadcast);
+    the 1-row reference-date broadcast pins the split."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_d"))
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .agg((F.sum(dec2("value")) * 100).cast("long").alias("cents"))
+    )
+    marked = buckets.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "d",
+        "h",
+        "cents",
+        (F.datediff("d", F.lit("1970-01-05").cast("date")) % 7).alias("dow"),
+        (F.col("d") > F.date_sub("ref_d", _BACKTEST_DAYS)).alias("is_test"),
+    )
+    nd = (
+        marked.filter(~F.col("is_test"))
+        .groupBy("dow")
+        .agg(F.countDistinct("d").alias("n_days"))
+    )
+    train = (
+        marked.filter(~F.col("is_test"))
+        .groupBy("event_type", "dow", "h")
+        .agg(F.sum("cents").alias("train_cents"))
+    )
+    test = (
+        marked.filter(F.col("is_test"))
+        .join(F.broadcast(train), ["event_type", "dow", "h"], "left")
+        .join(F.broadcast(nd), "dow")
+        .select(
+            "event_type",
+            "cents",
+            F.coalesce("train_cents", F.lit(0)).alias("train_cents"),
+            "n_days",
+        )
+    )
+    diff = F.col("cents") * F.col("n_days") - F.col("train_cents")
+    wt = F.floor(F.lit(_SEASONAL_LCM) / F.col("n_days")).cast("long")
+    scored = test.select(
+        "event_type",
+        (F.abs(diff) * wt).alias("abs_scaled"),
+        (diff * wt).alias("signed_scaled"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.sum("abs_scaled").cast("double")
+            / (F.lit(_SEASONAL_LCM) * F.count(F.lit(1)))
+        ).alias("mae_cents"),
+        (
+            F.sum("signed_scaled").cast("double")
+            / (F.lit(_SEASONAL_LCM) * F.count(F.lit(1)))
+        ).alias("bias_cents"),
+    )

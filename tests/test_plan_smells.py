@@ -39,6 +39,8 @@ ALLOWED = {
     "docs_tfidf_topterms": "1-row corpus-doc-count broadcast",
     "docs_weighted_sample": "1-row max-weight broadcast",
     "orders_rfm_segments": "1-row snapshot-date broadcast",
+    "events_decayed_leaderboard": "1-row reference-date broadcast (decay origin)",
+    "events_seasonal_backtest": "1-row reference-date broadcast (train/test split)",
     "basket_brand_affinity": "1-row order-count broadcast (lift denominator)",
     "text_langid_confusion": "1-row corpus-total broadcast (fraction denominator)",
     "agg_heavy_hitters": "1-row corpus-total + 1-row summed-error broadcasts",
