@@ -65,11 +65,52 @@ def _merge_pair_udf(a: str, b: str):
     return _merge
 
 
+def _train_bpe_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The merge loop on a COLLECTED word-frequency table — identical
+    semantics to the distributed loop (pair counts weighted by freq,
+    argmax with (count desc, a asc, b asc) tie-break, left-to-right
+    non-overlapping rewrite), pinned equal by
+    tests/test_r7_batch2.py::test_bpe_local_path_equals_distributed."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in word_freqs:
+        syms = tuple(word)
+        vocab[syms] = vocab.get(syms, 0) + freq
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b) = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            i, n, res = 0, len(syms), []
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            key = tuple(res)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str,
     n_merges: int = 50,
     checkpoint_every: int = 10,
+    local_threshold: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges; returns them in order.
 
@@ -78,8 +119,24 @@ def train_bpe(
     lexicographically smallest pair), rewrite every word's symbol
     sequence left-to-right non-overlapping. Words collapsed to a single
     symbol stop contributing pairs and are filtered from the working
-    set."""
-    vocab = word_frequencies(df, text_col).withColumn(
+    set.
+
+    ``local_threshold``: the production hybrid. The corpus-sized work is
+    the ONE word-frequency pass; the merge loop itself runs on the
+    |distinct words| table, which for natural language is orders of
+    magnitude smaller than the corpus (GPT-2's trainer is single-node
+    for exactly this reason). When the distinct-word count is at or
+    under the threshold, the table is collected once and the loop runs
+    in-process — removing ~n_merges of per-iteration job latency — with
+    bit-identical output (same counts, same tie-breaks, pinned by
+    pytest). None (default) always takes the distributed loop, which
+    remains the path for vocabularies too large to collect."""
+    wf = word_frequencies(df, text_col)
+    if local_threshold is not None and wf.count() <= local_threshold:
+        return _train_bpe_local(
+            [(r["word"], r["freq"]) for r in wf.collect()], n_merges
+        )
+    vocab = wf.withColumn(
         "syms", F.split(F.col("word"), "")
     ).select("syms", "freq")
     merges: list[tuple[str, str]] = []

@@ -2638,7 +2638,9 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import train_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", n_merges=_BPE_N_MERGES)
+    merges = train_bpe(
+        docs, "text", n_merges=_BPE_N_MERGES, local_threshold=200_000
+    )
     rows = [
         (i + 1, a, b) for i, (a, b) in enumerate(merges)
     ]

@@ -308,3 +308,14 @@ def test_distributed_quantile_heavy_duplicates(spark):
     assert exact_quantile_distributed(df, "v", q=0.5) == 7.0
     assert exact_quantile_distributed(df, "v", q=0.01) == 1.0
     assert exact_quantile_distributed(df, "v", q=1.0) == 9.0
+
+
+def test_bpe_local_path_equals_distributed(spark):
+    """The hybrid's collected-vocab merge loop must be bit-identical to
+    the distributed loop on the same corpus."""
+    from mk_kafka_connect_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    dist = train_bpe(docs, "text", n_merges=15, checkpoint_every=5)
+    local = train_bpe(docs, "text", n_merges=15, local_threshold=10**6)
+    assert local == dist
