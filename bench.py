@@ -118,6 +118,7 @@ HEADLINE = [
     "events_ols_trend",
     "events_decayed_leaderboard",
     "events_seasonal_backtest",
+    "events_disorder_profile",
 ]
 
 

@@ -129,6 +129,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "events_ols_trend",
     "events_decayed_leaderboard",
     "events_seasonal_backtest",
+    "events_disorder_profile",
 )
 
 DRIVER_WINDOW = 50

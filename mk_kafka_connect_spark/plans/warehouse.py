@@ -823,3 +823,94 @@ def events_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(_SEASONAL_LCM) * F.count(F.lit(1)))
         ).alias("bias_cents"),
     )
+
+
+_DISORDER_BLOCK = 4096
+
+
+@query(
+    "events_disorder_profile",
+    oracle="""
+    WITH seen AS (
+      SELECT event_type,
+        epoch_us(max(ts) OVER (ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING)) - epoch_us(ts)
+          AS late_us
+      FROM events)
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_in_order,
+      CAST(sum(CASE WHEN late_us > 0 AND late_us < 60000000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_lt_1m,
+      CAST(sum(CASE WHEN late_us >= 60000000 AND late_us < 600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_10m,
+      CAST(sum(CASE WHEN late_us >= 600000000 AND late_us < 3600000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_1h,
+      CAST(sum(CASE WHEN late_us >= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_ge_1h,
+      max(late_us) AS max_late_us,
+      CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        AS frac_late
+    FROM seen GROUP BY event_type
+    """,
+    tags=("diagnostics", "B9", "B13", "watermark"),
+)
+def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time DISORDER profile: for each event, its lateness behind
+    the running maximum event time over arrival order (event_id — the
+    fixture's ingestion sequence), bucketed per event type — THE
+    measurement that sizes a watermark before deploying any of the B13
+    streaming queries: `withWatermark("ts", X)` drops exactly the rows
+    this profile counts past X, so you read the histogram and pick the
+    delay that bounds loss (frac ≥1h here = what a 1-hour watermark
+    loses).
+
+    The running max over a GLOBAL order is the textbook sequential scan;
+    the Spark side parallelizes it as a two-phase PREFIX MAX — the same
+    decomposition as a parallel prefix sum: (1) per-4096-id-block max
+    (one partial-aggregable pass, blocks = n/4096 rows), (2) exclusive
+    running max across the tiny block table, (3) broadcast-join the
+    prior-block max back and combine with the ROWS-bounded within-block
+    running max (each window partition is ≤ 4096 rows — NO global
+    single-partition sort ever materializes the event table). Lateness
+    is exact integer µs; the one division (frac_late) is the output."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_id") / _DISORDER_BLOCK).cast("long").alias("blk"),
+    )
+    blocks = ev.groupBy("blk").agg(F.max("us").alias("blk_max"))
+    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    prior = blocks.select(
+        "blk", F.max("blk_max").over(wb).alias("prior_max")
+    )
+    ww = (
+        Window.partitionBy("blk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seen = (
+        ev.join(F.broadcast(prior), "blk")
+        .withColumn("run_max", F.max("us").over(ww))
+        .select(
+            "event_type",
+            (
+                F.greatest(F.coalesce("prior_max", F.lit(0)), F.col("run_max"))
+                - F.col("us")
+            ).alias("late_us"),
+        )
+    )
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    lu = F.col("late_us")
+    return seen.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        c(lu == 0).alias("n_in_order"),
+        c((lu > 0) & (lu < 60_000_000)).alias("n_lt_1m"),
+        c((lu >= 60_000_000) & (lu < 600_000_000)).alias("n_lt_10m"),
+        c((lu >= 600_000_000) & (lu < 3_600_000_000)).alias("n_lt_1h"),
+        c(lu >= 3_600_000_000).alias("n_ge_1h"),
+        F.max("late_us").alias("max_late_us"),
+        (c(lu > 0).cast("double") / F.count(F.lit(1))).alias("frac_late"),
+    )
