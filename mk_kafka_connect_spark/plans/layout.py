@@ -147,12 +147,36 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     keyed = zed.withColumn("z", z)
 
-    def grouped(df: DataFrame, layout: str, order_cols: list) -> DataFrame:
-        rn = F.row_number().over(Window.orderBy(*order_cols))
+    def grouped(df: DataFrame, layout: str, blk, order_cols: list) -> DataFrame:
+        # Global rank WITHOUT a single-partition sort: the two-phase
+        # parallel-prefix decomposition (same device as
+        # events_disorder_profile) — per-coarse-block counts, exclusive
+        # running sum over the tiny block table, then a window
+        # partitioned BY block (each partition ~uniform fraction of the
+        # table) supplies the within-block position. rank-1 = prior
+        # block count + (within-block row_number - 1); identical to the
+        # oracle's plain global row_number because the block key is a
+        # prefix of the total order.
+        b = df.withColumn("_blk", blk)
+        counts = b.groupBy("_blk").agg(F.count(F.lit(1)).alias("_c"))
+        wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+        prior = counts.select(
+            "_blk",
+            F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_prior"),
+        )
+        ww = Window.partitionBy("_blk").orderBy(*order_cols)
         return (
-            df.withColumn(
+            b.join(F.broadcast(prior), "_blk")
+            .withColumn(
                 "g",
-                F.floor((rn.cast("double") - 1) / _ROWS_PER_GROUP).cast("long"),
+                F.floor(
+                    (
+                        F.col("_prior")
+                        + F.row_number().over(ww).cast("long")
+                        - 1
+                    ).cast("double")
+                    / _ROWS_PER_GROUP
+                ).cast("long"),
             )
             .groupBy("g")
             .agg(
@@ -164,8 +188,21 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("layout", F.lit(layout))
         )
 
-    stats = grouped(keyed, "natural", ["l_orderkey", "l_linenumber"]).unionByName(
-        grouped(keyed, "zorder", ["z", "l_orderkey", "l_linenumber"])
+    # Coarse blocks: orderkey for the natural order (near-uniform in
+    # TPC-H), the top 10 z bits for the Morton order (z is 32 bits for
+    # two 16-bit dims, so >> 22 yields ~1024 balanced buckets).
+    stats = grouped(
+        keyed,
+        "natural",
+        (F.col("l_orderkey") / 2048).cast("long"),
+        ["l_orderkey", "l_linenumber"],
+    ).unionByName(
+        grouped(
+            keyed,
+            "zorder",
+            F.shiftright("z", 22),
+            ["z", "l_orderkey", "l_linenumber"],
+        )
     )
     preds = {
         "box_both": (
