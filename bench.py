@@ -119,6 +119,7 @@ HEADLINE = [
     "events_decayed_leaderboard",
     "events_seasonal_backtest",
     "events_disorder_profile",
+    "orders_trimmed_mean",
 ]
 
 

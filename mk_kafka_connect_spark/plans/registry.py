@@ -130,6 +130,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "events_decayed_leaderboard",
     "events_seasonal_backtest",
     "events_disorder_profile",
+    "orders_trimmed_mean",
 )
 
 DRIVER_WINDOW = 50

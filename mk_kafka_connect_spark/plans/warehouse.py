@@ -914,3 +914,61 @@ def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_us").alias("max_late_us"),
         (c(lu > 0).cast("double") / F.count(F.lit(1))).alias("frac_late"),
     )
+
+
+@query(
+    "orders_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rn,
+        count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders),
+    kept AS (
+      SELECT o_orderpriority, p, n FROM ranked
+      WHERE rn * 10 > n AND (n - rn) * 10 >= n)
+    SELECT o_orderpriority,
+      CAST(max(n) AS BIGINT) AS n_total,
+      CAST(count(*) AS BIGINT) AS n_kept,
+      CAST(sum(p) AS DOUBLE) / count(*) AS trimmed_mean
+    FROM kept GROUP BY o_orderpriority
+    """,
+    tags=("agg", "B7", "B9", "robust-stats"),
+)
+def orders_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value per priority — the robust
+    location estimate that survives the fat tails plain AVG drowns in
+    (and the reason Deequ/TFDV profile trimmed stats next to means).
+    EXACT trimming by rank arithmetic, no percentile call: rows ranked
+    per group with the (price, orderkey) deterministic tie-break; a row
+    is kept iff rn*10 > n AND (n-rn)*10 >= n — integer inequalities,
+    so both engines drop exactly the same floor(n/10)-ish tail rows.
+    The kept sum is exact DECIMAL; the mean ONE IEEE division.
+
+    Scale: one grouped sort window (parallel across the 5 priority
+    groups; within-group ORDER BY is the standard window sort, not a
+    global single partition), then a partial-aggregable keyed mean.
+    Heavier-keyed variants ride the same distributed-selection machinery
+    as agg_quantiles_distributed."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        dec2("o_totalprice").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") * 10 > F.col("n"))
+        & ((F.col("n") - F.col("rn")) * 10 >= F.col("n"))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("trimmed_mean"),
+    )
