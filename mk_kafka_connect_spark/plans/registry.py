@@ -131,6 +131,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "events_seasonal_backtest",
     "events_disorder_profile",
     "orders_trimmed_mean",
+    "streaming_ivm_orders",
 )
 
 DRIVER_WINDOW = 50

@@ -441,3 +441,59 @@ def streaming_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), schema=final.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_ivm_orders",
+    # Continuous-aggregate refresh through real micro-batches must be
+    # indistinguishable from the full batch recompute.
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_spent
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("streaming", "ivm", "B13", "B7"),
+)
+def streaming_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental view maintenance of the per-customer order
+    summary — the continuous-aggregate refresh loop, the streaming twin
+    of the batch ``ivm_orders_summary`` delta merge: orders replay
+    through real micro-batches (4 hash-split files,
+    maxFilesPerTrigger=1, checkpointed AvailableNow drain) and each
+    epoch merges ONLY its batch's per-key partial states into the
+    versioned summary (count+count, exact-decimal sum+sum via
+    ``additive_agg_state_writer``). Associative exact sums make the
+    final state bit-identical to the batch full recompute regardless of
+    how rows landed in batches — which is what the oracle demands."""
+    import shutil
+    import tempfile
+
+    from ..streaming.sinks import additive_agg_state_writer, run_foreach_batch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="ivm_run_")
+    try:
+        src = f"{root}/src"
+        o.repartition(4, "o_orderkey").write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey long, o_custkey long, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        apply, read_final = additive_agg_state_writer(
+            f"{root}/state", ["o_custkey"], {"tot": "o_totalprice"}
+        )
+        run_foreach_batch(stream, apply, f"{root}/ckpt")
+        final = read_final(spark).select(
+            "o_custkey",
+            F.col("n_rows").alias("n_orders"),
+            F.round(F.col("tot"), 2).cast("double").alias("total_spent"),
+        )
+        return spark.createDataFrame(final.collect(), schema=final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

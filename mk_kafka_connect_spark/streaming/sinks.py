@@ -22,6 +22,7 @@ __all__ = [
     "run_foreach_batch",
     "scd1_state_writer",
     "scd2_state_writer",
+    "additive_agg_state_writer",
 ]
 
 
@@ -220,6 +221,103 @@ def scd2_state_writer(
             rebuilt if untouched is None else untouched.unionByName(rebuilt)
         )
         out.write.mode("overwrite").parquet(
+            _os.path.join(state_root, f"v={epoch_id}")
+        )
+
+    def read_final(spark) -> DataFrame:
+        versions = _versions()
+        return spark.read.parquet(
+            _os.path.join(state_root, f"v={max(versions)}")
+        )
+
+    return apply, read_final
+
+
+def additive_agg_state_writer(
+    state_root: str,
+    key_cols: list[str],
+    sum_cols: dict[str, str],
+):
+    """foreachBatch apply maintaining an ADDITIVE-AGGREGATE summary table
+    (count + exact decimal sums per key) under ``state_root`` — the
+    streaming continuous-aggregate refresh loop (TimescaleDB caggs,
+    Materialize-style additive views): the streaming twin of the batch
+    ``ivm_orders_summary`` delta merge.
+
+    Per epoch: aggregate ONLY the batch to per-key partial states, then
+    full-outer merge with the previous version — count+count, sum+sum.
+    Because the sums are exact decimals the merge is associative and
+    commutative, so any batch arrival order yields a state bit-identical
+    to the full recompute. Per-epoch cost: |batch| scan + a key-sized
+    merge join; independent of total history. Same versioned-directory
+    device as the SCD writers (v=<epoch>, highest-prior resolution,
+    error on missing prior, replay-idempotent overwrite).
+
+    ``sum_cols`` maps output column name -> source column; each is
+    accumulated as DECIMAL(28,2). An ``n_rows`` count is always kept.
+
+    Returns (apply_fn, read_final_fn).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from ..functions.exact import dec2 as _dec2
+
+    def _versions() -> list[int]:
+        import re as _re
+
+        if not _os.path.isdir(state_root):
+            return []
+        return [
+            int(m.group(1))
+            for d in _os.listdir(state_root)
+            if (m := _re.fullmatch(r"v=(\d+)", d))
+        ]
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(
+            _F.count(_F.lit(1)).alias("n_rows"),
+            *[
+                _F.sum(_dec2(src)).cast("decimal(28,2)").alias(out)
+                for out, src in sum_cols.items()
+            ],
+        )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = _partial(batch_df)
+        prior = [v for v in _versions() if v < epoch_id]
+        if prior:
+            prev = spark.read.parquet(
+                _os.path.join(state_root, f"v={max(prior)}")
+            )
+            zero = _F.lit(0).cast("decimal(28,2)")
+            merged = prev.alias("p").join(
+                delta.alias("d"), key_cols, "full_outer"
+            ).select(
+                *key_cols,
+                (
+                    _F.coalesce(_F.col("p.n_rows"), _F.lit(0))
+                    + _F.coalesce(_F.col("d.n_rows"), _F.lit(0))
+                ).alias("n_rows"),
+                *[
+                    (
+                        _F.coalesce(_F.col(f"p.{out}"), zero)
+                        + _F.coalesce(_F.col(f"d.{out}"), zero)
+                    ).cast("decimal(28,2)").alias(out)
+                    for out in sum_cols
+                ],
+            )
+        elif epoch_id > 0:
+            raise RuntimeError(
+                f"additive_agg_state_writer: epoch {epoch_id} has no prior "
+                f"state version under {state_root} — checkpoint/state "
+                "mismatch (refusing to silently reset the aggregate)"
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
             _os.path.join(state_root, f"v={epoch_id}")
         )
 

@@ -84,3 +84,35 @@ def test_missing_prior_state_raises_instead_of_resetting(spark):
     apply, _ = scd2_state_writer(root, ["user_id"], "ts", "event_id")
     with pytest.raises(RuntimeError, match="no prior state"):
         apply(spark.createDataFrame(BATCH_B, SCHEMA), 4)
+
+
+def test_additive_agg_writer_order_invariant_and_gap_tolerant(spark):
+    import tempfile
+
+    from mk_kafka_connect_spark.streaming.sinks import additive_agg_state_writer
+
+    SCH = "k long, v double"
+    b1 = [(1, 10.0), (1, 2.5), (2, 1.0)]
+    b2 = [(1, 0.5), (3, 7.0)]
+
+    def run(batches, epochs):
+        root = tempfile.mkdtemp(prefix="ivm_test_")
+        apply, read_final = additive_agg_state_writer(root, ["k"], {"s": "v"})
+        for e, rows in zip(epochs, batches):
+            apply(spark.createDataFrame(rows, SCH), e)
+        return {
+            r.k: (r.n_rows, float(r.s))
+            for r in read_final(spark).collect()
+        }
+
+    want = {1: (3, 13.0), 2: (1, 1.0), 3: (1, 7.0)}
+    assert run([b1, b2], [0, 1]) == want
+    assert run([b2, b1], [0, 1]) == want  # arrival order irrelevant
+    assert run([b1, b2], [0, 9]) == want  # epoch gap resolves to max prior
+
+    import pytest as _pytest
+
+    root = tempfile.mkdtemp(prefix="ivm_test_")
+    apply, _ = additive_agg_state_writer(root, ["k"], {"s": "v"})
+    with _pytest.raises(RuntimeError, match="no prior"):
+        apply(spark.createDataFrame(b1, SCH), 2)
