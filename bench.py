@@ -120,6 +120,7 @@ HEADLINE = [
     "events_seasonal_backtest",
     "events_disorder_profile",
     "orders_trimmed_mean",
+    "join_interval_overlap",
 ]
 
 

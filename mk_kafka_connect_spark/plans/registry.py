@@ -132,6 +132,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "events_disorder_profile",
     "orders_trimmed_mean",
     "streaming_ivm_orders",
+    "join_interval_overlap",
 )
 
 DRIVER_WINDOW = 50

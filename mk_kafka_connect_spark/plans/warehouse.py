@@ -972,3 +972,77 @@ def orders_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         (F.sum("p").cast("double") / F.count(F.lit(1))).alias("trimmed_mean"),
     )
+
+
+_FULFILL_DAYS = 30
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           date_diff('day',
+             greatest(a.o_orderdate, b.o_orderdate),
+             least(a.o_orderdate + INTERVAL {_FULFILL_DAYS} DAY,
+                   b.o_orderdate + INTERVAL {_FULFILL_DAYS} DAY))
+             AS overlap_days
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderdate < b.o_orderdate + INTERVAL {_FULFILL_DAYS} DAY
+     AND b.o_orderdate < a.o_orderdate + INTERVAL {_FULFILL_DAYS} DAY
+    """,
+    tags=("join", "B6", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join — completes the join matrix's
+    temporal corner next to point-in-interval (`join_range_binned`) and
+    as-of: each order occupies a [orderdate, orderdate+{_FULFILL_DAYS}d)
+    fulfilment window; emit every same-customer pair whose windows
+    overlap, with the exact overlap length in whole days (integer date
+    arithmetic — min(end) − max(start), no floats anywhere).
+
+    Scale shape: the customer equi-key carries the join (ONE hash
+    shuffle); the interval predicates filter WITHIN each key's bounded
+    group (orders per customer is a dimension-bounded handful), so no
+    theta join and no bin explosion is needed — the keyed form of an
+    interval join is just an equi-join plus residual predicates, which
+    is exactly how Catalyst plans it. The unkeyed/global form of this
+    operator is `join_range_binned`'s bin-explode device."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_orderdate").alias("start_a"),
+        F.timestamp_add("DAY", F.lit(_FULFILL_DAYS), "o_orderdate").alias(
+            "end_a"
+        ),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_orderdate").alias("start_b"),
+        F.timestamp_add("DAY", F.lit(_FULFILL_DAYS), "o_orderdate").alias(
+            "end_b"
+        ),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("order_a") < F.col("order_b"))
+            & (F.col("start_a") < F.col("end_b"))
+            & (F.col("start_b") < F.col("end_a"))
+        )
+        .select(
+            "custkey",
+            "order_a",
+            "order_b",
+            F.datediff(
+                F.least("end_a", "end_b").cast("date"),
+                F.greatest("start_a", "start_b").cast("date"),
+            ).cast("long").alias("overlap_days"),
+        )
+    )
