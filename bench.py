@@ -121,6 +121,7 @@ HEADLINE = [
     "events_disorder_profile",
     "orders_trimmed_mean",
     "join_interval_overlap",
+    "sim_recall_ivf_vs_exact",
 ]
 
 

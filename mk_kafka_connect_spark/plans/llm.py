@@ -2647,3 +2647,61 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank bigint, left_sym string, right_sym string"
     )
+
+
+def _register_recall_report() -> None:
+    """Registered via a function so the composed oracle can reference the
+    already-registered BF/IVF oracle SQL verbatim — the recall report
+    replays BOTH rankings and their comparison entirely in SQL."""
+    from .registry import QUERIES as _Q
+
+    bf_sql = _Q["sim_topk_bruteforce"].oracle
+    ivf_sql = _Q["sim_topk_ivf"].oracle
+
+    @query(
+        "sim_recall_ivf_vs_exact",
+        oracle=f"""
+        WITH bf AS (SELECT query_id, neighbor_id FROM ({bf_sql}) t),
+        iv AS (SELECT query_id, neighbor_id FROM ({ivf_sql}) t)
+        SELECT b.query_id,
+          CAST(count(i.neighbor_id) AS BIGINT) AS n_match,
+          CAST(count(i.neighbor_id) AS DOUBLE) / 10 AS recall_at_10
+        FROM bf b LEFT JOIN iv i
+          ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        GROUP BY b.query_id
+        """,
+        tags=("similarity", "B15", "evaluation", "recall"),
+    )
+    def sim_recall_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN QUALITY REPORT as a relation: per-query recall@10 of the
+        IVF index against the exact brute-force ranking — the measurement
+        gate before trusting an approximate index in production (the
+        similarity-tier counterpart of text_langid_confusion's classifier
+        evaluation). Both rankings come from the registered operators
+        themselves, so this certifies the COMPARISON, not a copy: the
+        oracle embeds the bruteforce and IVF oracle SQL verbatim and
+        replays ranking + intersection end to end.
+
+        Cost is the two component queries plus a top-k-sized join —
+        Catalyst evaluates each ranking once; the recall join runs on
+        |Q|x10 rows. In production this runs on a sampled query batch,
+        exactly as here (|Q|=100)."""
+        bf = _Q["sim_topk_bruteforce"].fn(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        ivf = (
+            _Q["sim_topk_ivf"].fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            bf.join(ivf, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("_hit").alias("n_match"),
+                (F.count("_hit").cast("double") / 10).alias("recall_at_10"),
+            )
+        )
+
+
+_register_recall_report()

@@ -133,6 +133,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "orders_trimmed_mean",
     "streaming_ivm_orders",
     "join_interval_overlap",
+    "sim_recall_ivf_vs_exact",
 )
 
 DRIVER_WINDOW = 50

@@ -25,6 +25,8 @@ ALLOWED = {
     "(codebook-gather ADC); IVF/LSH are the comparison-pruning tiers",
     "sim_mmr_rerank": "shortlist generation is the bruteforce relevance scan "
     "(swap in IVF/LSH at scale); the greedy runs over pool-sized Arrow batches",
+    "sim_recall_ivf_vs_exact": "embeds sim_topk_bruteforce (the exact |Q|x|C| "
+    "baseline) by definition — recall is measured AGAINST it",
     # Declared operator surface.
     "join_cross": "the B6 cross-join coverage query itself",
     "udf_row_python": "deliberate B14 row-UDF surface (paired with vectorized variants)",
