@@ -122,6 +122,7 @@ HEADLINE = [
     "orders_trimmed_mean",
     "join_interval_overlap",
     "sim_recall_ivf_vs_exact",
+    "docs_decontamination_report",
 ]
 
 

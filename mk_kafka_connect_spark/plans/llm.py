@@ -2705,3 +2705,71 @@ def _register_recall_report() -> None:
 
 
 _register_recall_report()
+
+
+def _register_decontamination_report() -> None:
+    """Composed like the ANN recall report: both decontamination paths'
+    oracle SQL embeds verbatim, so the AGREEMENT analysis itself is
+    driver-certified end to end."""
+    from .registry import QUERIES as _Q
+
+    exact_sql = _Q["docs_decontaminate"].oracle
+    lsh_sql = _Q["docs_decontaminate_lsh"].oracle
+
+    @query(
+        "docs_decontamination_report",
+        oracle=f"""
+        WITH ex AS (SELECT doc_id, contaminated AS exact_flag
+                    FROM ({exact_sql}) t),
+        ls AS (SELECT doc_id, contaminated AS lsh_flag FROM ({lsh_sql}) t)
+        SELECT
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN exact_flag AND lsh_flag THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both,
+          CAST(sum(CASE WHEN exact_flag AND NOT lsh_flag THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact_only,
+          CAST(sum(CASE WHEN NOT exact_flag AND lsh_flag THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lsh_only,
+          CAST(sum(CASE WHEN NOT exact_flag AND NOT lsh_flag THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_neither,
+          CAST(sum(CASE WHEN exact_flag = lsh_flag THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) AS agreement
+        FROM ex JOIN ls USING (doc_id)
+        """,
+        tags=("pipeline", "B15", "evaluation", "dedup"),
+    )
+    def docs_decontamination_report(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """AGREEMENT REPORT between the two decontamination paths — the
+        broadcast absolute-overlap gate (>= 2 shared shingles) and the
+        banded-LSH proportional gate (est. Jaccard >= 0.5): confusion
+        cells + agreement rate over the training corpus. The two paths
+        deliberately catch different leak shapes (verbatim spans vs
+        near-duplicates), so a corpus build runs BOTH; this report is
+        how you see what each adds before deciding (exact-only docs =
+        short verbatim quotes LSH's proportional threshold ignores;
+        lsh-only docs = paraphrase-level duplication the absolute
+        overlap floor misses). One doc-keyed join of the two flag
+        relations — the component scans dominate, and Catalyst
+        evaluates each once."""
+        ex = _Q["docs_decontaminate"].fn(spark, sf_dir).select(
+            "doc_id", F.col("contaminated").alias("exact_flag")
+        )
+        ls = _Q["docs_decontaminate_lsh"].fn(spark, sf_dir).select(
+            "doc_id", F.col("contaminated").alias("lsh_flag")
+        )
+        j = ex.join(ls, "doc_id")
+        c = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+        e, l = F.col("exact_flag"), F.col("lsh_flag")
+        return j.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            c(e & l).alias("n_both"),
+            c(e & ~l).alias("n_exact_only"),
+            c(~e & l).alias("n_lsh_only"),
+            c(~e & ~l).alias("n_neither"),
+            (c(e == l).cast("double") / F.count(F.lit(1))).alias("agreement"),
+        )
+
+
+_register_decontamination_report()

@@ -134,6 +134,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "streaming_ivm_orders",
     "join_interval_overlap",
     "sim_recall_ivf_vs_exact",
+    "docs_decontamination_report",
 )
 
 DRIVER_WINDOW = 50
