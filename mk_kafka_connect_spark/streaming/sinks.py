@@ -23,6 +23,7 @@ __all__ = [
     "scd1_state_writer",
     "scd2_state_writer",
     "additive_agg_state_writer",
+    "prune_state_versions",
 ]
 
 
@@ -328,3 +329,36 @@ def additive_agg_state_writer(
         )
 
     return apply, read_final
+
+
+def prune_state_versions(state_root: str, keep_last: int = 2) -> list[int]:
+    """Vacuum old ``v=<epoch>`` directories under a versioned state root
+    (the SCD-1/SCD-2/additive-aggregate writers append one per epoch and
+    never delete — unbounded growth is the operational failure mode of
+    every multi-version store, hence Delta VACUUM / Iceberg
+    expire_snapshots; this is the plain-parquet form).
+
+    Keeps the ``keep_last`` highest versions: the newest is the live
+    state, the ones behind it are the replay targets a crashed epoch
+    resolves to (the writers pick max(version < epoch), so keeping >= 2
+    preserves replay-idempotence for the in-flight epoch). Refuses
+    keep_last < 2 for exactly that reason. Returns the pruned version
+    numbers."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    if keep_last < 2:
+        raise ValueError(
+            "prune_state_versions: keep_last must be >= 2 — the previous "
+            "version is the replay target of the in-flight epoch"
+        )
+    versions = sorted(
+        int(m.group(1))
+        for d in _os.listdir(state_root)
+        if (m := _re.fullmatch(r"v=(\d+)", d))
+    )
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in doomed:
+        _shutil.rmtree(_os.path.join(state_root, f"v={v}"), ignore_errors=True)
+    return doomed

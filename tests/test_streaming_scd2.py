@@ -116,3 +116,44 @@ def test_additive_agg_writer_order_invariant_and_gap_tolerant(spark):
     apply, _ = additive_agg_state_writer(root, ["k"], {"s": "v"})
     with _pytest.raises(RuntimeError, match="no prior"):
         apply(spark.createDataFrame(b1, SCH), 2)
+
+
+def test_prune_state_versions_keeps_replay_target(spark):
+    import os
+    import tempfile
+
+    from mk_kafka_connect_spark.streaming.sinks import (
+        prune_state_versions,
+        scd1_state_writer,
+    )
+
+    root = tempfile.mkdtemp(prefix="prune_test_")
+    apply, read_final = scd1_state_writer(
+        root, ["user_id"], ["ts", "event_id"], tombstone_col="is_delete"
+    )
+    sch = "user_id long, event_id long, value double, ts timestamp, is_delete boolean"
+    for e in range(5):
+        apply(
+            spark.createDataFrame(
+                [(1, e, float(e), _ts(f"2024-01-0{e + 1} 00:00:00"), False)], sch
+            ),
+            e,
+        )
+    pruned = prune_state_versions(root, keep_last=2)
+    assert pruned == [0, 1, 2]
+    assert sorted(os.listdir(root)) == ["v=3", "v=4"]
+    # Live state unaffected...
+    assert {r.user_id: r.event_id for r in read_final(spark).collect()} == {1: 4}
+    # ...and a crash-replay of the LAST epoch still resolves (v=3 kept).
+    apply(
+        spark.createDataFrame(
+            [(1, 4, 4.0, _ts("2024-01-05 00:00:00"), False)], sch
+        ),
+        4,
+    )
+    assert {r.user_id: r.event_id for r in read_final(spark).collect()} == {1: 4}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep_last"):
+        prune_state_versions(root, keep_last=1)
