@@ -123,6 +123,7 @@ HEADLINE = [
     "join_interval_overlap",
     "sim_recall_ivf_vs_exact",
     "docs_decontamination_report",
+    "emb_top_eigenvector",
 ]
 
 

@@ -2773,3 +2773,108 @@ def _register_decontamination_report() -> None:
 
 
 _register_decontamination_report()
+
+
+_PI_SCALE = 10**6
+_PI_ITERS = 3
+
+
+def _sql_floor_div(a: str, b: str) -> str:
+    """Floor division for possibly-negative a, positive b — Python's //
+    semantics, built from truncated %: subtract the non-negative residue
+    first, so the final // divides exactly (trunc == floor)."""
+    return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+
+
+def _sql_power_iteration_oracle() -> str:
+    from .registry import QUERIES as _Q
+
+    cov_sql = _Q["emb_covariance"].oracle
+    it = ""
+    prev = "vec0"
+    for k in range(1, _PI_ITERS + 1):
+        fd = _sql_floor_div(f"w * {_PI_SCALE}", "m")
+        it += f""",
+    w{k} AS (
+      SELECT C.i AS dim, SUM(C.c * v.val) AS w
+      FROM C JOIN {prev} v ON C.j = v.dim GROUP BY C.i),
+    m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+    vec{k} AS (SELECT dim, {fd} AS val FROM w{k}, m{k})"""
+        prev = f"vec{k}"
+    return f"""
+    WITH pairs AS (
+      SELECT dim_i, dim_j,
+        CAST(n AS HUGEINT) AS n, CAST(sum_i AS HUGEINT) AS sum_i,
+        CAST(sum_j AS HUGEINT) AS sum_j, CAST(sum_ij AS HUGEINT) AS sum_ij
+      FROM ({cov_sql}) t),
+    C AS (
+      SELECT dim_i AS i, dim_j AS j, n * sum_ij - sum_i * sum_j AS c
+      FROM pairs
+      UNION ALL
+      SELECT dim_j AS i, dim_i AS j, n * sum_ij - sum_i * sum_j AS c
+      FROM pairs WHERE dim_i <> dim_j),
+    vec0 AS (
+      SELECT i AS dim, CAST({_PI_SCALE} AS HUGEINT) AS val
+      FROM range(0, 64) t(i)){it},
+    ray AS (
+      SELECT SUM(C.c * a.val * b.val) AS num
+      FROM C JOIN {prev} a ON C.i = a.dim JOIN {prev} b ON C.j = b.dim),
+    den AS (SELECT SUM(val * val) AS d FROM {prev})
+    SELECT dim, CAST(val AS BIGINT) AS component,
+           CAST(num AS DOUBLE) / CAST(d AS DOUBLE) AS rayleigh
+    FROM {prev}, ray, den
+    """
+
+
+def _register_power_iteration() -> None:
+    from .registry import QUERIES as _Q
+
+    @query(
+        "emb_top_eigenvector",
+        oracle=_sql_power_iteration_oracle(),
+        tags=("similarity", "B15", "stats", "iterative", "pca"),
+    )
+    def emb_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top PRINCIPAL DIRECTION of the embedding covariance by exact
+        integer power iteration — the first step of PCA / whitening /
+        drift monitoring, certified bit-for-bit: the corpus contributes
+        only through the dims^2 exact-integer Gram sums
+        (`emb_covariance`'s mergeable-matrix pass — the ONLY
+        corpus-sized stage at any scale), the n^2-scaled covariance
+        C = n*sum_ij - sum_i*sum_j is integer-exact, and {_PI_ITERS}
+        power-iteration steps run on the 64x64 matrix with an integer
+        rescale (floor-div by the max |component|, scaled to 1e6) so
+        every intermediate is an exact integer on both engines — Python
+        bignum here, HUGEINT in the oracle, same floor semantics by
+        construction. Output: the scaled direction (64 rows) plus the
+        Rayleigh-quotient eigenvalue estimate (one IEEE division of
+        exact integers; units: n^2 x quantized^2). Driver-side work is
+        the dims^2 model state only — the same model-extraction pattern
+        as the IVF/PQ trainings; sign/sequence are deterministic because
+        the seed is the fixed all-positive vector."""
+        rows = _Q["emb_covariance"].fn(spark, sf_dir).collect()
+        dims = 64
+        C = [[0] * dims for _ in range(dims)]
+        for r in rows:
+            c = int(r["n"]) * int(r["sum_ij"]) - int(r["sum_i"]) * int(
+                r["sum_j"]
+            )
+            C[r["dim_i"]][r["dim_j"]] = c
+            C[r["dim_j"]][r["dim_i"]] = c
+        v = [_PI_SCALE] * dims
+        for _ in range(_PI_ITERS):
+            w = [sum(C[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+            m = max(abs(x) for x in w)
+            v = [(x * _PI_SCALE) // m for x in w]
+        num = sum(
+            C[i][j] * v[i] * v[j] for i in range(dims) for j in range(dims)
+        )
+        den = sum(x * x for x in v)
+        ray = float(num) / float(den)
+        return spark.createDataFrame(
+            [(i, v[i], ray) for i in range(dims)],
+            "dim bigint, component bigint, rayleigh double",
+        )
+
+
+_register_power_iteration()

@@ -135,6 +135,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "join_interval_overlap",
     "sim_recall_ivf_vs_exact",
     "docs_decontamination_report",
+    "emb_top_eigenvector",
 )
 
 DRIVER_WINDOW = 50
