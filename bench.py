@@ -124,6 +124,7 @@ HEADLINE = [
     "sim_recall_ivf_vs_exact",
     "docs_decontamination_report",
     "emb_top_eigenvector",
+    "emb_pca_projection",
 ]
 
 

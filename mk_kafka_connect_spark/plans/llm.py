@@ -2786,7 +2786,9 @@ def _sql_floor_div(a: str, b: str) -> str:
     return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
 
 
-def _sql_power_iteration_oracle() -> str:
+def _sql_power_iteration_ctes() -> tuple[str, str]:
+    """(CTE chain, name of the final direction CTE) — shared by the
+    eigenvector query and the projection query that composes it."""
     from .registry import QUERIES as _Q
 
     cov_sql = _Q["emb_covariance"].oracle
@@ -2801,8 +2803,7 @@ def _sql_power_iteration_oracle() -> str:
     m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
     vec{k} AS (SELECT dim, {fd} AS val FROM w{k}, m{k})"""
         prev = f"vec{k}"
-    return f"""
-    WITH pairs AS (
+    ctes = f"""pairs AS (
       SELECT dim_i, dim_j,
         CAST(n AS HUGEINT) AS n, CAST(sum_i AS HUGEINT) AS sum_i,
         CAST(sum_j AS HUGEINT) AS sum_j, CAST(sum_ij AS HUGEINT) AS sum_ij
@@ -2815,7 +2816,14 @@ def _sql_power_iteration_oracle() -> str:
       FROM pairs WHERE dim_i <> dim_j),
     vec0 AS (
       SELECT i AS dim, CAST({_PI_SCALE} AS HUGEINT) AS val
-      FROM range(0, 64) t(i)){it},
+      FROM range(0, 64) t(i)){it}"""
+    return ctes, prev
+
+
+def _sql_power_iteration_oracle() -> str:
+    ctes, prev = _sql_power_iteration_ctes()
+    return f"""
+    WITH {ctes},
     ray AS (
       SELECT SUM(C.c * a.val * b.val) AS num
       FROM C JOIN {prev} a ON C.i = a.dim JOIN {prev} b ON C.j = b.dim),
@@ -2824,6 +2832,27 @@ def _sql_power_iteration_oracle() -> str:
            CAST(num AS DOUBLE) / CAST(d AS DOUBLE) AS rayleigh
     FROM {prev}, ray, den
     """
+
+
+def _power_iteration_direction(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Driver-side exact integer power iteration over the collected
+    dims^2 Gram state — Python bignums, floor division, fixed seed:
+    step-for-step what the SQL CTE chain computes."""
+    from .registry import QUERIES as _Q
+
+    rows = _Q["emb_covariance"].fn(spark, sf_dir).collect()
+    dims = 64
+    C = [[0] * dims for _ in range(dims)]
+    for r in rows:
+        c = int(r["n"]) * int(r["sum_ij"]) - int(r["sum_i"]) * int(r["sum_j"])
+        C[r["dim_i"]][r["dim_j"]] = c
+        C[r["dim_j"]][r["dim_i"]] = c
+    v = [_PI_SCALE] * dims
+    for _ in range(_PI_ITERS):
+        w = [sum(C[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        m = max(abs(x) for x in w)
+        v = [(x * _PI_SCALE) // m for x in w]
+    return v, C
 
 
 def _register_power_iteration() -> None:
@@ -2852,20 +2881,8 @@ def _register_power_iteration() -> None:
         the dims^2 model state only — the same model-extraction pattern
         as the IVF/PQ trainings; sign/sequence are deterministic because
         the seed is the fixed all-positive vector."""
-        rows = _Q["emb_covariance"].fn(spark, sf_dir).collect()
+        v, C = _power_iteration_direction(spark, sf_dir)
         dims = 64
-        C = [[0] * dims for _ in range(dims)]
-        for r in rows:
-            c = int(r["n"]) * int(r["sum_ij"]) - int(r["sum_i"]) * int(
-                r["sum_j"]
-            )
-            C[r["dim_i"]][r["dim_j"]] = c
-            C[r["dim_j"]][r["dim_i"]] = c
-        v = [_PI_SCALE] * dims
-        for _ in range(_PI_ITERS):
-            w = [sum(C[i][j] * v[j] for j in range(dims)) for i in range(dims)]
-            m = max(abs(x) for x in w)
-            v = [(x * _PI_SCALE) // m for x in w]
         num = sum(
             C[i][j] * v[i] * v[j] for i in range(dims) for j in range(dims)
         )
@@ -2878,3 +2895,62 @@ def _register_power_iteration() -> None:
 
 
 _register_power_iteration()
+
+
+def _register_pca_projection() -> None:
+    ctes, prev = _sql_power_iteration_ctes()
+
+    @query(
+        "emb_pca_projection",
+        oracle=f"""
+        WITH {ctes},
+        emb AS (SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS qv
+                FROM embeddings),
+        proj AS (
+          SELECT e.vec_id,
+            SUM(CAST(e.qv[v.dim + 1] AS HUGEINT) * v.val) AS p
+          FROM emb e, {prev} v GROUP BY e.vec_id),
+        nv AS (SELECT sqrt(CAST(SUM(val * val) AS DOUBLE)) AS nrm FROM {prev})
+        SELECT vec_id, CAST(p AS BIGINT) AS proj_scaled,
+               CAST(p AS DOUBLE) / nrm AS proj
+        FROM proj, nv
+        """,
+        tags=("similarity", "B15", "pca", "stats"),
+    )
+    def emb_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Every embedding's scalar projection onto the corpus's top
+        principal direction — the dimensionality-reduction /
+        outlier-scoring follow-up to `emb_top_eigenvector` (1-D PCA
+        scores; drift monitors threshold exactly this). The direction
+        is the dims-sized model from the integer power iteration (same
+        deterministic sequence as the oracle's CTE chain); scoring is
+        one map-side integer dot product per row against the 64-value
+        broadcast — the corpus streams ONCE beyond the shared Gram
+        pass, no shuffle in the scoring stage at all. proj_scaled is
+        the exact integer dot (quantized x 1e6-scaled direction); proj
+        divides by the direction's L2 norm (IEEE sqrt is
+        correctly-rounded, the same device as every cosine here)."""
+        import math
+
+        v, _ = _power_iteration_direction(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        from ..operators.similarity import quantize
+
+        qv = quantize(F.col("embedding"))
+        terms = [
+            qv.getItem(d).cast("decimal(38,0)") * F.lit(v[d])
+            for d in range(64)
+            if v[d] != 0
+        ]
+        p = terms[0]
+        for t in terms[1:]:
+            p = p + t
+        nrm = math.sqrt(float(sum(x * x for x in v)))
+        return emb.select(
+            "vec_id",
+            p.cast("long").alias("proj_scaled"),
+            (p.cast("double") / F.lit(nrm)).alias("proj"),
+        )
+
+
+_register_pca_projection()

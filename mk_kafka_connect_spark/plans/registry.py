@@ -136,6 +136,7 @@ R9_ADDITIONS: tuple[str, ...] = (
     "sim_recall_ivf_vs_exact",
     "docs_decontamination_report",
     "emb_top_eigenvector",
+    "emb_pca_projection",
 )
 
 DRIVER_WINDOW = 50
