@@ -42,6 +42,22 @@ def _zorder_layout_oracle() -> str:
         for bit in range(_BITS)
         for i, c in enumerate(("ok", "pk"))
     )
+    # Hilbert xy2d, 16 unrolled rotation steps (h0..h16): each stage is a
+    # pure projection over the previous one, mirroring the Spark loop.
+    hchain = "h0 AS (SELECT *, s_ok AS hx, s_pk AS hy, CAST(0 AS BIGINT) AS hd FROM keyed)"
+    for k in range(_BITS):
+        sv = 1 << (_BITS - 1 - k)
+        rx = f"(CASE WHEN (hx & {sv}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {sv}) > 0 THEN 1 ELSE 0 END)"
+        hchain += f""",
+    h{k + 1} AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, s_ok, s_pk, z,
+        hd + CAST({sv} AS BIGINT) * {sv} * xor(3 * {rx}, {ry}) AS hd,
+        CASE WHEN {ry} = 1 THEN hx
+             WHEN {rx} = 1 THEN {sv - 1} - hy ELSE hy END AS hx,
+        CASE WHEN {ry} = 1 THEN hy
+             WHEN {rx} = 1 THEN {sv - 1} - hx ELSE hx END AS hy
+      FROM h{k})"""
     preds = {
         "box_both": (
             f"max_ok >= {_OK_LO} AND min_ok <= {_OK_HI} "
@@ -72,6 +88,7 @@ def _zorder_layout_oracle() -> str:
              {scaled['ok']} AS s_ok, {scaled['pk']} AS s_pk
       FROM lineitem, bounds),
     keyed AS (SELECT *, {z_terms} AS z FROM zed),
+    {hchain},
     layouts AS (
       SELECT 'natural' AS layout, l_orderkey, l_partkey,
         CAST(floor((CAST(row_number() OVER (
@@ -83,7 +100,13 @@ def _zorder_layout_oracle() -> str:
         CAST(floor((CAST(row_number() OVER (
           ORDER BY z, l_orderkey, l_linenumber) AS DOUBLE) - 1)
           / {_ROWS_PER_GROUP}) AS BIGINT) AS g
-      FROM keyed),
+      FROM keyed
+      UNION ALL
+      SELECT 'hilbert' AS layout, l_orderkey, l_partkey,
+        CAST(floor((CAST(row_number() OVER (
+          ORDER BY hd, l_orderkey, l_linenumber) AS DOUBLE) - 1)
+          / {_ROWS_PER_GROUP}) AS BIGINT) AS g
+      FROM h{_BITS}),
     stats AS (
       SELECT layout, g,
              min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
@@ -146,6 +169,33 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftright(F.col(c), bit).bitwiseAND(1), bit * 2 + i
             )
     keyed = zed.withColumn("z", z)
+    # Hilbert xy2d: 16 rotation steps, each one narrow projection whose
+    # new (hx, hy, hd) are computed simultaneously from the previous
+    # stage's columns — identical sequence to the oracle's h0..h16 CTEs.
+    keyed = (
+        keyed.withColumn("hx", F.col("s_ok"))
+        .withColumn("hy", F.col("s_pk"))
+        .withColumn("hd", F.lit(0).cast("long"))
+    )
+    base_cols = ["l_orderkey", "l_linenumber", "l_partkey", "s_ok", "s_pk", "z"]
+    for k in range(_BITS):
+        sv = 1 << (_BITS - 1 - k)
+        rx = f"(CASE WHEN (hx & {sv}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {sv}) > 0 THEN 1 ELSE 0 END)"
+        keyed = keyed.select(
+            *base_cols,
+            F.expr(
+                f"hd + CAST({sv} AS BIGINT) * {sv} * ((3 * {rx}) ^ {ry})"
+            ).alias("hd"),
+            F.expr(
+                f"CASE WHEN {ry} = 1 THEN hx "
+                f"WHEN {rx} = 1 THEN {sv - 1} - hy ELSE hy END"
+            ).alias("hx"),
+            F.expr(
+                f"CASE WHEN {ry} = 1 THEN hy "
+                f"WHEN {rx} = 1 THEN {sv - 1} - hx ELSE hx END"
+            ).alias("hy"),
+        )
 
     def grouped(df: DataFrame, layout: str, blk, order_cols: list) -> DataFrame:
         # Global rank WITHOUT a single-partition sort: the two-phase
@@ -202,6 +252,13 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zorder",
             F.shiftright("z", 22),
             ["z", "l_orderkey", "l_linenumber"],
+        )
+    ).unionByName(
+        grouped(
+            keyed,
+            "hilbert",
+            F.shiftright("hd", 22),
+            ["hd", "l_orderkey", "l_linenumber"],
         )
     )
     preds = {
