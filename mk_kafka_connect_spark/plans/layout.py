@@ -168,34 +168,40 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             z = z + F.shiftleft(
                 F.shiftright(F.col(c), bit).bitwiseAND(1), bit * 2 + i
             )
-    keyed = zed.withColumn("z", z)
-    # Hilbert xy2d: 16 rotation steps, each one narrow projection whose
-    # new (hx, hy, hd) are computed simultaneously from the previous
-    # stage's columns — identical sequence to the oracle's h0..h16 CTEs.
-    keyed = (
-        keyed.withColumn("hx", F.col("s_ok"))
-        .withColumn("hy", F.col("s_pk"))
-        .withColumn("hd", F.lit(0).cast("long"))
+    # Hilbert xy2d as ONE vectorized Arrow kernel. The previous
+    # formulation — 16 chained selects, each stage's (hx, hy, hd)
+    # rewritten from the previous stage's columns — exploded in the
+    # optimizer: CollapseProject inlines attribute-referencing CASE
+    # expressions, and because each stage references the prior hx/hy in
+    # several branches, the inlined tree grows ~3× per stage (~3^16
+    # nodes), which is what OOM'd the round-9 bench JVM on a 60k-row
+    # input (data-independent). A pandas_udf keeps the logical plan O(1)
+    # and runs the 16 rotation steps as numpy int64 ops over one Arrow
+    # batch — the loop below mirrors the oracle's h0..h16 CTEs step for
+    # step, so the integers stay bit-identical across engines.
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _hilbert(sx, sy):
+        import numpy as np
+
+        x = sx.to_numpy(dtype="int64", copy=True)
+        y = sy.to_numpy(dtype="int64", copy=True)
+        hd = np.zeros(len(x), dtype="int64")
+        for k in range(_BITS):
+            sv = 1 << (_BITS - 1 - k)
+            rx = ((x & sv) > 0).astype("int64")
+            ry = ((y & sv) > 0).astype("int64")
+            hd += np.int64(sv) * np.int64(sv) * ((3 * rx) ^ ry)
+            nx = np.where(ry == 1, x, np.where(rx == 1, (sv - 1) - y, y))
+            ny = np.where(ry == 1, y, np.where(rx == 1, (sv - 1) - x, x))
+            x, y = nx, ny
+        return pd.Series(hd)
+
+    keyed = zed.withColumn("z", z).withColumn(
+        "hd", _hilbert(F.col("s_ok"), F.col("s_pk"))
     )
-    base_cols = ["l_orderkey", "l_linenumber", "l_partkey", "s_ok", "s_pk", "z"]
-    for k in range(_BITS):
-        sv = 1 << (_BITS - 1 - k)
-        rx = f"(CASE WHEN (hx & {sv}) > 0 THEN 1 ELSE 0 END)"
-        ry = f"(CASE WHEN (hy & {sv}) > 0 THEN 1 ELSE 0 END)"
-        keyed = keyed.select(
-            *base_cols,
-            F.expr(
-                f"hd + CAST({sv} AS BIGINT) * {sv} * ((3 * {rx}) ^ {ry})"
-            ).alias("hd"),
-            F.expr(
-                f"CASE WHEN {ry} = 1 THEN hx "
-                f"WHEN {rx} = 1 THEN {sv - 1} - hy ELSE hy END"
-            ).alias("hx"),
-            F.expr(
-                f"CASE WHEN {ry} = 1 THEN hy "
-                f"WHEN {rx} = 1 THEN {sv - 1} - hx ELSE hx END"
-            ).alias("hy"),
-        )
 
     def grouped(df: DataFrame, layout: str, blk, order_cols: list) -> DataFrame:
         # Global rank WITHOUT a single-partition sort: the two-phase

@@ -22,5 +22,9 @@ def test_zorder_model_shows_clustering_tradeoff(spark):
     assert frac[("zorder", "box_both")] <= frac[("natural", "box_both")]
     # The price: orderkey-only pruning is tighter in the natural layout.
     assert frac[("natural", "orderkey_only")] <= frac[("zorder", "orderkey_only")]
-    # Every (layout, predicate) pair present, same group counts per layout.
-    assert len(frac) == 6
+    # Hilbert is the third layout (r9): like Z-order it clusters BOTH
+    # dimensions, so partkey-only pruning must beat the natural layout.
+    assert frac[("hilbert", "partkey_only")] < frac[("natural", "partkey_only")]
+    assert frac[("hilbert", "box_both")] <= frac[("natural", "box_both")]
+    # Every (layout, predicate) pair present.
+    assert len(frac) == 9
