@@ -80,7 +80,17 @@ def _fake_decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def fake_decode_features(bin_df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    Input schema: (doc_id, payload binary, meta struct<mime,n_bytes>)."""
+    Input schema: (doc_id, payload binary, meta struct<mime,n_bytes>).
+
+    ``_fake_decode_batch`` is a MODULE-LEVEL function, so cloudpickle
+    serializes it by reference and the Python worker must import this
+    package — which fails under the round driver's environment (no
+    PYTHONPATH export; the rest_source failure mode). Ship the package
+    zip to workers first; the closure-based kernels (resize, ahash)
+    don't need it, but this one does."""
+    from ..session import ship_package
+
+    ship_package(bin_df.sparkSession)
     flat = bin_df.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
     return flat.mapInPandas(_fake_decode_batch, schema=FEATURE_SCHEMA)
 

@@ -26,6 +26,8 @@ __all__ = [
     "CERTIFICATION_FRONT",
     "R9_NEVER_CERTIFIED",
     "R9_ADDITIONS",
+    "R10_ADDITIONS",
+    "R2_STALE_RECERTS",
     "certification_order",
 ]
 
@@ -141,18 +143,79 @@ R9_ADDITIONS: tuple[str, ...] = (
 
 DRIVER_WINDOW = 50
 
-CERTIFICATION_FRONT: tuple[str, ...] = R9_NEVER_CERTIFIED[:DRIVER_WINDOW]
+# Queries ADDED during round 10 — extended as each lands; they join the
+# front immediately behind the r9 additions.
+R10_ADDITIONS: tuple[str, ...] = ()
+
+# Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,
+# so every query registered before r9 now has >=1 green driver row ever
+# and the coverage bar is closed. The r10 front therefore (a) certifies
+# the 16 queries added during r9 (zero driver rows yet), (b) certifies
+# everything added during r10, and (c) spends the remaining slots
+# RE-certifying the stalest evidence: the 36 queries whose newest green
+# driver row is still round 2 (derivation pinned by
+# tests/test_registry_rotation.py from the artifact files).
+R2_STALE_RECERTS: tuple[str, ...] = (
+    "agg_case_when_buckets",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having_filter",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_stats",
+    "bucketed_join_revenue",
+    "cdc_merge_upsert",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_latest_wins",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_pairs",
+    "expand_customer_flat",
+    "expand_items_nested",
+    "filter_predicates",
+    "join_cross",
+    "join_theta_range",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "projection_computed",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sim_topk_bruteforce",
+    "skew_salted_agg",
+    "subquery_correlated_scalar",
+    "subquery_exists",
+    "subquery_in_scalar",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+)
+
+
+def _r10_front() -> tuple[str, ...]:
+    head = list(R9_ADDITIONS) + [n for n in R10_ADDITIONS if n not in R9_ADDITIONS]
+    fill = [n for n in R2_STALE_RECERTS if n not in head]
+    return tuple((head + fill)[:DRIVER_WINDOW])
+
+
+CERTIFICATION_FRONT: tuple[str, ...] = _r10_front()
 
 
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
 
-    R9 additions are slotted directly behind the window so the driver's
-    first-50 certification set stays exactly the never-certified backlog
-    while the newest queries head the queue for the next rotation.
+    Re-cert overflow (stale queries that did not fit the window) queues
+    directly behind it; everything else follows in registration order.
     """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
-    next_up = [n for n in R9_ADDITIONS if n in QUERIES and n not in front]
+    next_up = [
+        n
+        for n in (*R10_ADDITIONS, *R2_STALE_RECERTS)
+        if n in QUERIES and n not in front
+    ]
     pinned = set(front) | set(next_up)
     return front + next_up + [n for n in QUERIES if n not in pinned]
 

@@ -1,11 +1,13 @@
-"""Guard the driver-certification rotation (VERDICT r8 item 1).
+"""Guard the driver-certification rotation (round 10).
 
 The driver hash-checks only the FIRST 50 entries of the exposed query
-dict per round. After r8, exactly 50 registered queries had no green
-driver row in any CORRECTNESS artifact (the r7 driver window never ran).
-The r9 front must be exactly that never-certified set — recomputed here
-from the artifact files themselves, so the pin cannot drift from the
-evidence — after which every registered query has >=1 driver row ever.
+dict per round. CORRECTNESS_r09 went 50/50 green on the r9 backlog, so
+every query registered before round 9 now has >=1 driver row ever. The
+r10 window therefore certifies (a) the 16 queries added during r9
+(zero driver rows yet), (b) everything added during r10, and (c) fills
+the remaining slots by RE-certifying the stalest evidence — queries
+whose newest green driver row is still round 2. The stale set is
+recomputed here from the artifact files so the pin cannot drift.
 """
 
 from __future__ import annotations
@@ -13,33 +15,34 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 
 import __spark_entry__  # noqa: F401  (registers every query)
 from mk_kafka_connect_spark.plans.registry import (
     CERTIFICATION_FRONT,
     DRIVER_WINDOW,
     QUERIES,
+    R2_STALE_RECERTS,
     R9_ADDITIONS,
-    R9_NEVER_CERTIFIED,
+    R10_ADDITIONS,
     certification_order,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# CORRECTNESS files that existed when the r9 front was pinned. Later
-# rounds append artifacts; the front derivation must stay frozen on the
-# evidence it was computed from, so enumerate r1..r8 explicitly.
-_PRE_R9_ARTIFACTS = tuple(
-    f"CORRECTNESS_r0{n}.json" for n in range(1, 9)
-)
+# Artifacts that existed when the r10 front was pinned (r1..r9; the r7
+# driver never ran, so that file is legitimately absent). Later rounds
+# append artifacts; the derivation stays frozen on this evidence.
+_PRE_R10_ARTIFACTS = tuple(f"CORRECTNESS_r0{n}.json" for n in range(1, 10))
 
 
-def _ever_certified_before_r9() -> set[str]:
-    certified: set[str] = set()
-    for fname in _PRE_R9_ARTIFACTS:
+def _latest_green_round() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for fname in _PRE_R10_ARTIFACTS:
         path = os.path.join(REPO, fname)
-        if not os.path.exists(path):  # r7 never ran — expected hole
+        if not os.path.exists(path):
             continue
+        rnd = int(re.search(r"r0(\d+)", fname).group(1))
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -52,22 +55,37 @@ def _ever_certified_before_r9() -> set[str]:
                 and not row.get("err")
             )
             if ok:
-                certified.add(name)
-    return certified
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
-def test_front_is_exactly_the_never_certified_set():
-    # Recompute from artifacts; queries registered after the r9 pin
-    # (R9_ADDITIONS) are excluded — they queue for the r10 window.
-    certified = _ever_certified_before_r9()
-    new_this_round = set(R9_ADDITIONS)
-    never = {
-        n for n in QUERIES if n not in certified and n not in new_this_round
-    }
-    assert never == set(R9_NEVER_CERTIFIED), (
-        f"front drifted from evidence: missing={sorted(never - set(R9_NEVER_CERTIFIED))} "
-        f"extra={sorted(set(R9_NEVER_CERTIFIED) - never)}"
+def test_every_pre_r9_query_has_a_driver_row():
+    # The r9 window closed the coverage bar: nothing registered before
+    # round 9 may be driver-uncertified. (R9/R10 additions are the only
+    # allowed holes — they are what the r10 front exists to certify.)
+    latest = _latest_green_round()
+    new = set(R9_ADDITIONS) | set(R10_ADDITIONS)
+    holes = [n for n in QUERIES if n not in latest and n not in new]
+    assert not holes, f"driver-uncertified queries outside the new-query set: {holes}"
+
+
+def test_stale_recert_list_matches_artifacts():
+    latest = _latest_green_round()
+    stale = sorted(n for n, r in latest.items() if r <= 2 and n in QUERIES)
+    assert stale == sorted(R2_STALE_RECERTS), (
+        f"stale set drifted from evidence: "
+        f"missing={sorted(set(stale) - set(R2_STALE_RECERTS))} "
+        f"extra={sorted(set(R2_STALE_RECERTS) - set(stale))}"
     )
+
+
+def test_front_is_new_queries_then_stale_recerts():
+    head = list(R9_ADDITIONS) + [
+        n for n in R10_ADDITIONS if n not in R9_ADDITIONS
+    ]
+    fill = [n for n in R2_STALE_RECERTS if n not in head]
+    expected = tuple((head + fill)[:DRIVER_WINDOW])
+    assert CERTIFICATION_FRONT == expected
 
 
 def test_front_fills_driver_window_exactly():
@@ -77,26 +95,28 @@ def test_front_fills_driver_window_exactly():
     assert len(set(CERTIFICATION_FRONT)) == DRIVER_WINDOW
     dangling = [n for n in CERTIFICATION_FRONT if n not in QUERIES]
     assert not dangling, f"front names not in registry: {dangling}"
+    dangling = [n for n in (*R9_ADDITIONS, *R10_ADDITIONS) if n not in QUERIES]
+    assert not dangling, f"addition names not in registry: {dangling}"
 
 
-def test_front_differs_from_r8_window():
+def test_front_differs_from_r9_window():
     # The r5/r6 failure mode: two rounds burned the driver window on the
-    # same 50 names. Spot-check the r8 head; none belongs in the r9 window.
-    r8_head = {"events_ohlc_hourly", "events_ewma", "streaming_cdc_scd1"}
-    assert not r8_head & set(CERTIFICATION_FRONT), "r9 front repeats the r8 window"
+    # same 50 names. Spot-check the r9 head; none belongs in the r10
+    # window (they were all certified green in CORRECTNESS_r09).
+    r9_head = {"agg_approx_distinct", "cdc_scd2_history", "docs_pack_sequences"}
+    assert not r9_head & set(CERTIFICATION_FRONT), "r10 front repeats the r9 window"
 
 
-def test_r9_additions_queue_directly_behind_window():
+def test_recert_overflow_queues_directly_behind_window():
     order = certification_order()
-    behind = order[DRIVER_WINDOW : DRIVER_WINDOW + len(R9_ADDITIONS)]
-    expected = [n for n in R9_ADDITIONS if n in QUERIES]
-    assert behind == expected, "r9 additions must head the r10 queue"
-    dangling = [n for n in R9_ADDITIONS if n not in QUERIES]
-    assert not dangling, f"R9_ADDITIONS names not in registry: {dangling}"
+    front = set(CERTIFICATION_FRONT)
+    overflow = [n for n in R2_STALE_RECERTS if n not in front]
+    behind = order[DRIVER_WINDOW : DRIVER_WINDOW + len(overflow)]
+    assert behind == overflow, "re-cert overflow must head the r11 queue"
 
 
 def test_window_queries_all_have_oracles():
-    # Every r9 window query claims a full DuckDB value-hash oracle —
+    # Every r10 window query claims a full DuckDB value-hash oracle —
     # a rows-only driver row would not discharge the certification debt.
     missing = [n for n in CERTIFICATION_FRONT if QUERIES[n].oracle is None]
     assert not missing, f"window queries without oracle SQL: {missing}"
