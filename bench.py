@@ -125,6 +125,14 @@ HEADLINE = [
     "docs_decontamination_report",
     "emb_top_eigenvector",
     "emb_pca_projection",
+    # r10 additions.
+    "events_rolling_distinct_users",
+    "events_cusum_changepoint",
+    "events_histogram_drift",
+    "events_pattern_journeys",
+    "graph_kcore",
+    "docs_bm25_topk",
+    "multimodal_audio_energy",
 ]
 
 

@@ -1,0 +1,743 @@
+"""Round-10 analysis operators: sliding distinct counts, change-point
+detection, distribution drift, sequence-pattern matching (the
+MATCH_RECOGNIZE surrogate), k-core decomposition, BM25 relevance, and
+audio-frame energy — extending SURVEY.md §2.B B6/B7/B9/B15 with the
+operator families a monitoring/retrieval deployment layers on top of
+the engine's CDC and corpus surfaces.
+
+Exactness contract (same as the rest of the registry): every float
+output is one IEEE operation (division / multiply / sqrt — all
+correctly rounded per IEEE 754, hence bit-identical across engines)
+applied to EXACT integer or decimal aggregates; no float value is ever
+summed across rows, and multi-term float sums use a fixed expression
+order over pivoted columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# events_rolling_distinct_users — sliding-window COUNT DISTINCT
+# ---------------------------------------------------------------------------
+
+_ROLL_DAYS = 7
+
+
+@query(
+    "events_rolling_distinct_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT CAST(days.d AS TIMESTAMP) AS day,
+      count(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END)
+        AS users_1d,
+      count(DISTINCT du.user_id) AS users_7d
+    FROM days JOIN du
+      ON date_diff('day', du.d, days.d) BETWEEN 0 AND {_ROLL_DAYS - 1}
+    GROUP BY days.d
+    """,
+    tags=("window", "B7", "B9", "distinct", "timeseries"),
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the sliding-window
+    COUNT DISTINCT that plain window frames cannot express (DISTINCT is
+    not frame-decomposable; Spark rejects it over a RANGE frame).
+
+    The classic scalable decomposition: reduce the fact table ONCE to
+    distinct (day, user) pairs (one hash shuffle, map-side combinable),
+    then re-associate each pair with every window it falls in via a
+    bounded range join against the tiny day dimension (≤7× row
+    amplification, constant in fact size) and count distinct per day.
+    At 100 TB the |days| side stays broadcastable by construction and
+    the amplified relation is |active pairs|·7, never |events|·7.
+
+    The window association is an EXPLODE + EQUI-JOIN, not a theta join:
+    each (day, user) pair emits its 7 candidate window anchors
+    (day + 0..6) and a broadcast hash semi-join against the real day
+    dimension drops anchors past the data's edge — byte-identical to
+    the oracle's BETWEEN join, but hash-joinable (no
+    BroadcastNestedLoopJoin in the plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select(F.col("d").alias("day")).distinct()
+    anchored = du.select(
+        "d",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_ROLL_DAYS - 1))).alias("off"),
+    ).withColumn("day", F.date_add(F.col("d"), F.col("off")))
+    joined = anchored.join(F.broadcast(days), "day", "inner")
+    return joined.groupBy(F.col("day").cast("timestamp").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        ).alias("users_1d"),
+        F.countDistinct("user_id").alias("users_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_cusum_changepoint — integer-exact CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(y) AS BIGINT) AS total
+      FROM hourly GROUP BY event_type),
+    walked AS (
+      SELECT h.event_type, h.h, s.n_hours, s.total,
+        CAST(s.n_hours * sum(h.y) OVER (PARTITION BY h.event_type
+                                        ORDER BY h.h
+                                        ROWS UNBOUNDED PRECEDING)
+          - row_number() OVER (PARTITION BY h.event_type ORDER BY h.h)
+            * s.total AS BIGINT) AS s_scaled
+      FROM hourly h JOIN stats s USING (event_type)),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(s_scaled) DESC, h) AS rnk
+      FROM walked)
+    SELECT event_type, h AS change_hour, s_scaled, n_hours, total
+    FROM best WHERE rnk = 1
+    """,
+    tags=("timeseries", "B9", "changepoint", "monitoring"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on hourly event volume: per event
+    type, the hour where the cumulative deviation from the mean rate
+    |Σ(yᵢ − μ)| peaks — the standard single-change-point estimator
+    (Page 1954) a rate-monitoring deployment runs per stream.
+
+    Integer-exact: with μ = total/n kept as a RATIO, the walk is scaled
+    by n — S'ₖ = n·Σyᵢ − k·total — so every value is an exact int64
+    (hours ≤ 1e5 and counts ≤ 1e12 at 100 TB keep the product < 2⁶³).
+    One hourly pre-aggregation (map-side combinable) collapses the fact
+    table to |types|·|hours| rows before the two windows, which share
+    one hash exchange on event_type; the argmax is a row_number, not a
+    self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("y").alias("total")
+    )
+    wcum = W.partitionBy("event_type").orderBy("h")
+    walked = hourly.join(stats, "event_type").select(
+        "event_type",
+        "h",
+        "n_hours",
+        "total",
+        (
+            F.col("n_hours")
+            * F.sum("y").over(wcum.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - F.row_number().over(wcum) * F.col("total")
+        ).alias("s_scaled"),
+    )
+    wbest = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("h")
+    )
+    return (
+        walked.withColumn("rnk", F.row_number().over(wbest))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("h").alias("change_hour"),
+            "s_scaled",
+            "n_hours",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_histogram_drift — binned distribution drift between time halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+
+@query(
+    "events_histogram_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS us,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    bounds AS (
+      SELECT event_type, min(us) AS lo_us, max(us) AS hi_us,
+             min(cents) AS lo_c, max(cents) AS hi_c
+      FROM base GROUP BY event_type),
+    binned AS (
+      SELECT b.event_type,
+        CASE WHEN bo.hi_c = bo.lo_c THEN 0
+             ELSE least({_DRIFT_BINS - 1},
+                        ((b.cents - bo.lo_c) * {_DRIFT_BINS})
+                          // (bo.hi_c - bo.lo_c)) END AS bin,
+        CASE WHEN b.us <= (bo.lo_us + bo.hi_us) // 2 THEN 1 ELSE 0 END
+          AS is_first
+      FROM base b JOIN bounds bo USING (event_type)),
+    counts AS (
+      SELECT event_type, bin,
+        CAST(sum(is_first) AS BIGINT) AS n_first,
+        CAST(sum(1 - is_first) AS BIGINT) AS n_second
+      FROM binned GROUP BY event_type, bin),
+    frame AS (
+      SELECT bo.event_type, f.bin
+      FROM bounds bo, (SELECT unnest(range({_DRIFT_BINS})) AS bin) f),
+    filled AS (
+      SELECT fr.event_type, fr.bin,
+        coalesce(c.n_first, 0) AS n_first,
+        coalesce(c.n_second, 0) AS n_second
+      FROM frame fr LEFT JOIN counts c
+        ON fr.event_type = c.event_type AND fr.bin = c.bin),
+    tot AS (
+      SELECT event_type, CAST(sum(n_first) AS BIGINT) AS na_tot,
+             CAST(sum(n_second) AS BIGINT) AS nb_tot
+      FROM filled GROUP BY event_type)
+    SELECT f.event_type, f.bin, f.n_first, f.n_second,
+      CAST(f.n_first AS DOUBLE) / t.na_tot AS frac_first,
+      CAST(f.n_second AS DOUBLE) / t.nb_tot AS frac_second,
+      CASE WHEN f.n_first + f.n_second = 0 THEN 0.0
+           ELSE (CAST(f.n_first * t.nb_tot - f.n_second * t.na_tot
+                      AS DOUBLE)
+                 * CAST(f.n_first * t.nb_tot - f.n_second * t.na_tot
+                        AS DOUBLE))
+                / CAST(t.na_tot * t.nb_tot
+                       * (f.n_first * t.nb_tot + f.n_second * t.na_tot)
+                       AS DOUBLE) END AS drift_contrib
+    FROM filled f JOIN tot t USING (event_type)
+    """,
+    tags=("stats", "B7", "drift", "monitoring"),
+)
+def events_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift per event type between the first and
+    second half of the stream's time range — the data-quality monitor
+    that catches 'the metric changed shape' before dashboards do. Per
+    (type, bin): both halves' counts, their exact fractions, and the
+    chi-square-style per-bin divergence (pₐ−p_b)²/(pₐ+p_b), the log-free
+    member of the PSI/Jeffreys family (same zeros, same ranking; no
+    transcendental whose last ulp could differ between engines).
+
+    Everything before the final per-bin casts is integer: cents-scaled
+    values, integer bin arithmetic ((c−lo)·B DIV (hi−lo), clamped),
+    µs-midpoint half split, and the cross-multiplied divergence
+    numerator n_a·N_B − n_b·N_A. One scan builds the per-type bounds
+    (agg, broadcast back), a second bins and counts — |types|·|bins|
+    rows thereafter. The bin frame (types × 0..B−1) guarantees empty
+    bins appear with zero counts in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    bounds = base.groupBy("event_type").agg(
+        F.min("us").alias("lo_us"),
+        F.max("us").alias("hi_us"),
+        F.min("cents").alias("lo_c"),
+        F.max("cents").alias("hi_c"),
+    )
+    binned = base.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.when(F.col("hi_c") == F.col("lo_c"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_DRIFT_BINS - 1),
+                F.expr(
+                    f"((cents - lo_c) * {_DRIFT_BINS}) DIV (hi_c - lo_c)"
+                ),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+        F.when(
+            F.col("us") <= F.expr("(lo_us + hi_us) DIV 2"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_first"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_first").alias("n_first"),
+        F.sum(1 - F.col("is_first")).alias("n_second"),
+    )
+    frame = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(_DRIFT_BINS - 1))).alias("_bin"),
+    ).select("event_type", F.col("_bin").cast("long").alias("bin"))
+    filled = frame.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.coalesce("n_second", F.lit(0)).alias("n_second"),
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("n_first").alias("na_tot"), F.sum("n_second").alias("nb_tot")
+    )
+    d = F.col("n_first") * F.col("nb_tot") - F.col("n_second") * F.col("na_tot")
+    den = F.col("na_tot") * F.col("nb_tot") * (
+        F.col("n_first") * F.col("nb_tot")
+        + F.col("n_second") * F.col("na_tot")
+    )
+    return filled.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bin",
+        "n_first",
+        "n_second",
+        (F.col("n_first").cast("double") / F.col("na_tot")).alias("frac_first"),
+        (F.col("n_second").cast("double") / F.col("nb_tot")).alias(
+            "frac_second"
+        ),
+        F.when(F.col("n_first") + F.col("n_second") == 0, F.lit(0.0))
+        .otherwise(
+            (d.cast("double") * d.cast("double")) / den.cast("double")
+        )
+        .alias("drift_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_pattern_sessions — regex sequence matching (MATCH_RECOGNIZE-ish)
+# ---------------------------------------------------------------------------
+
+_PAT_CONVERT = "v.*c.*p"  # view … click … purchase, in order
+_PAT_ERRBURST = "ee"  # two consecutive errors
+
+
+@query(
+    "events_pattern_journeys",
+    oracle=f"""
+    WITH paths AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        CAST(count(*) AS BIGINT) AS n_events,
+        string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+          AS path
+      FROM events GROUP BY user_id, CAST(ts AS DATE))
+    SELECT user_id, day, n_events, path,
+      regexp_matches(path, '{_PAT_CONVERT}') AS converted,
+      regexp_matches(path, '{_PAT_ERRBURST}') AS error_burst
+    FROM paths
+    """,
+    tags=("window", "B9", "pattern", "match_recognize"),
+)
+def events_pattern_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-sequence PATTERN MATCHING per daily user journey — the
+    engine's MATCH_RECOGNIZE surrogate (SQL:2016 row pattern
+    recognition; Spark has no native operator). Each (user, day)
+    journey is rendered as an ordered symbol string (event-type
+    initials — distinct across the 5 types) and matched against
+    declared regexes: conversion ('v.*c.*p': view→click→purchase with
+    anything between) and error-burst ('ee': consecutive errors).
+    Symbols-as-string turns arbitrary quantified sequence patterns into
+    one regex evaluation per journey — exactly how production
+    funnel/alerting rules are declared. (Day, not the 30-min session,
+    is the declared window: on this fixture sessions are 1-3 events
+    while days run to ~10, which is what gives the patterns power; the
+    same plan works over any journey key.)
+
+    Both engines run RE2-compatible patterns (no backrefs), so match
+    semantics agree. Scale shape: ONE hash exchange on (user, day)
+    builds the ordered path via array_sort over (ts, event_id, sym)
+    structs — no window pass at all — and the regex test is a
+    codegen'd row-local predicate over |journeys| rows. Journey length
+    is bounded by a day's events; at 100 TB, cap symbols per journey
+    before the agg if users can run unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("sym"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("path"),
+        )
+    )
+    return paths.select(
+        "user_id",
+        F.col("d").cast("timestamp").alias("day"),
+        "n_events",
+        "path",
+        F.col("path").rlike(_PAT_CONVERT).alias("converted"),
+        F.col("path").rlike(_PAT_ERRBURST).alias("error_burst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — k-core decomposition by iterative peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_MIN_ORDERS = 3
+_KCORE_ROUNDS = 8
+
+
+def _sql_kcore_oracle() -> str:
+    chain = f"""
+    e0 AS MATERIALIZED (
+      SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT o.o_orderkey) >= {_KCORE_MIN_ORDERS})"""
+    for i in range(_KCORE_ROUNDS):
+        chain += f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+      GROUP BY node),
+    k{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i} e
+        JOIN k{i} x ON e.a = x.node
+        JOIN k{i} y ON e.b = y.node)"""
+    r = _KCORE_ROUNDS
+    return f"""
+    WITH {chain}
+    SELECT node,
+      CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      CAST(node // 2 AS BIGINT) AS entity_key,
+      CAST(deg AS BIGINT) AS core_deg
+    FROM (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+      GROUP BY node)
+    """
+
+
+@query(
+    "graph_kcore",
+    oracle=_sql_kcore_oracle(),
+    tags=("graph", "B6", "B7", "kcore", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the repeat-business graph (customer and
+    supplier adjacent when they share >=3 distinct orders): iteratively
+    peel every node with degree < 3 until the remainder is stable —
+    the standard 'dense engaged core' extractor (Seidman 1983) next to
+    PageRank's centrality and the triangle counts' local clustering.
+
+    Batch-synchronous peeling, the canonical distributed formulation:
+    each round is one degree aggregation (node-sized) plus one
+    semi-join of edges against surviving nodes — never anything bigger
+    than the CURRENT edge set, which only shrinks. 8 rounds unrolled
+    (fixpoint at round 6 on the sf0.01 fixture — asserted in tests;
+    rounds scale O(log) in practice, and a driver loop with a
+    convergence count per round is the production form). Edges
+    localCheckpoint per round to truncate lineage — the dedup_clusters
+    device; everything is integer equi-joins, so the whole iteration
+    replays in SQL CTE rounds."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("_n"))
+        .filter(F.col("_n") >= _KCORE_MIN_ORDERS)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        F.expr("node DIV 2").alias("entity_key"),
+        F.col("deg").cast("long").alias("core_deg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_bm25_topk — BM25 relevance scoring with exact rational arithmetic
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash", "scan")
+_BM25_TOPK = 50
+# k1 = 1.2 and b = 0.75 (the universal BM25 defaults) enter the formula
+# as exact rationals: multiplying numerator and denominator of the
+# saturation term through by 10·Σdl (avgdl = Σdl/N) gives
+#   sat = 22·tf·Σdl / (10·tf·Σdl + 3·Σdl + 9·dl·N)
+# — all int64 (Σdl ≤ 1e13 tokens and tf ≤ 1e3 keep products < 2⁶³).
+
+
+def _sql_bm25_oracle() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    score_cols = ", ".join(
+        f"""max(CASE WHEN term = '{t}' THEN score END) AS s_{t}"""
+        for t in _BM25_TERMS
+    )
+    total = " + ".join(f"coalesce(s_{t}, 0.0)" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE length(text) > 0),
+    tf0 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tf0 GROUP BY doc_id),
+    corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, word AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM tf0 WHERE word IN ({terms_list}) GROUP BY doc_id, word),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+        (CAST(2 * c.n_docs - 2 * df.df + 1 AS DOUBLE)
+           / (2 * df.df + 1))
+        * (CAST(22 * tf.tf * c.sum_dl AS DOUBLE)
+           / (10 * tf.tf * c.sum_dl + 3 * c.sum_dl + 9 * dl.dl * c.n_docs))
+          AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus c),
+    pivoted AS (
+      SELECT doc_id, {score_cols} FROM scored GROUP BY doc_id),
+    totaled AS (
+      SELECT p.doc_id, dl.dl, {total} AS score,
+        {", ".join(f"coalesce(s_{t}, 0.0) AS s_{t}" for t in _BM25_TERMS)}
+      FROM pivoted p JOIN dl ON p.doc_id = dl.doc_id),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM totaled)
+    SELECT doc_id, dl, score, {", ".join("s_" + t for t in _BM25_TERMS)}, rnk
+    FROM ranked WHERE rnk <= {_BM25_TOPK}
+    """
+
+
+@query(
+    "docs_bm25_topk",
+    oracle=_sql_bm25_oracle(),
+    tags=("text", "B15", "retrieval", "bm25"),
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 document retrieval for the declared query terms
+    ('join', 'hash', 'scan') — the lexical-retrieval baseline every RAG/dedup pipeline
+    keeps next to its embedding index. Genuine BM25 saturation shape
+    (k1 = 1.2, b = 0.75, length-normalized tf), with the one libm-bound
+    piece replaced by its exact-rational core: idf is Robertson's
+    (N − df + ½)/(df + ½) WITHOUT the log (an engine-specific log()
+    could differ in the last ulp and break the value hash — the same
+    declared trade as docs_tfidf_topterms), and the saturation term is
+    cleared of fractions so both factors are single IEEE divisions of
+    exact int64s; their product and the fixed-order 3-term sum are the
+    only float ops.
+
+    Scale shape: tokenization filters to the query terms BEFORE any
+    aggregation (tf is |docs containing a term| rows, not |tokens|);
+    dl/Σdl/N come from one map-side-combinable pass; per-term scores
+    pivot to columns (fixed summation order — float sums across rows
+    are never reassociated); top-k is a TakeOrdered merge, not a global
+    sort. At 100 TB the only corpus-sized shuffle is the dl
+    aggregation; everything after is |matching docs|."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("word").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    (2 * F.col("n_docs") - 2 * F.col("df") + 1).cast("double")
+                    / (2 * F.col("df") + 1)
+                )
+                * (
+                    (22 * F.col("tf") * F.col("sum_dl")).cast("double")
+                    / (
+                        10 * F.col("tf") * F.col("sum_dl")
+                        + 3 * F.col("sum_dl")
+                        + 9 * F.col("dl") * F.col("n_docs")
+                    )
+                )
+            ).alias("score"),
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("score"))).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    total = None
+    for t in _BM25_TERMS:
+        c = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        total = c if total is None else total + c
+    totaled = pivoted.join(dl, "doc_id").select(
+        "doc_id",
+        "dl",
+        total.alias("score"),
+        *[
+            F.coalesce(F.col(f"s_{t}"), F.lit(0.0)).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    wr = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        totaled.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= _BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_energy — framed audio-energy extraction (fake decode)
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 256
+_FRAME_HOP = 128
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0),
+    frames AS (
+      SELECT doc_id, text, n, unnest(range((n - 1) // {_FRAME_HOP} + 1))
+        AS frame_idx
+      FROM src),
+    pos AS (
+      SELECT doc_id, frame_idx,
+        frame_idx * {_FRAME_HOP} + unnest(range(1, {_FRAME_BYTES} + 1))
+          AS p,
+        text, n
+      FROM frames),
+    samples AS (
+      SELECT doc_id, frame_idx,
+        CAST(unicode(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT) AS s
+      FROM pos WHERE p <= n)
+    SELECT doc_id, frame_idx,
+      CAST(count(*) AS BIGINT) AS n_frame_bytes,
+      CAST(sum(s * s) AS BIGINT) AS energy,
+      sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+    FROM samples GROUP BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "B15", "audio", "mapInPandas"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style framed energy extraction over the opaque binary
+    payload: 50%-overlapped 256-byte frames (hop 128), per-frame
+    sample count, integer energy Σs², and RMS — the exact windowing /
+    hop / reduce shape of a real PCM feature extractor (spectral
+    pipelines differ only in the per-frame kernel), run on the
+    deterministic byte stand-in since no audio codec ships in this
+    container (documents are pure ASCII, so byte == codepoint and the
+    oracle replays the identical samples; real decode would slot into
+    the same kernel behind the NotImplementedError gate in
+    operators/multimodal.py).
+
+    Arrow-batched ``mapInPandas`` with a numpy strided-window kernel
+    (np.add.reduceat over the squared byte array — one pass per
+    payload, no per-sample Python). The kernel is a CLOSURE, pickled by
+    value, so workers need no package import. Energy is int64 (255²·256
+    per frame ≪ 2⁶³); RMS is one IEEE division + one sqrt, both
+    correctly rounded, from exact integers. Frames explode rows ~n/hop
+    per doc — partition-preserving, no shuffle at all."""
+    from ..operators.multimodal import attach_fake_binary
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    bins = attach_fake_binary(docs).select("doc_id", "payload")
+
+    frame_bytes, hop = _FRAME_BYTES, _FRAME_HOP
+
+    def _energy(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_e = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(s)
+                sq = s * s
+                n_frames = (n - 1) // hop + 1
+                starts = np.arange(n_frames) * hop
+                ends = np.minimum(starts + frame_bytes, n)
+                csum = np.concatenate(([0], np.cumsum(sq)))
+                out_doc.extend([doc_id] * n_frames)
+                out_idx.extend(range(n_frames))
+                out_n.extend((ends - starts).tolist())
+                out_e.extend((csum[ends] - csum[starts]).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "n_frame_bytes": pd.Series(out_n, dtype="int64"),
+                    "energy": pd.Series(out_e, dtype="int64"),
+                }
+            )
+
+    framed = bins.mapInPandas(
+        _energy,
+        schema="doc_id long, frame_idx long, n_frame_bytes long, energy long",
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        "n_frame_bytes",
+        "energy",
+        F.sqrt(
+            F.col("energy").cast("double") / F.col("n_frame_bytes")
+        ).alias("rms"),
+    )

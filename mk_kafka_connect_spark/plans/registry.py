@@ -145,7 +145,15 @@ DRIVER_WINDOW = 50
 
 # Queries ADDED during round 10 — extended as each lands; they join the
 # front immediately behind the r9 additions.
-R10_ADDITIONS: tuple[str, ...] = ()
+R10_ADDITIONS: tuple[str, ...] = (
+    "events_rolling_distinct_users",
+    "events_cusum_changepoint",
+    "events_histogram_drift",
+    "events_pattern_journeys",
+    "graph_kcore",
+    "docs_bm25_topk",
+    "multimodal_audio_energy",
+)
 
 # Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,
 # so every query registered before r9 now has >=1 green driver row ever

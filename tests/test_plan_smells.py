@@ -57,6 +57,7 @@ ALLOWED = {
     "sim_nearest_centroid": "K-row centroid broadcast (K = |labels|)",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
+    "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",
 }
 
 _BATCH = [

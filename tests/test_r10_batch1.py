@@ -1,0 +1,126 @@
+"""Semantic contracts for the round-10 analysis operators — properties
+the oracle comparison alone can't express (convergence, monotonicity,
+independent recomputation)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_kcore_output_is_a_fixpoint(spark):
+    # The k-core property IS the convergence proof: the reported degrees
+    # are the induced degrees after the final peel, so min(deg) >= k
+    # means one more round would remove nothing — the 8 unrolled rounds
+    # reached the fixpoint on this fixture.
+    rows = QUERIES["graph_kcore"].fn(spark, SF).collect()
+    assert rows, "3-core empty at sf0.01 (fixture should retain ~164 nodes)"
+    assert min(r.core_deg for r in rows) >= 3
+    kinds = {r.kind for r in rows}
+    assert kinds == {"customer", "supplier"}, "bipartite core lost a side"
+    # Bipartite id packing must be reversible.
+    for r in rows[:10]:
+        assert r.node == r.entity_key * 2 + (0 if r.kind == "customer" else 1)
+
+
+def test_cusum_one_row_per_type_and_bounds(spark):
+    rows = QUERIES["events_cusum_changepoint"].fn(spark, SF).collect()
+    types = [r.event_type for r in rows]
+    assert len(types) == len(set(types)) == 5
+    for r in rows:
+        # |n·cum − k·total| is bounded by n·total.
+        assert abs(r.s_scaled) <= r.n_hours * r.total
+        assert r.n_hours > 0 and r.total > 0
+
+
+def test_rolling_distinct_window_dominates_day(spark):
+    rows = QUERIES["events_rolling_distinct_users"].fn(spark, SF).collect()
+    by_day = {r.day: r for r in rows}
+    days = sorted(by_day)
+    for r in rows:
+        assert r.users_7d >= r.users_1d > 0
+    # The first day has no history: its window equals its day count.
+    first = by_day[days[0]]
+    assert first.users_7d == first.users_1d
+    # 30-day fixture -> 30 daily rows.
+    assert len(rows) == len(days)
+
+
+def test_pattern_journeys_flags_agree_with_re(spark):
+    rows = QUERIES["events_pattern_journeys"].fn(spark, SF).collect()
+    assert rows
+    syms = set("cepsv")  # click error purchase signup view
+    n_conv = 0
+    for r in rows:
+        assert set(r.path) <= syms
+        assert len(r.path) == r.n_events
+        assert r.converted == bool(re.search("v.*c.*p", r.path))
+        assert r.error_burst == bool(re.search("ee", r.path))
+        n_conv += int(r.converted)
+    assert 0 < n_conv < len(rows), "pattern should split the journeys"
+
+
+def test_histogram_drift_counts_and_fractions(spark):
+    rows = QUERIES["events_histogram_drift"].fn(spark, SF).collect()
+    assert len(rows) == 5 * 10  # types x bins, empty bins included
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        assert sorted(r.bin for r in rs) == list(range(10))
+        assert abs(sum(r.frac_first for r in rs) - 1.0) < 1e-9
+        assert abs(sum(r.frac_second for r in rs) - 1.0) < 1e-9
+        for r in rs:
+            assert r.drift_contrib >= 0.0
+
+
+def test_bm25_ranking_is_consistent(spark):
+    rows = QUERIES["docs_bm25_topk"].fn(spark, SF).collect()
+    assert len(rows) == 50
+    assert [r.rnk for r in sorted(rows, key=lambda r: r.rnk)] == list(
+        range(1, 51)
+    )
+    ordered = sorted(rows, key=lambda r: r.rnk)
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a.score, -a.doc_id) >= (b.score, -b.doc_id)
+    for r in rows:
+        assert r.score == r.s_join + r.s_hash + r.s_scan
+        assert min(r.s_join, r.s_hash, r.s_scan) >= 0.0
+
+
+def test_audio_energy_matches_numpy_recompute(spark):
+    import duckdb
+
+    out = (
+        QUERIES["multimodal_audio_energy"]
+        .fn(spark, SF)
+        .filter("doc_id < 20")
+        .collect()
+    )
+    texts = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+            "WHERE doc_id < 20 AND length(text) > 0"
+        )
+        .fetchall()
+    )
+    got = {(r.doc_id, r.frame_idx): r for r in out}
+    for doc_id, text in texts.items():
+        s = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        n = len(s)
+        n_frames = (n - 1) // 128 + 1
+        for f in range(n_frames):
+            seg = s[f * 128 : f * 128 + 256]
+            r = got.pop((doc_id, f))
+            assert r.n_frame_bytes == len(seg)
+            assert r.energy == int((seg * seg).sum())
+            assert r.rms == float(
+                np.sqrt(float((seg * seg).sum()) / len(seg))
+            )
+    assert not got, "extra frames beyond the recomputed set"
