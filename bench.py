@@ -133,6 +133,11 @@ HEADLINE = [
     "graph_kcore",
     "docs_bm25_topk",
     "multimodal_audio_energy",
+    "join_asof_tolerance",
+    "scalar_url_funcs",
+    "orders_interpurchase_hazard",
+    "multimodal_shot_boundaries",
+    "docs_dataset_card",
 ]
 
 

@@ -48,6 +48,7 @@ def asof_join(
     right_payload: Sequence[str] | None = None,
     how: str = "inner",
     direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Join each left row to the most recent right row at or before its
     timestamp (``direction="backward"``), the earliest at or after
@@ -58,7 +59,11 @@ def asof_join(
     ``right_payload``: right columns to carry (default: all non-key,
     non-ts). ``how``: 'inner' drops left rows with no match in the
     chosen direction; 'left' keeps them with null payload.
-    """
+    ``tolerance_s``: pandas merge_asof ``tolerance`` — a match further
+    than this many seconds from the left timestamp is discarded (the
+    row then drops under 'inner' / nulls under 'left'). Applied as a
+    row-local post-predicate on the filled match, so it adds zero
+    shuffles."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unsupported direction={direction!r}")
     on = list(on)
@@ -88,6 +93,17 @@ def asof_join(
     )
 
     unioned = l_tag.unionByName(r_tag)
+    # Timestamp-to-scalar key for gap arithmetic (nearest + tolerance).
+    # The two sides may disagree on timestamp vs timestamp_ntz (the
+    # fixture's orders are naive); session tz is UTC, so casting both
+    # through TIMESTAMP yields the same exact-microsecond key.
+    _ts_dt = left.schema[left_ts].dataType.simpleString()
+    _as_key = (
+        (lambda c: F.unix_micros(c.cast("timestamp")))
+        if _ts_dt.startswith("timestamp")
+        else (lambda c: c.cast("double"))
+    )
+    _key_scale = 1_000_000 if _ts_dt.startswith("timestamp") else 1
     # Backward: right(side 0) sorts before left(1) at equal ts, so the
     # <=-tie right row is inside the preceding frame. Forward mirrors it:
     # left must sort before the co-timestamped right row, so the >=-tie
@@ -113,15 +129,7 @@ def asof_join(
     else:  # nearest: both fills share the one key exchange (two Window
         # nodes over the same partitioning, each with its own in-partition
         # sort), then pick the smaller absolute gap; ties -> backward.
-        ts_dt = left.schema[left_ts].dataType.simpleString()
-        # The two sides may disagree on timestamp vs timestamp_ntz (the
-        # fixture's orders are naive); session tz is UTC, so casting both
-        # through TIMESTAMP yields the same exact-microsecond key.
-        as_key = (
-            (lambda c: F.unix_micros(c.cast("timestamp")))
-            if ts_dt.startswith("timestamp")
-            else (lambda c: c.cast("double"))
-        )
+        as_key = _as_key
         both = unioned.withColumn(
             "_asof_b", F.last("_asof_right", ignorenulls=True).over(wb)
         ).withColumn("_asof_f", F.first("_asof_right", ignorenulls=True).over(wf))
@@ -133,6 +141,14 @@ def asof_join(
             .when(F.col("_asof_b").isNull(), F.col("_asof_f"))
             .when(gap_b <= gap_f, F.col("_asof_b"))
             .otherwise(F.col("_asof_f")),
+        )
+    if tolerance_s is not None:
+        gap = F.abs(
+            _as_key(F.col("_asof_ts")) - _as_key(F.col(f"_asof_match.{right_ts}"))
+        )
+        filled = filled.withColumn(
+            "_asof_match",
+            F.when(gap <= F.lit(tolerance_s * _key_scale), F.col("_asof_match")),
         )
     out = filled.filter(F.col("_asof_side") == 1).select(
         *[F.col(f"_asof_left.{c}").alias(c) for c in left.columns],

@@ -647,6 +647,45 @@ _FRAME_BYTES = 256
 _FRAME_HOP = 128
 
 
+def _framed_energy(bins, frame_bytes: int, hop: int):
+    """Shared Arrow kernel: (doc_id, payload) -> per-frame byte-energy
+    rows. One numpy pass per payload (squared bytes, cumsum, reduce by
+    frame bounds); the closure is pickled by value so workers need no
+    package import."""
+
+    def _energy(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_e = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(s)
+                sq = s * s
+                n_frames = (n - 1) // hop + 1
+                starts = np.arange(n_frames) * hop
+                ends = np.minimum(starts + frame_bytes, n)
+                csum = np.concatenate(([0], np.cumsum(sq)))
+                out_doc.extend([doc_id] * n_frames)
+                out_idx.extend(range(n_frames))
+                out_n.extend((ends - starts).tolist())
+                out_e.extend((csum[ends] - csum[starts]).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "n_frame_bytes": pd.Series(out_n, dtype="int64"),
+                    "energy": pd.Series(out_e, dtype="int64"),
+                }
+            )
+
+    return bins.mapInPandas(
+        _energy,
+        schema="doc_id long, frame_idx long, n_frame_bytes long, energy long",
+    )
+
+
 @query(
     "multimodal_audio_energy",
     oracle=f"""
@@ -699,39 +738,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     bins = attach_fake_binary(docs).select("doc_id", "payload")
 
-    frame_bytes, hop = _FRAME_BYTES, _FRAME_HOP
-
-    def _energy(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            out_doc, out_idx, out_n, out_e = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                s = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                n = len(s)
-                sq = s * s
-                n_frames = (n - 1) // hop + 1
-                starts = np.arange(n_frames) * hop
-                ends = np.minimum(starts + frame_bytes, n)
-                csum = np.concatenate(([0], np.cumsum(sq)))
-                out_doc.extend([doc_id] * n_frames)
-                out_idx.extend(range(n_frames))
-                out_n.extend((ends - starts).tolist())
-                out_e.extend((csum[ends] - csum[starts]).tolist())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "frame_idx": pd.Series(out_idx, dtype="int64"),
-                    "n_frame_bytes": pd.Series(out_n, dtype="int64"),
-                    "energy": pd.Series(out_e, dtype="int64"),
-                }
-            )
-
-    framed = bins.mapInPandas(
-        _energy,
-        schema="doc_id long, frame_idx long, n_frame_bytes long, energy long",
-    )
+    framed = _framed_energy(bins, _FRAME_BYTES, _FRAME_HOP)
     return framed.select(
         "doc_id",
         "frame_idx",
@@ -740,4 +747,245 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(
             F.col("energy").cast("double") / F.col("n_frame_bytes")
         ).alias("rms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_interpurchase_hazard — discrete-time survival/hazard table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_interpurchase_hazard",
+    oracle="""
+    WITH od AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    gaps AS (
+      SELECT date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate),
+               o_orderdate) AS gap
+      FROM od),
+    d AS (SELECT CAST(gap AS BIGINT) AS k, CAST(count(*) AS BIGINT)
+            AS n_events
+          FROM gaps WHERE gap IS NOT NULL GROUP BY gap)
+    SELECT k, n_events,
+      CAST(sum(n_events) OVER (ORDER BY k DESC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS n_at_risk,
+      CAST(n_events AS DOUBLE)
+        / sum(n_events) OVER (ORDER BY k DESC ROWS UNBOUNDED PRECEDING)
+        AS hazard
+    FROM d
+    """,
+    tags=("stats", "B7", "B9", "survival"),
+)
+def orders_interpurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard table of inter-purchase gaps: for each gap
+    length k (days between a customer's consecutive order dates), how
+    many gaps ended at exactly k (events) out of those lasting at least
+    k (at-risk set), and the hazard d(k)/n(k) — the life-table estimator
+    (the Kaplan-Meier complement without the cross-row float product,
+    which would be order-dependent; survival curves reconstruct from
+    hazards downstream if wanted). This is how retention teams read
+    'when do customers come back'.
+
+    Shape: one distinct reduction, one lag window per customer (same
+    single hash exchange), then everything collapses to |distinct gap
+    lengths| rows — bounded by the date domain (~thousands), so the
+    final suffix-sum window over the unpartitioned k-table is a
+    deliberately tiny single-partition pass, same class as the other
+    k-sized leaderboards. All integers; hazard is the one IEEE division
+    of exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select("o_custkey", "o_orderdate").distinct()
+    wl = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = od.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(wl)
+        ).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    d = gaps.groupBy(F.col("gap").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    wk = W.orderBy(F.desc("k")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return d.select(
+        "k",
+        "n_events",
+        F.sum("n_events").over(wk).alias("n_at_risk"),
+        (
+            F.col("n_events").cast("double") / F.sum("n_events").over(wk)
+        ).alias("hazard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_shot_boundaries — frame-difference temporal segmentation
+# ---------------------------------------------------------------------------
+
+_SHOT_FRAME = 128  # non-overlapping frames: hop == size
+
+
+@query(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE length(text) > 0),
+    frames AS (
+      SELECT doc_id, text, n,
+        unnest(range((n - 1) // {_SHOT_FRAME} + 1)) AS frame_idx
+      FROM src),
+    pos AS (
+      SELECT doc_id, frame_idx,
+        frame_idx * {_SHOT_FRAME} + unnest(range(1, {_SHOT_FRAME} + 1)) AS p,
+        text, n
+      FROM frames),
+    energies AS (
+      SELECT doc_id, frame_idx,
+        CAST(sum(CAST(unicode(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT)
+                 * unicode(substr(text, CAST(p AS INTEGER), 1))) AS BIGINT)
+          AS e
+      FROM pos WHERE p <= n GROUP BY doc_id, frame_idx),
+    flagged AS (
+      SELECT doc_id, frame_idx, e,
+        lag(e) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pe
+      FROM energies),
+    marks AS (
+      SELECT doc_id, frame_idx,
+        CASE WHEN pe IS NULL THEN 0
+             WHEN pe = 0 THEN CASE WHEN e > 0 THEN 1 ELSE 0 END
+             WHEN 10 * abs(e - pe) > 3 * pe THEN 1 ELSE 0 END AS is_cut
+      FROM flagged)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      CAST(1 + sum(is_cut) AS BIGINT) AS n_shots,
+      min(CASE WHEN is_cut = 1 THEN frame_idx END) AS first_cut
+    FROM marks GROUP BY doc_id
+    """,
+    tags=("multimodal", "B15", "video", "segmentation"),
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the opaque payload: non-overlapping
+    128-byte frames, per-frame energy, and a cut wherever successive
+    energies differ by more than 30% (10·|Δ| > 3·e_prev — integer
+    inequality, no float threshold) — the frame-difference temporal
+    segmentation every video pipeline runs before keyframe extraction,
+    on the deterministic byte stand-in (a real decoder would feed pixel
+    histograms into the same lag-compare shape).
+
+    Composes the shared ``_framed_energy`` Arrow kernel (one
+    mapInPandas pass, partition-preserving) with one per-doc lag window
+    and a per-doc aggregate: |frames| rows shuffle once on doc_id.
+    Output is per-document: frame count, shot count, first cut index
+    (null when a document is a single shot)."""
+    from ..operators.multimodal import attach_fake_binary
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    bins = attach_fake_binary(docs).select("doc_id", "payload")
+    framed = _framed_energy(bins, _SHOT_FRAME, _SHOT_FRAME)
+    wlag = W.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = framed.select(
+        "doc_id",
+        "frame_idx",
+        F.col("energy").alias("e"),
+        F.lag("energy").over(wlag).alias("pe"),
+    )
+    marks = flagged.select(
+        "doc_id",
+        "frame_idx",
+        F.when(F.col("pe").isNull(), F.lit(0))
+        .when(
+            F.col("pe") == 0,
+            F.when(F.col("e") > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .when(
+            10 * F.abs(F.col("e") - F.col("pe")) > 3 * F.col("pe"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_cut"),
+    )
+    return marks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        (1 + F.sum("is_cut")).alias("n_shots"),
+        F.min(
+            F.when(F.col("is_cut") == 1, F.col("frame_idx"))
+        ).alias("first_cut"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_dataset_card — per-(source, lang) corpus summary card
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_dataset_card",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang, n_chars,
+        CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+             AS BIGINT) AS n_tokens
+      FROM documents),
+    per AS (
+      SELECT source, lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source, lang),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS all_docs,
+             CAST(sum(total_tokens) AS BIGINT) AS all_tokens
+      FROM per)
+    SELECT source, lang, n_docs, total_chars, total_tokens,
+      CAST(total_tokens AS DOUBLE) / n_docs AS avg_doc_tokens,
+      CAST(n_docs AS DOUBLE) / all_docs AS share_docs,
+      CAST(total_tokens AS DOUBLE) / all_tokens AS share_tokens
+    FROM per, tot
+    """,
+    tags=("text", "B15", "corpus-stats", "dataset-card"),
+)
+def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per (source, language) — document count, total
+    characters, total whitespace tokens, average document length, and
+    each stratum's share of the corpus by documents and by tokens. The
+    one-relation summary a training-data release publishes (and the
+    input the mixture/sampling operators consume as weights upstream).
+
+    One corpus scan computes per-doc token counts as a codegen'd
+    size(filter(split)) — no explode, no shuffle of token rows — then
+    one |strata|-sized aggregation; corpus totals are a 1-row broadcast
+    (allowlisted scalar-denominator pattern). Every share is one IEEE
+    division of exact int64 aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    per = toks.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("all_docs"),
+        F.sum("total_tokens").alias("all_tokens"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "avg_doc_tokens"
+        ),
+        (F.col("n_docs").cast("double") / F.col("all_docs")).alias(
+            "share_docs"
+        ),
+        (F.col("total_tokens").cast("double") / F.col("all_tokens")).alias(
+            "share_tokens"
+        ),
     )

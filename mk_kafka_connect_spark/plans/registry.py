@@ -153,6 +153,11 @@ R10_ADDITIONS: tuple[str, ...] = (
     "graph_kcore",
     "docs_bm25_topk",
     "multimodal_audio_energy",
+    "join_asof_tolerance",
+    "scalar_url_funcs",
+    "orders_interpurchase_hazard",
+    "multimodal_shot_boundaries",
+    "docs_dataset_card",
 )
 
 # Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,

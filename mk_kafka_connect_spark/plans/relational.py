@@ -456,6 +456,52 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    # Tolerance on a backward ASOF is a post-predicate on the matched
+    # gap: DuckDB finds the latest at-or-before match, then the WHERE
+    # drops pairs further apart than the 1-hour budget — identical to
+    # pandas merge_asof(tolerance=...) inner semantics.
+    oracle="""
+    SELECT * FROM (
+      SELECT p.event_id, p.user_id, p.ts, v.view_id, v.view_ts
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF JOIN (
+          SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+      ) v ON p.user_id = v.user_id AND p.ts >= v.view_ts)
+    WHERE date_diff('microsecond', view_ts, ts) <= CAST(3600 AS BIGINT) * 1000000
+    """,
+    tags=("join", "B6", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE budget (pandas merge_asof
+    ``tolerance``): each purchase matched to the user's latest view
+    at-or-before it, but only if that view happened within the last
+    hour — stale matches are dropped, the semantics attribution
+    pipelines actually want ('credit the view only if it plausibly led
+    here'). Same one-shuffle union+window operator; the tolerance is a
+    row-local predicate on the filled match
+    (``operators/asof.py::asof_join(tolerance_s=...)``) — zero extra
+    shuffles, zero extra scans."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="view_ts",
+        right_payload=["view_id"], how="inner", tolerance_s=3600,
+    ).select("event_id", "user_id", "ts", "view_id", "view_ts")
+
+
+@query(
     "join_asof_nearest",
     # No native NEAREST in DuckDB: take the per-event max(<=) and min(>=)
     # candidate timestamps via grouped theta joins (oracle tier), pick the

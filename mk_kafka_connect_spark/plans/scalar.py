@@ -338,3 +338,54 @@ def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+
+
+@query(
+    "scalar_url_funcs",
+    # The URL is CONSTRUCTED from fixture columns, so the oracle derives
+    # every component from the same inputs directly — ground truth by
+    # construction, no second URL parser whose edge cases could differ.
+    oracle="""
+    SELECT doc_id,
+      'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+        || '?lang=' || lang || '&ref=mk#sec-'
+        || CAST(doc_id % 7 AS VARCHAR) AS url,
+      'https' AS protocol,
+      source || '.example.com' AS host,
+      '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+      'lang=' || lang || '&ref=mk' AS query,
+      lang AS query_lang,
+      'sec-' || CAST(doc_id % 7 AS VARCHAR) AS fragment
+    FROM documents
+    """,
+    tags=("scalar", "B12", "url"),
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery (``parse_url``: PROTOCOL / HOST / PATH /
+    QUERY / per-key QUERY / REF) — the web-corpus cousin of the string
+    and JSON batteries, exercised over URLs constructed from fixture
+    columns so the expected decomposition is known exactly. B12 surface:
+    every extraction is a codegen'd JVM expression (java.net.URI under
+    the hood), no Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=mk#sec-"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("query_lang"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )

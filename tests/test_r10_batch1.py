@@ -124,3 +124,76 @@ def test_audio_energy_matches_numpy_recompute(spark):
                 np.sqrt(float((seg * seg).sum()) / len(seg))
             )
     assert not got, "extra frames beyond the recomputed set"
+
+
+def test_asof_tolerance_is_subset_with_bounded_gap(spark):
+    # Same fixture as join_asof_forward's view/purchase pairing but
+    # backward: the untolerated variant is recomputed here via the
+    # operator so the subset property is checked against the exact
+    # same plan shape.
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("view_ts"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    full = asof_join(
+        p, v, on=["user_id"], left_ts="ts", right_ts="view_ts",
+        right_payload=["view_id"], how="inner",
+    ).collect()
+    tol = QUERIES["join_asof_tolerance"].fn(spark, SF).collect()
+    assert 0 < len(tol) < len(full), "tolerance should drop some matches"
+    full_keys = {(r.event_id, r.view_id) for r in full}
+    for r in tol:
+        assert (r.event_id, r.view_id) in full_keys
+        gap_us = r.ts.timestamp() * 1e6 - r.view_ts.timestamp() * 1e6
+        assert 0 <= gap_us <= 3600 * 1e6
+
+
+def test_hazard_table_is_a_life_table(spark):
+    rows = sorted(
+        QUERIES["orders_interpurchase_hazard"].fn(spark, SF).collect(),
+        key=lambda r: r.k,
+    )
+    assert rows and rows[0].k >= 1  # distinct dates -> no zero gaps
+    total = sum(r.n_events for r in rows)
+    # at_risk(k) = all gaps >= k; at the smallest k that's every gap.
+    assert rows[0].n_at_risk == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_at_risk == b.n_at_risk + a.n_events or a.k + 1 <= b.k
+        assert a.n_at_risk > b.n_at_risk
+    for r in rows:
+        assert 0 < r.hazard <= 1.0
+        assert r.hazard == r.n_events / r.n_at_risk
+
+
+def test_shot_boundaries_consistent_with_energy(spark):
+    shots = {
+        r.doc_id: r
+        for r in QUERIES["multimodal_shot_boundaries"].fn(spark, SF).collect()
+    }
+    assert shots
+    for r in shots.values():
+        assert 1 <= r.n_shots <= r.n_frames
+        if r.first_cut is not None:
+            assert 1 <= r.first_cut < r.n_frames
+            assert r.n_shots > 1
+        else:
+            assert r.n_shots == 1
+
+
+def test_dataset_card_shares_sum_to_one(spark):
+    rows = QUERIES["docs_dataset_card"].fn(spark, SF).collect()
+    assert rows
+    assert abs(sum(r.share_docs for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.share_tokens for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.avg_doc_tokens == r.total_tokens / r.n_docs
+        assert r.total_chars >= r.total_tokens  # tokens are space-separated
