@@ -138,6 +138,9 @@ HEADLINE = [
     "orders_interpurchase_hazard",
     "multimodal_shot_boundaries",
     "docs_dataset_card",
+    "docs_bpe_token_counts",
+    "orders_weighted_median",
+    "graph_communities_lpa",
 ]
 
 

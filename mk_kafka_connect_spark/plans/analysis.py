@@ -989,3 +989,188 @@ def docs_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_weighted_median — exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+        CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents,
+        CAST(l.l_quantity AS BIGINT) AS w
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    cum AS (
+      SELECT p_brand, cents, w,
+        CAST(sum(w) OVER (PARTITION BY p_brand ORDER BY cents, w
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        CAST(sum(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+      FROM pts),
+    hit AS (
+      SELECT p_brand, cents, cw, tw,
+        row_number() OVER (PARTITION BY p_brand ORDER BY cents, w) AS rn
+      FROM cum WHERE 2 * cw >= tw)
+    SELECT p_brand, CAST(tw AS BIGINT) AS total_weight,
+      cents AS median_cents,
+      CAST(cents AS DOUBLE) / 100 AS weighted_median_price
+    FROM hit WHERE rn = 1
+    """,
+    tags=("stats", "B7", "B9", "median", "weighted"),
+)
+def orders_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median unit price per brand, weighted by line
+    quantity — the robust price statistic percentile aggregates can't
+    produce (Spark's percentile takes no weight argument; approximate
+    sketches lose exactness). Lower weighted median: the smallest value
+    whose cumulative weight reaches half the total, the standard
+    definitive tie-break.
+
+    One hash exchange on brand serves both windows (running weight and
+    per-group total); the 2·cumw ≥ W frontier is a filter plus one
+    row_number — no second shuffle, no self-join. Price is integer
+    cents end-to-end; the output dollars column is the single shared
+    IEEE division. Per-group data stays a sorted run inside its
+    partition — the same memory posture as every other grouped window
+    at 100 TB (skewed brands salt like any shuffle key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pts = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wrun = (
+        W.partitionBy("p_brand")
+        .orderBy("cents", "w")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("p_brand")
+    cum = pts.select(
+        "p_brand",
+        "cents",
+        "w",
+        F.sum("w").over(wrun).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    hit = cum.where(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("p_brand").orderBy("cents", "w")),
+    )
+    return hit.where(F.col("rn") == 1).select(
+        "p_brand",
+        F.col("tw").alias("total_weight"),
+        F.col("cents").alias("median_cents"),
+        (F.col("cents").cast("double") / 100).alias("weighted_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_communities_lpa — synchronous label propagation
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+_LPA_MIN_ORDERS = 3  # same repeat-business graph as graph_kcore
+
+
+def _sql_lpa_oracle() -> str:
+    chain = f"""
+    e AS MATERIALIZED (
+      SELECT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT o.o_orderkey) >= {_LPA_MIN_ORDERS}),
+    ed AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM ed)"""
+    for i in range(_LPA_ROUNDS):
+        chain += f""",
+    v{i} AS (
+      SELECT ed.u AS node, l.lbl, count(*) AS n
+      FROM ed JOIN l{i} l ON ed.v = l.node
+      GROUP BY ed.u, l.lbl),
+    l{i + 1} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+          row_number() OVER (PARTITION BY node ORDER BY n DESC, lbl) AS rn
+        FROM v{i}) WHERE rn = 1)"""
+    r = _LPA_ROUNDS
+    return f"""
+    WITH {chain}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+      CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_customers,
+      CAST(sum(node % 2) AS BIGINT) AS n_suppliers
+    FROM l{r} GROUP BY lbl
+    """
+
+
+@query(
+    "graph_communities_lpa",
+    oracle=_sql_lpa_oracle(),
+    tags=("graph", "B6", "B7", "communities", "iterative"),
+)
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007, the deterministic batch variant) over the same repeat-business
+    graph as graph_kcore: labels start as node ids; each round every
+    node adopts its neighborhood's most frequent label, ties to the
+    smallest — 4 rounds, then community sizes split by side. The third
+    member of the graph family: components answer reachability, k-core
+    density, LPA affinity grouping.
+
+    Per round: one edge-sized join (labels onto neighbors) + one
+    (node, label)-sized count + one row_number argmax — the canonical
+    BSP shape whose shuffles are bounded by edges, never by the fact
+    data that derived them; labels localCheckpoint per round to
+    truncate lineage. Synchronous + deterministic tie-break means the
+    result is partitioning-independent and replays exactly in the
+    chained-CTE oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("_n"))
+        .filter(F.col("_n") >= _LPA_MIN_ORDERS)
+        .select("a", "b")
+    )
+    ed = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = ed.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    warg = W.partitionBy("node").orderBy(F.desc("n"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            ed.join(
+                labels.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(warg))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)).alias(
+            "n_customers"
+        ),
+        F.sum(F.col("node") % 2).alias("n_suppliers"),
+    )

@@ -2649,6 +2649,130 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_bpe_token_counts() -> None:
+    """Registered via a function so the composed oracle can embed the
+    already-registered bpe_merges oracle verbatim — training AND
+    encoding replay end-to-end in SQL."""
+    from .registry import QUERIES as _Q
+
+    merges_sql = _Q["bpe_merges"].oracle
+
+    @query(
+        "docs_bpe_token_counts",
+        # Apply the learned merge list to every DISTINCT word by a second
+        # recursive CTE: step it applies merge #it via the same
+        # chr(1)-delimited left-to-right replace the trainer used, so the
+        # encoder is bit-identical to the training rewrite. Per-doc counts
+        # then come from re-tokenizing the corpus and joining the
+        # word -> symbol-count map.
+        oracle=f"""
+        WITH RECURSIVE
+        m AS (SELECT merge_rank, left_sym, right_sym FROM ({merges_sql}) t),
+        toks AS (
+          SELECT doc_id, word
+          FROM (SELECT doc_id,
+                       unnest(string_split_regex(text, '\s+')) AS word
+                FROM documents)
+          WHERE word <> ''),
+        words AS (SELECT DISTINCT word FROM toks),
+        rw AS (
+          SELECT 0 AS it, word,
+            chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1))
+              || chr(1) AS s
+          FROM words
+          UNION ALL
+          SELECT rw.it + 1, rw.word,
+            replace(rw.s,
+                    chr(1) || m.left_sym || chr(1) || chr(1)
+                      || m.right_sym || chr(1),
+                    chr(1) || m.left_sym || m.right_sym || chr(1))
+          FROM rw JOIN m ON m.merge_rank = rw.it + 1),
+        enc AS (
+          SELECT word,
+            CAST(len(string_split(trim(s, chr(1)), chr(1)||chr(1)))
+                 AS BIGINT) AS n_syms
+          FROM rw WHERE it = (SELECT max(merge_rank) FROM m))
+        SELECT t.doc_id,
+          CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens,
+          CAST(sum(len(t.word)) AS BIGINT) AS n_chars,
+          CAST(sum(len(t.word)) AS DOUBLE) / sum(e.n_syms)
+            AS chars_per_token
+        FROM toks t JOIN enc e USING (word)
+        GROUP BY t.doc_id
+        """,
+        tags=("text", "B15", "tokenizer", "bpe", "encode"),
+    )
+    def docs_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE tokenizer APPLICATION — the other half of the tokenizer
+        story next to bpe_merges' training: encode every document with
+        the 30 learned merges and report per-doc whitespace-word count,
+        BPE token count, character count, and chars-per-token (the
+        compression ratio a tokenizer ships with on its model card).
+
+        Two corpus passes (train's word-frequency pass + the encode
+        re-tokenization) and one vocabulary-sized encode: merges apply
+        to the DISTINCT word table only (natural-language vocabularies
+        are orders of magnitude smaller than the corpus), one Arrow
+        batch pass applying all 30 merges per word in sequence —
+        identical left-to-right non-overlapping semantics as training —
+        then per-doc counts come from a hash join of the corpus tokens
+        against the word -> n_syms map. At 100 TB the map is the only
+        state that moves; the ratio is one IEEE division of exact
+        int64 sums."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        from ..operators.bpe import train_bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        merges = train_bpe(
+            docs, "text", n_merges=_BPE_N_MERGES, local_threshold=200_000
+        )
+
+        @pandas_udf("long")
+        def _n_syms(words):
+            out = []
+            for w in words:
+                syms = list(w)
+                for a, b in merges:
+                    i, n, res = 0, len(syms), []
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.append(len(syms))
+            return pd.Series(out)
+
+        tok = (
+            docs.select(
+                "doc_id",
+                F.explode(F.split("text", r"\s+")).alias("word"),
+            )
+            .where(F.col("word") != "")
+        )
+        enc = tok.select("word").distinct().select(
+            "word", _n_syms(F.col("word")).alias("n_syms")
+        )
+        return (
+            tok.join(enc, "word")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum("n_syms").alias("n_bpe_tokens"),
+                F.sum(F.length("word")).alias("n_chars"),
+                (
+                    F.sum(F.length("word")).cast("double")
+                    / F.sum("n_syms")
+                ).alias("chars_per_token"),
+            )
+        )
+
+
 def _register_recall_report() -> None:
     """Registered via a function so the composed oracle can reference the
     already-registered BF/IVF oracle SQL verbatim — the recall report
@@ -2704,6 +2828,7 @@ def _register_recall_report() -> None:
         )
 
 
+_register_bpe_token_counts()
 _register_recall_report()
 
 

@@ -158,6 +158,9 @@ R10_ADDITIONS: tuple[str, ...] = (
     "orders_interpurchase_hazard",
     "multimodal_shot_boundaries",
     "docs_dataset_card",
+    "docs_bpe_token_counts",
+    "orders_weighted_median",
+    "graph_communities_lpa",
 )
 
 # Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,

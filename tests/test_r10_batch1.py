@@ -197,3 +197,58 @@ def test_dataset_card_shares_sum_to_one(spark):
     for r in rows:
         assert r.avg_doc_tokens == r.total_tokens / r.n_docs
         assert r.total_chars >= r.total_tokens  # tokens are space-separated
+
+
+def test_bpe_token_counts_compress_and_bound(spark):
+    rows = QUERIES["docs_bpe_token_counts"].fn(spark, SF).collect()
+    assert rows
+    total_bpe = sum(r.n_bpe_tokens for r in rows)
+    total_chars = sum(r.n_chars for r in rows)
+    assert total_bpe < total_chars, "30 merges must compress the corpus"
+    for r in rows:
+        # every word is at least 1 token and at most its char count
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+        assert r.chars_per_token == r.n_chars / r.n_bpe_tokens
+
+
+def test_weighted_median_is_exact_against_numpy(spark):
+    import duckdb
+
+    rows = QUERIES["orders_weighted_median"].fn(spark, SF).collect()
+    assert rows
+    pts = duckdb.connect().execute(
+        f"""SELECT p.p_brand,
+              CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT),
+              CAST(l.l_quantity AS BIGINT)
+            FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/part.parquet') p
+              ON l.l_partkey = p.p_partkey"""
+    ).fetchall()
+    by_brand: dict[str, list] = {}
+    for b, c, w in pts:
+        by_brand.setdefault(b, []).append((c, w))
+    got = {r.p_brand: r for r in rows}
+    assert set(got) == set(by_brand)
+    for b, vals in by_brand.items():
+        vals.sort()
+        tw = sum(w for _, w in vals)
+        cw = 0
+        for c, w in vals:
+            cw += w
+            if 2 * cw >= tw:
+                assert got[b].median_cents == c, b
+                assert got[b].total_weight == tw
+                break
+
+
+def test_lpa_partitions_all_nodes(spark):
+    rows = QUERIES["graph_communities_lpa"].fn(spark, SF).collect()
+    assert rows
+    n_nodes = sum(r.n_nodes for r in rows)
+    kcore_side = QUERIES["graph_kcore"].fn(spark, SF).collect()
+    # LPA runs on the same repeat-business graph; its node universe is a
+    # superset of the 3-core's.
+    assert n_nodes >= len(kcore_side)
+    for r in rows:
+        assert r.n_nodes == r.n_customers + r.n_suppliers
+    assert len(rows) > 1, "4 LPA rounds should leave >1 community"
