@@ -141,6 +141,13 @@ HEADLINE = [
     "docs_bpe_token_counts",
     "orders_weighted_median",
     "graph_communities_lpa",
+    "orders_benford_digits",
+    "events_mad_anomaly",
+    "orders_seq2_patterns",
+    "orders_revenue_bridge",
+    "docs_readability",
+    "docs_collocations_lift",
+    "docs_char_bigram_rarity",
 ]
 
 

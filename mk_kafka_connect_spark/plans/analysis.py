@@ -1174,3 +1174,417 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.col("node") % 2).alias("n_suppliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_benford_digits — first-digit law audit with exact chi-square terms
+# ---------------------------------------------------------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — pinned integer Benford
+# probabilities (they sum to exactly 1_000_000), so the expected counts
+# and chi-square terms are exact integer arithmetic in BOTH engines and
+# no engine-specific log10() ever runs.
+_BENFORD_P6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_P6, start=1)
+) + " END"
+
+
+@query(
+    "orders_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders),
+    counted AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+      FROM digits GROUP BY digit),
+    expected AS (
+      SELECT digit, n_obs, n_total,
+             CAST({_BENFORD_CASE_SQL} AS HUGEINT) AS p6
+      FROM counted)
+    SELECT digit, n_obs,
+      CAST(n_obs AS DOUBLE) / n_total AS frac_observed,
+      CAST(p6 AS DOUBLE) / 1000000 AS frac_benford,
+      CAST((CAST(n_obs AS HUGEINT) * 1000000 - CAST(n_total AS HUGEINT) * p6)
+           * (CAST(n_obs AS HUGEINT) * 1000000 - CAST(n_total AS HUGEINT) * p6)
+           AS DOUBLE)
+        / CAST(CAST(n_total AS HUGEINT) * p6 * 1000000 AS DOUBLE) AS chi2_term
+    FROM expected
+    """,
+    tags=("agg", "B7", "data-quality", "audit"),
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order values — the
+    classic forensic-accounting data-quality screen (fabricated or
+    capped monetary columns flunk it); Deequ/TFDV-style profilers ship
+    it next to null/distinct checks. Emits, per leading digit 1-9, the
+    observed count, observed fraction, the Benford expectation, and the
+    exact chi-square term ((obs - n·p)² / (n·p)) — the driver-side sum
+    of chi2_term against the chi-square critical value is the audit
+    verdict.
+
+    Exactness: digit extraction is string-prefix of the exact integer
+    cents (leading digit is invariant under ×100); Benford
+    probabilities are PINNED micro-unit integers (they sum to exactly
+    1e6), so expected counts and the chi-square numerator/denominator
+    are exact 128-bit integers — each float column is ONE IEEE division
+    of exact integers.
+
+    Scale: one map-side-combinable 9-group aggregate over the fact
+    table; the window total is a 9-row exchange. Nothing here grows
+    with data beyond the single scan."""
+    d38 = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    counted = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .withColumn("n_total", F.sum("n_obs").over(W.partitionBy()))
+    )
+    p6 = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(p))
+            for d, p in enumerate(_BENFORD_P6, start=1)
+        ]
+    ).cast(d38)
+    expected = counted.select(
+        "digit", "n_obs", "n_total", p6.alias("p6")
+    )
+    num = (
+        F.col("n_obs").cast(d38) * 1000000
+        - F.col("n_total").cast(d38) * F.col("p6")
+    )
+    return expected.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs").cast("double") / F.col("n_total")).alias(
+            "frac_observed"
+        ),
+        (F.col("p6").cast("double") / 1000000).alias("frac_benford"),
+        (
+            (num * num).cast("double")
+            / (F.col("n_total").cast(d38) * F.col("p6") * 1000000).cast(
+                "double"
+            )
+        ).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_mad_anomaly — robust outlier gate via median absolute deviation
+# ---------------------------------------------------------------------------
+
+# 3 × 1.4826 (the Gaussian-consistency constant) as the exact rational
+# 44478/10000: the anomaly predicate |v − med| > 3·1.4826·MAD becomes the
+# INTEGER comparison d·20000 > 44478·mad2d (d = 2|v−med| in cents,
+# mad2d = 4·MAD in cents) — no float ever enters the gate, so both
+# engines flag exactly the same rows even at the threshold knife-edge.
+_MAD_GATE_NUM = 3 * 14826  # 44478
+
+
+@query(
+    "events_mad_anomaly",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM events),
+    ranked AS (
+      SELECT event_type, c,
+        row_number() OVER (PARTITION BY event_type ORDER BY c, event_id)
+          AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    med AS (
+      SELECT event_type, max(n) AS n,
+        sum(CASE WHEN rn = (n + 1) // 2 THEN c END)
+          + sum(CASE WHEN rn = (n + 2) // 2 THEN c END) AS med2
+      FROM ranked GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, v.event_id, med.n, med.med2,
+        abs(2 * v.c - med.med2) AS d
+      FROM v JOIN med USING (event_type)),
+    dranked AS (
+      SELECT event_type, n, med2, d,
+        row_number() OVER (PARTITION BY event_type ORDER BY d, event_id)
+          AS rn
+      FROM dev),
+    mad AS (
+      SELECT event_type, max(n) AS n, max(med2) AS med2,
+        sum(CASE WHEN rn = (n + 1) // 2 THEN d END)
+          + sum(CASE WHEN rn = (n + 2) // 2 THEN d END) AS mad2d
+      FROM dranked GROUP BY event_type)
+    SELECT dev.event_type,
+      CAST(max(mad.n) AS BIGINT) AS n,
+      CAST(max(mad.med2) AS DOUBLE) / 200 AS median_value,
+      CAST(max(mad.mad2d) AS DOUBLE) / 400 AS mad_value,
+      CAST(sum(CASE WHEN dev.d * 20000 > 44478 * mad.mad2d
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      CAST(sum(CASE WHEN dev.d * 20000 > 44478 * mad.mad2d
+                    THEN 1 ELSE 0 END) AS DOUBLE) / max(mad.n)
+        AS anomaly_rate
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+    tags=("agg", "B7", "B9", "robust-stats", "anomaly"),
+)
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly gate: flag events whose value deviates from the
+    per-type median by more than 3·1.4826·MAD — the
+    median-absolute-deviation rule that survives the heavy tails and
+    pre-existing outliers that wreck z-scores (events_anomaly_zscore is
+    the parametric sibling; this is the robust one monitoring stacks
+    reach for when the baseline itself is contaminated).
+
+    EXACT medians by rank arithmetic (the orders_trimmed_mean device):
+    rows ranked per type with a deterministic (value, event_id)
+    tie-break; med2 = c[(n+1)//2] + c[(n+2)//2] is twice the median for
+    odd n and the sum of the two middles for even n — integer either
+    way. Deviations d = |2c − med2| stay integer (half-cent scale), a
+    second ranked pass yields mad2d = 4·MAD exactly, and the gate
+    d·20000 > 44478·mad2d is pure integer comparison (44478 =
+    3 × 14826 = the 3σ Gaussian-consistency threshold ×10⁴). The three
+    float outputs are each ONE IEEE division of exact integers.
+
+    Scale: two grouped sort windows (parallel across types — the
+    standard within-group window sort, no global single partition) and
+    two broadcast-sized joins of the per-type stats back onto the
+    deviations; the per-type stats relation is |types| rows. The
+    heavier-keyed form rides the distributed-selection machinery of
+    agg_quantiles_distributed instead of full sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    wr = W.partitionBy("event_type").orderBy("c", "event_id")
+    wn = W.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "c",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = lambda col, off: F.sum(  # noqa: E731
+        F.when(
+            F.col("rn") == ((F.col("n") + off) / 2).cast("long"), F.col(col)
+        )
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (mid("c", F.lit(1)) + mid("c", F.lit(2))).alias("med2"),
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        "med2",
+        F.abs(2 * F.col("c") - F.col("med2")).alias("d"),
+    )
+    dr = W.partitionBy("event_type").orderBy("d", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "n",
+        "med2",
+        "d",
+        F.row_number().over(dr).alias("rn"),
+    )
+    mad = dranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("med2").alias("med2"),
+        (mid("d", F.lit(1)) + mid("d", F.lit(2))).alias("mad2d"),
+    )
+    flagged = dev.drop("n", "med2").join(F.broadcast(mad), "event_type")
+    is_anom = F.when(
+        F.col("d") * 20000 > _MAD_GATE_NUM * F.col("mad2d"), 1
+    ).otherwise(0)
+    return flagged.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.max("med2").cast("double") / 200).alias("median_value"),
+        (F.max("mad2d").cast("double") / 400).alias("mad_value"),
+        F.sum(is_anom).cast("long").alias("n_anomalies"),
+        (F.sum(is_anom).cast("double") / F.max("n")).alias("anomaly_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_seq2_patterns — consecutive-order transition mining (seq-pattern lite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_seq2_patterns",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS p1,
+        lead(o_orderpriority) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS p2
+      FROM orders),
+    pairs AS (SELECT * FROM seq WHERE p2 IS NOT NULL),
+    counted AS (
+      SELECT p1, p2,
+        CAST(count(*) AS BIGINT) AS n_transitions,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+      FROM pairs GROUP BY p1, p2)
+    SELECT p1, p2, n_transitions, n_customers,
+      CAST(n_transitions AS DOUBLE) / n_total AS support
+    FROM counted
+    """,
+    tags=("window", "B9", "B7", "sequence-mining"),
+)
+def orders_seq2_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent consecutive-order patterns: for every (priority →
+    next priority) transition in a customer's chronological order
+    history, the transition count, how many distinct customers exhibit
+    it, and its support among all transitions — the length-2 core of
+    sequential-pattern mining (PrefixSpan's first level), and the
+    transition matrix a next-order-propensity model trains on. The
+    per-customer sibling of events_markov_transitions (that one walks
+    event streams, this one the order book).
+
+    Exactness: counts are integers; support is ONE IEEE division.
+
+    Scale: one per-customer window (sorts locally within the customer
+    hash partitions — no global sort), then a 25-group map-side
+    combinable aggregate; the window total is a 25-row exchange. The
+    distinct-customer count shuffles (pair, customer) once. Longer
+    patterns (length-k) chain the same lead() k−1 times, keeping the
+    row count flat — never a self-join blowup."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("p1"),
+        F.lead("o_orderpriority").over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    counted = seq.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    ).withColumn("n_total", F.sum("n_transitions").over(W.partitionBy()))
+    return counted.select(
+        "p1",
+        "p2",
+        "n_transitions",
+        "n_customers",
+        (F.col("n_transitions").cast("double") / F.col("n_total")).alias(
+            "support"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_revenue_bridge — year-over-year mix/rate decomposition per nation
+# ---------------------------------------------------------------------------
+
+_BRIDGE_Y1, _BRIDGE_Y2 = 1997, 1998
+
+
+@query(
+    "orders_revenue_bridge",
+    oracle=f"""
+    WITH per AS (
+      SELECT n.n_name AS nation,
+        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+          AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE EXTRACT(year FROM o.o_orderdate)
+            IN ({_BRIDGE_Y1}, {_BRIDGE_Y2})
+      GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)),
+    y1 AS (SELECT nation, n_orders AS n1, rev AS rev1 FROM per
+           WHERE yr = {_BRIDGE_Y1}),
+    y2 AS (SELECT nation, n_orders AS n2, rev AS rev2 FROM per
+           WHERE yr = {_BRIDGE_Y2})
+    SELECT nation, n1, n2,
+      CAST(rev1 AS DOUBLE) AS rev_y1,
+      CAST(rev2 AS DOUBLE) AS rev_y2,
+      CAST(rev2 - rev1 AS DOUBLE) AS delta_rev,
+      CAST((n2 - n1) * rev1 AS DOUBLE) / n1 AS volume_effect,
+      CAST(rev2 AS DOUBLE) - CAST(n2 * rev1 AS DOUBLE) / n1 AS rate_effect
+    FROM y1 JOIN y2 USING (nation)
+    """,
+    tags=("agg", "B6", "B7", "finance", "decomposition"),
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per nation: decompose Δrevenue into
+    a VOLUME effect ((n₂−n₁) orders at year-1 average value) and a RATE
+    effect (year-2 volume × change in average order value) — the
+    waterfall decomposition every finance/BI review opens with, and an
+    exact identity: volume_effect + rate_effect = delta_rev in the
+    rationals (both terms share the n₁ denominator).
+
+    Exactness: revenues are exact DECIMAL sums; delta is a DECIMAL
+    subtraction cast once; volume_effect is ONE IEEE division of the
+    exact DECIMAL product (n₂−n₁)·rev₁ by n₁; rate_effect is one such
+    division followed by one IEEE subtraction from an exact value —
+    fixed two-op order, bit-identical across engines.
+
+    Scale: the fact table reduces FIRST to a (nation, year) cube (two
+    keyed map-side-combinable aggregates after broadcast dimension
+    joins — customer→nation is the standard TPC-H broadcast chain);
+    the bridge itself joins two 25-row relations. Nothing after the
+    first aggregate scales with data."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yr = F.year("o_orderdate")
+    per = (
+        o.filter(yr.isin(_BRIDGE_Y1, _BRIDGE_Y2))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            yr.cast("long").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev"),
+        )
+    )
+    y1 = per.filter(F.col("yr") == _BRIDGE_Y1).select(
+        "nation",
+        F.col("n_orders").alias("n1"),
+        F.col("rev").alias("rev1"),
+    )
+    y2 = per.filter(F.col("yr") == _BRIDGE_Y2).select(
+        "nation",
+        F.col("n_orders").alias("n2"),
+        F.col("rev").alias("rev2"),
+    )
+    j = y1.join(y2, "nation")
+    return j.select(
+        "nation",
+        "n1",
+        "n2",
+        F.col("rev1").cast("double").alias("rev_y1"),
+        F.col("rev2").cast("double").alias("rev_y2"),
+        (F.col("rev2") - F.col("rev1")).cast("double").alias("delta_rev"),
+        (
+            ((F.col("n2") - F.col("n1")) * F.col("rev1")).cast("double")
+            / F.col("n1")
+        ).alias("volume_effect"),
+        (
+            F.col("rev2").cast("double")
+            - (F.col("n2") * F.col("rev1")).cast("double") / F.col("n1")
+        ).alias("rate_effect"),
+    )

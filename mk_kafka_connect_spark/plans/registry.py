@@ -161,6 +161,13 @@ R10_ADDITIONS: tuple[str, ...] = (
     "docs_bpe_token_counts",
     "orders_weighted_median",
     "graph_communities_lpa",
+    "orders_benford_digits",
+    "events_mad_anomaly",
+    "orders_seq2_patterns",
+    "orders_revenue_bridge",
+    "docs_readability",
+    "docs_collocations_lift",
+    "docs_char_bigram_rarity",
 )
 
 # Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,

@@ -58,6 +58,10 @@ ALLOWED = {
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
     "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",
+    "docs_collocations_lift": "two 1-row corpus-total broadcasts "
+    "(N_uni, N_bi lift denominators)",
+    "docs_char_bigram_rarity": "1-row corpus-total broadcast "
+    "(rarity denominator)",
     "docs_dataset_card": "1-row corpus-totals broadcast (share denominators)",
 }
 

@@ -252,3 +252,113 @@ def test_lpa_partitions_all_nodes(spark):
     for r in rows:
         assert r.n_nodes == r.n_customers + r.n_suppliers
     assert len(rows) > 1, "4 LPA rounds should leave >1 community"
+
+
+# --- batch 4: Benford, MAD anomaly, seq2 patterns, revenue bridge ----------
+
+
+def test_benford_digits_sum_and_bounds(spark):
+    rows = QUERIES["orders_benford_digits"].fn(spark, SF).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.frac_observed for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.frac_benford for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.chi2_term >= 0
+    # TPC-H prices are uniform-ish in value, not Benford: digit 1 must
+    # not dominate the way Benford predicts it to — the audit should
+    # actually FIRE on this fixture (large chi2 total).
+    assert sum(r.chi2_term for r in rows) > 100
+
+
+def test_mad_anomaly_matches_numpy(spark):
+    import duckdb
+
+    rows = QUERIES["events_mad_anomaly"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    vals = duckdb.sql(
+        f"SELECT event_type, CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) c "
+        f"FROM '{SF}/events.parquet'"
+    ).fetchall()
+    by_t = {}
+    for t, c in vals:
+        by_t.setdefault(t, []).append(c)
+    for r in rows:
+        c = np.array(sorted(by_t[r.event_type]), dtype=np.int64)
+        med = np.median(c)
+        mad = np.median(np.abs(c - med))
+        assert r.n == len(c)
+        assert abs(r.median_value - med / 100) < 1e-9
+        assert abs(r.mad_value - mad / 100) < 1e-9
+        # Gate in query scale: d·20000 > 44478·mad2d with d = 2|c−med|,
+        # mad2d = 4·MAD  ⇔  |c−med|·40000 > 44478·4·MAD.
+        n_anom = int(((np.abs(c - med) * 40000) > 44478 * 4 * mad).sum())
+        assert r.n_anomalies == n_anom
+        assert 0 <= r.anomaly_rate < 0.5
+
+
+def test_seq2_support_sums_to_one(spark):
+    rows = QUERIES["orders_seq2_patterns"].fn(spark, SF).collect()
+    assert len(rows) == 25  # 5 priorities squared on this fixture
+    assert abs(sum(r.support for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 < r.n_customers <= r.n_transitions
+
+
+def test_revenue_bridge_identity(spark):
+    rows = QUERIES["orders_revenue_bridge"].fn(spark, SF).collect()
+    assert len(rows) == 25  # every nation trades in both years
+    for r in rows:
+        # The decomposition is exact in the rationals; float round-off
+        # only, so the identity holds to relative 1e-9.
+        assert abs(r.volume_effect + r.rate_effect - r.delta_rev) <= max(
+            1e-6, 1e-9 * abs(r.delta_rev)
+        )
+        assert abs((r.rev_y2 - r.rev_y1) - r.delta_rev) < 1e-6
+
+
+# --- batch 5: readability, collocations lift, char-bigram rarity -----------
+
+
+def test_readability_recomputes_from_raw(spark):
+    import duckdb
+
+    rows = QUERIES["docs_readability"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    texts = duckdb.sql(
+        f"SELECT lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    agg = {}
+    for lang, t in texts:
+        d, w, s = agg.get(lang, (0, 0, 0))
+        agg[lang] = (
+            d + 1,
+            w + len(t.split(" ")),
+            s + len(re.findall(r"[aeiouy]+", t)),
+        )
+    for r in rows:
+        d, w, s = agg[r.lang]
+        assert (r.n_docs, r.n_words, r.n_syllables) == (d, w, s)
+        assert abs(r.fk_ease - (206.835 - 1.015 * w / d - 84.6 * s / w)) < 1e-9
+
+
+def test_collocations_lift_recomputes_top1(spark):
+    rows = QUERIES["docs_collocations_lift"].fn(spark, SF).collect()
+    assert len(rows) == 30
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.c_ab >= 5 and r.c_a >= r.c_ab and r.c_b >= r.c_ab
+        a, b = r.bigram.split(" ")
+        assert a and b
+
+
+def test_char_bigram_rarity_contracts(spark):
+    rows = QUERIES["docs_char_bigram_rarity"].fn(spark, SF).collect()
+    assert len(rows) == 50
+    keys = [(r.rarity_score * 1000000) // r.n_bigrams for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    for r in rows:
+        assert 0 < r.n_distinct <= r.n_bigrams
+        assert 0 <= r.n_rare <= r.n_bigrams
+        assert r.rarity_score >= r.n_bigrams  # floor(N/c) >= 1 per occurrence
+        assert abs(r.avg_rarity - r.rarity_score / r.n_bigrams) < 1e-9
