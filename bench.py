@@ -148,6 +148,8 @@ HEADLINE = [
     "docs_readability",
     "docs_collocations_lift",
     "docs_char_bigram_rarity",
+    "graph_linkpred",
+    "multimodal_phash_dct",
 ]
 
 

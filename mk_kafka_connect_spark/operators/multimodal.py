@@ -296,3 +296,108 @@ def decode_audio(payload: bytes):  # pragma: no cover - env-gated
     import soundfile as sf
 
     return sf.read(io.BytesIO(payload))
+
+
+# ---------------------------------------------------------------------------
+# pHash: DCT-based perceptual hash (the aHash upgrade), integer-exact
+# ---------------------------------------------------------------------------
+
+PHASH_N = 16  # input grid (16x16 byte gather)
+PHASH_K = 8  # low-frequency block kept (8x8 minus DC = 63 bits)
+_PHASH_SCALE = 1 << 14
+
+
+def _phash_cos_table() -> list[int]:
+    """Pinned integer DCT-II basis: C[k][i] = round(2^14·cos(π(2i+1)k/2N)),
+    flattened row-major. Both the Spark kernel and the SQL oracle read
+    THIS list, so the transform is the same exact integer math in both
+    engines — no engine trig ever runs."""
+    import math
+
+    n = PHASH_N
+    return [
+        round(_PHASH_SCALE * math.cos(math.pi * (2 * i + 1) * k / (2 * n)))
+        for k in range(n)
+        for i in range(n)
+    ]
+
+
+PHASH_COS = _phash_cos_table()
+
+PHASH_SCHEMA = "doc_id long, phash_hi long, phash_lo long, dc long, n_above int"
+
+
+def perceptual_hash(bin_df: DataFrame) -> DataFrame:
+    """DCT perceptual hash (pHash) over the opaque payload: gather a
+    16×16 byte grid (the resize), apply the exact integer 2-D DCT-II
+    (C·P·Cᵀ with the pinned ×2¹⁴ cosine table — every product stays
+    inside int64: |coeff| ≤ 16²·2²⁸·255 ≈ 1.8e13), keep the 8×8
+    low-frequency block, drop DC, and set bit i iff coefficient i
+    exceeds the EXACT median of the 63 (odd count → the rank-32 order
+    statistic, no interpolation). pHash survives blur/re-encode/gamma
+    changes that flip many aHash bits, because the comparison basis is
+    frequency-domain; hamming-band machinery downstream is shared with
+    aHash/SimHash.
+
+    One vectorized flat-buffer gather + two int64 matmuls per Arrow
+    batch — no per-row Python. The 63 bits pack into two words
+    (hi 31 / lo 32) to stay inside signed int64."""
+    import numpy as np
+
+    n = PHASH_N
+    target = n * n
+    c = np.array(PHASH_COS, dtype=np.int64).reshape(n, n)
+    kk = PHASH_K
+
+    def _phash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lo_w = np.int64(1) << np.arange(32, dtype=np.int64)
+        hi_w = np.int64(1) << np.arange(31, dtype=np.int64)
+        for pdf in it:
+            bufs = list(pdf["payload"])
+            lens = np.array(
+                [len(b) if b is not None else 0 for b in bufs], dtype=np.int64
+            )
+            m = len(bufs)
+            his = np.zeros(m, dtype=np.int64)
+            los = np.zeros(m, dtype=np.int64)
+            dcs = np.zeros(m, dtype=np.int64)
+            n_above = np.zeros(m, dtype=np.int32)
+            nz = lens > 0
+            if nz.any():
+                flat = np.frombuffer(
+                    b"".join(b for b in bufs if b is not None and len(b)),
+                    dtype=np.uint8,
+                )
+                nzl = lens[nz]
+                offs = np.concatenate(([0], np.cumsum(nzl[:-1])))
+                idx = (
+                    np.arange(target, dtype=np.int64)[None, :] * nzl[:, None]
+                ) // target
+                px = (
+                    flat[idx + offs[:, None]]
+                    .astype(np.int64)
+                    .reshape(-1, n, n)
+                )
+                # Exact integer 2-D DCT-II: C · P · C^T per image.
+                coeff = np.einsum("ki,bij,lj->bkl", c, px, c, optimize=True)
+                block = coeff[:, :kk, :kk].reshape(-1, kk * kk)
+                dcs[nz] = block[:, 0]
+                ac = block[:, 1:]  # 63 AC coefficients
+                med = np.sort(ac, axis=1)[:, (ac.shape[1] - 1) // 2]
+                bits = (ac > med[:, None]).astype(np.int64)
+                los[nz] = (bits[:, :32] * lo_w[None, :]).sum(axis=1)
+                his[nz] = (bits[:, 32:] * hi_w[None, :]).sum(axis=1)
+                n_above[nz] = bits.sum(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash_hi": pd.Series(his, dtype="int64"),
+                    "phash_lo": pd.Series(los, dtype="int64"),
+                    "dc": pd.Series(dcs, dtype="int64"),
+                    "n_above": pd.Series(n_above, dtype="int32"),
+                }
+            )
+
+    return bin_df.select("doc_id", "payload").mapInPandas(
+        _phash, schema=PHASH_SCHEMA
+    )

@@ -3079,3 +3079,86 @@ def _register_pca_projection() -> None:
 
 
 _register_pca_projection()
+
+
+# ---------------------------------------------------------------------------
+# multimodal_phash_dct — DCT perceptual hash (frequency-domain aHash upgrade)
+# ---------------------------------------------------------------------------
+
+
+def _sql_phash_oracle() -> str:
+    from ..operators.multimodal import PHASH_COS, PHASH_K, PHASH_N
+
+    n, k = PHASH_N, PHASH_K
+    tgt = n * n
+    cos_lit = "[" + ", ".join(str(v) for v in PHASH_COS) + "]"
+    return f"""
+    WITH cosb AS (SELECT {cos_lit} AS c),
+    g AS (
+      SELECT doc_id,
+        list_transform(range(0, {tgt}),
+          i -> CAST(ascii(substr(text,
+               CAST(i * length(text) // {tgt} AS INT) + 1, 1)) AS BIGINT))
+          AS px
+      FROM documents WHERE length(text) > 0),
+    rowt AS (
+      SELECT doc_id,
+        list_transform(range(0, {k * n}),
+          kj -> list_sum(list_transform(range(0, {n}),
+            i -> c[(kj // {n}) * {n} + i + 1]
+                 * px[i * {n} + (kj % {n}) + 1]))) AS t
+      FROM g CROSS JOIN cosb),
+    coef AS (
+      SELECT doc_id,
+        list_transform(range(0, {k * k}),
+          kl -> list_sum(list_transform(range(0, {n}),
+            j -> c[(kl % {k}) * {n} + j + 1]
+                 * t[(kl // {k}) * {n} + j + 1]))) AS cf
+      FROM rowt CROSS JOIN cosb),
+    acs AS (
+      SELECT doc_id, cf[1] AS dc, cf[2:{k * k}] AS ac FROM coef),
+    med AS (
+      SELECT doc_id, dc, ac, list_sort(ac)[{(k * k - 1 + 1) // 2}] AS m
+      FROM acs),
+    bits AS (
+      SELECT doc_id, dc,
+        list_transform(range(0, {k * k - 1}),
+          i -> CASE WHEN ac[i+1] > m THEN 1 ELSE 0 END) AS b
+      FROM med)
+    SELECT doc_id,
+      CAST(list_sum(list_transform(range(32, {k * k - 1}),
+        i -> b[i+1] * (1 << (i - 32)))) AS BIGINT) AS phash_hi,
+      CAST(list_sum(list_transform(range(0, 32),
+        i -> b[i+1] * (1 << i))) AS BIGINT) AS phash_lo,
+      CAST(dc AS BIGINT) AS dc,
+      CAST(list_sum(b) AS INT) AS n_above
+    FROM bits
+    """
+
+
+@query(
+    "multimodal_phash_dct",
+    oracle=_sql_phash_oracle(),
+    tags=("multimodal", "B15", "phash", "dedup"),
+)
+def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (pHash) over the multimodal payload column —
+    the frequency-domain upgrade of multimodal_ahash: a 16×16 byte-grid
+    gather, the EXACT INTEGER 2-D DCT-II (pinned ×2¹⁴ cosine table —
+    the same 256 integers are inlined into this oracle, so no engine
+    trig runs anywhere), the 8×8 low-frequency block, and bit i =
+    AC-coefficient i > exact median (rank-32 of the 63, odd count → no
+    interpolation). Re-encodes, blur, and gamma shifts perturb
+    high-frequency content first, so pHash holds stable where aHash
+    bits flip; downstream near-dup joins reuse the same hamming-band
+    machinery.
+
+    Scale: one Arrow `mapInPandas` pass (vectorized flat-buffer gather
+    + two int64 matmuls per batch — einsum over the whole batch, no
+    per-row Python), fingerprints are 2 longs/row; everything
+    downstream is hash-join territory. The oracle replays the identical
+    integer transform as nested list arithmetic."""
+    from ..operators.multimodal import attach_fake_binary, perceptual_hash
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return perceptual_hash(attach_fake_binary(d))

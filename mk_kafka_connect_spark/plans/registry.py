@@ -168,6 +168,8 @@ R10_ADDITIONS: tuple[str, ...] = (
     "docs_readability",
     "docs_collocations_lift",
     "docs_char_bigram_rarity",
+    "graph_linkpred",
+    "multimodal_phash_dct",
 )
 
 # Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,

@@ -362,3 +362,82 @@ def test_char_bigram_rarity_contracts(spark):
         assert 0 <= r.n_rare <= r.n_bigrams
         assert r.rarity_score >= r.n_bigrams  # floor(N/c) >= 1 per occurrence
         assert abs(r.avg_rarity - r.rarity_score / r.n_bigrams) < 1e-9
+
+
+# --- batch 6: link prediction, DCT perceptual hash -------------------------
+
+
+def test_linkpred_candidates_are_nonadjacent_two_hop(spark):
+    rows = QUERIES["graph_linkpred"].fn(spark, SF).collect()
+    assert len(rows) == 50
+    keys = [
+        (r.common * 1_000_000_000_000) // (r.deg_a + r.deg_b - r.common)
+        for r in rows
+    ]
+    assert keys == sorted(keys, reverse=True)
+    for r in rows:
+        assert r.a < r.b
+        assert 1 <= r.common <= min(r.deg_a, r.deg_b)
+        assert 0 < r.jaccard <= 1.0
+        # RA index: each common neighbor contributes <= 1e6/2 (deg >= 2
+        # for any hub) and >= 1e6/(2*KNN_max_deg).
+        assert 0 < r.ra_micro <= r.common * 500_000
+
+
+def test_phash_matches_scipy_free_reference(spark):
+    import duckdb
+
+    from mk_kafka_connect_spark.operators.multimodal import (
+        PHASH_COS,
+        PHASH_K,
+        PHASH_N,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["multimodal_phash_dct"]
+        .fn(spark, SF)
+        .filter("doc_id < 30")
+        .collect()
+    }
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        "WHERE doc_id < 30 AND length(text) > 0"
+    ).fetchall()
+    n, kk = PHASH_N, PHASH_K
+    c = np.array(PHASH_COS, dtype=np.int64).reshape(n, n)
+    for doc_id, text in texts:
+        b = text.encode()
+        ln = len(b)
+        idx = (np.arange(n * n, dtype=np.int64) * ln) // (n * n)
+        px = np.frombuffer(b, dtype=np.uint8)[idx].astype(np.int64).reshape(n, n)
+        coeff = c @ px @ c.T
+        block = coeff[:kk, :kk].flatten()
+        ac = block[1:]
+        med = np.sort(ac)[31]
+        bits = (ac > med).astype(int)
+        r = rows[doc_id]
+        assert r.dc == block[0]
+        assert r.n_above == bits.sum()
+        assert r.phash_lo == int((bits[:32] * (1 << np.arange(32))).sum())
+        assert r.phash_hi == int((bits[32:] * (1 << np.arange(31))).sum())
+
+
+def test_phash_is_stable_under_brightness_unlike_ahash(spark):
+    # The frequency-domain claim, measured: adding a constant to every
+    # pixel moves ONLY the DC coefficient, so the 63 AC bits are
+    # invariant — while aHash bits can flip (mean moves with the
+    # constant but rounding interacts per-pixel).
+    from mk_kafka_connect_spark.operators.multimodal import PHASH_COS, PHASH_N
+
+    n = PHASH_N
+    c = np.array(PHASH_COS, dtype=np.int64).reshape(n, n)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 200, size=(n, n), dtype=np.int64)
+    for shift in (1, 17, 55):
+        a = c @ px @ c.T
+        bshift = c @ (px + shift) @ c.T
+        assert not np.array_equal(a[0, 0], bshift[0, 0])
+        np.testing.assert_array_equal(a[1:, 1:], bshift[1:, 1:])
+        np.testing.assert_array_equal(a[0, 1:], bshift[0, 1:])
+        np.testing.assert_array_equal(a[1:, 0], bshift[1:, 0])
