@@ -150,6 +150,8 @@ HEADLINE = [
     "docs_char_bigram_rarity",
     "graph_linkpred",
     "multimodal_phash_dct",
+    "multimodal_phash_neardup",
+    "er_fuzzy_join_edit1",
 ]
 
 

@@ -327,7 +327,7 @@ PHASH_COS = _phash_cos_table()
 PHASH_SCHEMA = "doc_id long, phash_hi long, phash_lo long, dc long, n_above int"
 
 
-def perceptual_hash(bin_df: DataFrame) -> DataFrame:
+def perceptual_hash(bin_df: DataFrame, dither: bool = False) -> DataFrame:
     """DCT perceptual hash (pHash) over the opaque payload: gather a
     16×16 byte grid (the resize), apply the exact integer 2-D DCT-II
     (C·P·Cᵀ with the pinned ×2¹⁴ cosine table — every product stays
@@ -373,11 +373,16 @@ def perceptual_hash(bin_df: DataFrame) -> DataFrame:
                 idx = (
                     np.arange(target, dtype=np.int64)[None, :] * nzl[:, None]
                 ) // target
-                px = (
-                    flat[idx + offs[:, None]]
-                    .astype(np.int64)
-                    .reshape(-1, n, n)
-                )
+                px = flat[idx + offs[:, None]].astype(np.int64)
+                if dither:
+                    # ±8 alternating perturbation — the integer
+                    # quantization-noise re-encode model; clipped to
+                    # the byte range like a real re-render.
+                    d8 = np.where(
+                        np.arange(target, dtype=np.int64) % 2 == 0, 8, -8
+                    )
+                    px = np.clip(px + d8[None, :], 0, 255)
+                px = px.reshape(-1, n, n)
                 # Exact integer 2-D DCT-II: C · P · C^T per image.
                 coeff = np.einsum("ki,bij,lj->bkl", c, px, c, optimize=True)
                 block = coeff[:, :kk, :kk].reshape(-1, kk * kk)
@@ -400,4 +405,60 @@ def perceptual_hash(bin_df: DataFrame) -> DataFrame:
 
     return bin_df.select("doc_id", "payload").mapInPandas(
         _phash, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_dups(
+    bin_df: DataFrame | None = None,
+    max_hamming: int = 7,
+    *,
+    fp: DataFrame | None = None,
+) -> DataFrame:
+    """Frequency-domain near-dup pairs: documents whose 63-bit DCT
+    pHashes differ in ≤ ``max_hamming`` bits — same 8-band pigeonhole
+    join as ``ahash_near_dups`` (bands 0-3 from the 32-bit lo word,
+    bands 4-7 from the 31-bit hi word, so the last band is 7 bits wide;
+    8 bands still guarantee completeness for hamming ≤ 7). Candidates
+    come from the band hash equi-join, never an all-pairs scan; the
+    exact popcount filter runs only on bucket-mates."""
+    if max_hamming >= 8:
+        raise ValueError("max_hamming must be < 8 for 8-band completeness")
+    if fp is None:
+        fp = perceptual_hash(bin_df).select("doc_id", "phash_hi", "phash_lo")
+    banded = fp.select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), b -> struct(b AS band_idx, "
+                "CASE WHEN b < 4 THEN shiftright(phash_lo, b * 8) & 255 "
+                "ELSE shiftright(phash_hi, (b - 4) * 8) & 255 END AS band_key))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "phash_hi", "phash_lo", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.phash_hi").alias("hi_a"),
+            F.col("a.phash_lo").alias("lo_a"),
+            F.col("b.phash_hi").alias("hi_b"),
+            F.col("b.phash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).alias("hamming")
+    return pairs.select("id_a", "id_b", hamming).filter(
+        F.col("hamming") <= max_hamming
     )

@@ -3086,59 +3086,80 @@ _register_pca_projection()
 # ---------------------------------------------------------------------------
 
 
-def _sql_phash_oracle() -> str:
-    from ..operators.multimodal import PHASH_COS, PHASH_K, PHASH_N
+def _sql_phash_chain(suffix: str = "", dither: bool = False,
+                     id_offset: int = 0) -> str:
+    """One oracle fingerprint chain (no leading WITH): CTEs
+    g{suffix}..ph{suffix} replaying the exact integer DCT fingerprint;
+    ``dither`` applies the ±8 alternating pixel perturbation (the
+    re-encode model) after the gather, ``id_offset`` relabels the
+    variant's doc ids."""
+    from ..operators.multimodal import PHASH_K, PHASH_N
 
     n, k = PHASH_N, PHASH_K
     tgt = n * n
-    cos_lit = "[" + ", ".join(str(v) for v in PHASH_COS) + "]"
+    x = suffix
+    gather = (
+        f"list_transform(range(0, {tgt}), i -> CAST(ascii(substr(text, "
+        f"CAST(i * length(text) // {tgt} AS INT) + 1, 1)) AS BIGINT))"
+    )
+    if dither:
+        gather = (
+            f"list_transform(range(0, {tgt}), i -> greatest(least("
+            f"CAST(ascii(substr(text, CAST(i * length(text) // {tgt} AS INT)"
+            f" + 1, 1)) AS BIGINT)"
+            f" + CASE WHEN i % 2 = 0 THEN 8 ELSE -8 END, 255), 0))"
+        )
     return f"""
-    WITH cosb AS (SELECT {cos_lit} AS c),
-    g AS (
-      SELECT doc_id,
-        list_transform(range(0, {tgt}),
-          i -> CAST(ascii(substr(text,
-               CAST(i * length(text) // {tgt} AS INT) + 1, 1)) AS BIGINT))
-          AS px
+    g{x} AS (
+      SELECT doc_id + {id_offset} AS doc_id, {gather} AS px
       FROM documents WHERE length(text) > 0),
-    rowt AS (
+    rowt{x} AS (
       SELECT doc_id,
         list_transform(range(0, {k * n}),
           kj -> list_sum(list_transform(range(0, {n}),
             i -> c[(kj // {n}) * {n} + i + 1]
                  * px[i * {n} + (kj % {n}) + 1]))) AS t
-      FROM g CROSS JOIN cosb),
-    coef AS (
+      FROM g{x} CROSS JOIN cosb),
+    coef{x} AS (
       SELECT doc_id,
         list_transform(range(0, {k * k}),
           kl -> list_sum(list_transform(range(0, {n}),
             j -> c[(kl % {k}) * {n} + j + 1]
                  * t[(kl // {k}) * {n} + j + 1]))) AS cf
-      FROM rowt CROSS JOIN cosb),
-    acs AS (
-      SELECT doc_id, cf[1] AS dc, cf[2:{k * k}] AS ac FROM coef),
-    med AS (
-      SELECT doc_id, dc, ac, list_sort(ac)[{(k * k - 1 + 1) // 2}] AS m
-      FROM acs),
-    bits AS (
+      FROM rowt{x} CROSS JOIN cosb),
+    med{x} AS (
+      SELECT doc_id, cf[1] AS dc, cf[2:{k * k}] AS ac,
+        list_sort(cf[2:{k * k}])[{(k * k) // 2}] AS m
+      FROM coef{x}),
+    bits{x} AS (
       SELECT doc_id, dc,
         list_transform(range(0, {k * k - 1}),
           i -> CASE WHEN ac[i+1] > m THEN 1 ELSE 0 END) AS b
-      FROM med)
-    SELECT doc_id,
-      CAST(list_sum(list_transform(range(32, {k * k - 1}),
-        i -> b[i+1] * (1 << (i - 32)))) AS BIGINT) AS phash_hi,
-      CAST(list_sum(list_transform(range(0, 32),
-        i -> b[i+1] * (1 << i))) AS BIGINT) AS phash_lo,
-      CAST(dc AS BIGINT) AS dc,
-      CAST(list_sum(b) AS INT) AS n_above
-    FROM bits
-    """
+      FROM med{x}),
+    ph{x} AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(32, {k * k - 1}),
+          i -> b[i+1] * (1 << (i - 32)))) AS BIGINT) AS phash_hi,
+        CAST(list_sum(list_transform(range(0, 32),
+          i -> b[i+1] * (1 << i))) AS BIGINT) AS phash_lo,
+        CAST(dc AS BIGINT) AS dc,
+        CAST(list_sum(b) AS INT) AS n_above
+      FROM bits{x})"""
+
+
+def _sql_phash_cos_cte() -> str:
+    from ..operators.multimodal import PHASH_COS
+
+    return "WITH cosb AS (SELECT [" + ", ".join(
+        str(v) for v in PHASH_COS
+    ) + "] AS c),"
 
 
 @query(
     "multimodal_phash_dct",
-    oracle=_sql_phash_oracle(),
+    oracle=_sql_phash_cos_cte()
+    + _sql_phash_chain()
+    + "\n    SELECT doc_id, phash_hi, phash_lo, dc, n_above FROM ph\n",
     tags=("multimodal", "B15", "phash", "dedup"),
 )
 def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3148,7 +3169,7 @@ def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 256 integers are inlined into this oracle, so no engine
     trig runs anywhere), the 8×8 low-frequency block, and bit i =
     AC-coefficient i > exact median (rank-32 of the 63, odd count → no
-    interpolation). Re-encodes, blur, and gamma shifts perturb
+    interpolation). Re-encodes, dither, and gamma shifts perturb
     high-frequency content first, so pHash holds stable where aHash
     bits flip; downstream near-dup joins reuse the same hamming-band
     machinery.
@@ -3162,3 +3183,71 @@ def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return perceptual_hash(attach_fake_binary(d))
+
+
+_PHASH_VARIANT_OFFSET = 10_000_000
+
+
+@query(
+    "multimodal_phash_neardup",
+    # Oracle: TWO full fingerprint replays (original + the ±8 dither
+    # re-encode model) followed by an ALL-PAIRS hamming scan over the
+    # union — with 8 bands over the 63 bits, every pair at hamming <= 7
+    # must share a band (pigeonhole), so the band join is provably
+    # identical to this exhaustive form; any banding bug (wrong shift,
+    # 7-bit top band mishandled, dropped bucket) surfaces as a missing
+    # pair. Each doc's dithered re-render must land within the ball
+    # (measured max flip = 6 on this fixture) while unrelated pairs sit
+    # at >= 12 - 6 hamming, so the output is the (original, re-encode)
+    # matching — non-degenerate by construction.
+    oracle=_sql_phash_cos_cte()
+    + _sql_phash_chain()
+    + ","
+    + _sql_phash_chain(suffix="_v", dither=True,
+                       id_offset=_PHASH_VARIANT_OFFSET)
+    + """,
+    allfp AS (
+      SELECT doc_id, phash_hi, phash_lo FROM ph
+      UNION ALL SELECT doc_id, phash_hi, phash_lo FROM ph_v)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+           + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+    FROM allfp a JOIN allfp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+          + bit_count(xor(a.phash_lo, b.phash_lo)) <= 7
+    """,
+    tags=("multimodal", "B15", "phash", "dedup"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain near-duplicate detection under a RE-ENCODE
+    model: every payload is paired with its dithered re-render (±8
+    alternating pixel perturbation — integer quantization noise, the
+    JPEG-re-encode stand-in), fingerprints of originals and variants
+    pool into one relation, and pairs within 7 hamming bits surface via
+    the 8-band pigeonhole bucket join (bands 0-3 from the 32-bit lo
+    word, 4-7 from the 31-bit hi word; 8 bands guarantee completeness
+    at hamming ≤ 7) — never an all-pairs scan. pHash's robustness IS
+    the result: each re-render lands within the ball of its original
+    (≤ 6 measured bits) while unrelated documents sit ≥ 12 bits apart,
+    so the query recovers the re-encode matching exactly; the oracle
+    proves band completeness by replaying the decision over every pair.
+
+    Scale: two fingerprint passes + one band shuffle (8 rows/doc),
+    bucket-mate popcount only — |corpus|/256 expected bucket width per
+    band; identical machinery to multimodal_ahash_neardup and
+    dedup_simhash."""
+    from ..operators.multimodal import (
+        attach_fake_binary,
+        perceptual_hash,
+        phash_near_dups,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    b = attach_fake_binary(d)
+    fp0 = perceptual_hash(b).select("doc_id", "phash_hi", "phash_lo")
+    fp1 = perceptual_hash(b, dither=True).select(
+        (F.col("doc_id") + _PHASH_VARIANT_OFFSET).alias("doc_id"),
+        "phash_hi",
+        "phash_lo",
+    )
+    return phash_near_dups(fp=fp0.unionByName(fp1), max_hamming=7)

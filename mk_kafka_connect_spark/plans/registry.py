@@ -170,6 +170,8 @@ R10_ADDITIONS: tuple[str, ...] = (
     "docs_char_bigram_rarity",
     "graph_linkpred",
     "multimodal_phash_dct",
+    "multimodal_phash_neardup",
+    "er_fuzzy_join_edit1",
 )
 
 # Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,

@@ -1046,3 +1046,74 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("overlap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# er_fuzzy_join_edit1 — complete edit-distance-1 self-join via FastSS
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_fuzzy_join_edit1",
+    # Oracle: brute-force all-pairs Levenshtein over the name set — the
+    # FastSS deletion-neighborhood join below is provably identical for
+    # distance <= 1 (a substitution pair shares the deletion at the
+    # differing position; an insert/delete pair shares the shorter
+    # string itself), so any neighborhood bug (off-by-one slice, lost
+    # identity variant, dropped bucket) surfaces as a missing pair.
+    oracle="""
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+      CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+    FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+    tags=("er", "B6", "fuzzy-join", "fastss"),
+)
+def er_fuzzy_join_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete fuzzy self-join at edit distance ≤ 1 via the FastSS
+    deletion neighborhood (Bocek et al. 2007): each name emits itself
+    plus its |name| single-character deletions; two names are within
+    one edit iff they SHARE a neighborhood member, so candidates come
+    from a hash equi-join on the variant string — COMPLETE by
+    construction (unlike the sorted-neighborhood er_name_neardup, which
+    trades recall for its O(n·w) bound) and still never an all-pairs
+    scan. The exact Levenshtein verify runs only on bucket-mates, and
+    keeps only true pairs (shared-variant false positives — e.g. two
+    different substitutions meeting at the same deletion — die there).
+
+    Exactness: edit distance is integer; both engines implement
+    standard unit-cost Levenshtein.
+
+    Scale: the variant relation is Σ(len+1) rows ≈ corpus chars — the
+    same budget as any shingle explode; the join is hash-partitioned by
+    variant, bucket width = names per deletion bucket (tiny for
+    real-world name sets). Distance-k generalizes with k-deletion
+    neighborhoods (size ≈ lenᵏ/k!), the standard FastSS trade."""
+    s = load_table(spark, sf_dir, "supplier")
+    names = s.select("s_name").distinct()
+    variants = names.select(
+        F.col("s_name"),
+        F.explode(
+            F.concat(
+                F.array(F.col("s_name")),
+                F.expr(
+                    "transform(sequence(1, length(s_name)),"
+                    " i -> concat(substring(s_name, 1, i - 1),"
+                    " substring(s_name, i + 1, length(s_name))))"
+                ),
+            )
+        ).alias("v"),
+    ).distinct()
+    a = variants.select(F.col("s_name").alias("name_a"), "v")
+    b = variants.select(F.col("s_name").alias("name_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= 1)

@@ -441,3 +441,68 @@ def test_phash_is_stable_under_brightness_unlike_ahash(spark):
         np.testing.assert_array_equal(a[1:, 1:], bshift[1:, 1:])
         np.testing.assert_array_equal(a[0, 1:], bshift[0, 1:])
         np.testing.assert_array_equal(a[1:, 0], bshift[1:, 0])
+
+
+# --- batch 7: pHash re-encode near-dup, FastSS fuzzy join ------------------
+
+
+def test_phash_neardup_recovers_the_reencode_matching(spark):
+    rows = QUERIES["multimodal_phash_neardup"].fn(spark, SF).collect()
+    n_docs = 500
+    assert len(rows) >= n_docs
+    true_pairs = {
+        (r.id_a, r.id_b) for r in rows if r.id_b == r.id_a + 10_000_000
+    }
+    # Every original must pair with its own dithered re-render.
+    assert len(true_pairs) == n_docs
+    for r in rows:
+        assert 0 <= r.hamming <= 7
+
+
+def test_fastss_matches_bruteforce_and_is_complete(spark):
+    import duckdb
+
+    rows = QUERIES["er_fuzzy_join_edit1"].fn(spark, SF).collect()
+    got = {(r.name_a, r.name_b) for r in rows}
+    names = [
+        n
+        for (n,) in duckdb.sql(
+            f"SELECT s_name FROM '{SF}/supplier.parquet'"
+        ).fetchall()
+    ]
+
+    def lev1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = edits = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            else:
+                edits += 1
+                j += 1
+                if edits > 1:
+                    return False
+        return True
+
+    expect = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if a < b and lev1(a, b)
+    } | {
+        (b, a)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if b < a and lev1(a, b)
+    }
+    assert got == expect
+    assert all(r.dist == 1 for r in rows)
