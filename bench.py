@@ -152,6 +152,8 @@ HEADLINE = [
     "multimodal_phash_dct",
     "multimodal_phash_neardup",
     "er_fuzzy_join_edit1",
+    "dq_fd_discovery",
+    "events_peak_detection",
 ]
 
 

@@ -1588,3 +1588,178 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n2") * F.col("rev1")).cast("double") / F.col("n1")
         ).alias("rate_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_fd_discovery — functional-dependency discovery over orders (TANE level 1)
+# ---------------------------------------------------------------------------
+
+_FD_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _sql_fd_oracle() -> str:
+    parts = []
+    for a in _FD_COLS:
+        others = [b for b in _FD_COLS if b != a]
+        sel = ", ".join(
+            f"CAST(sum(n_{b} - 1) AS BIGINT) AS v_{b}" for b in others
+        )
+        inner = ", ".join(
+            f"count(DISTINCT {b}) AS n_{b}" for b in others
+        )
+        for b in others:
+            parts.append(f"""
+    SELECT '{a}' AS lhs, '{b}' AS rhs,
+      CAST(count(*) AS BIGINT) AS n_groups,
+      CAST(sum(n_{b} - 1) AS BIGINT) AS n_violations,
+      sum(n_{b} - 1) = 0 AS holds
+    FROM (SELECT {a}, {inner} FROM orders GROUP BY {a})""")
+    _ = sel
+    return "\n    UNION ALL".join(parts)
+
+
+@query(
+    "dq_fd_discovery",
+    oracle=_sql_fd_oracle(),
+    tags=("data-quality", "B7", "profiling", "fd-discovery"),
+)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (level 1 of TANE/Metanome-style
+    profiling) over the orders schema: for every ordered column pair
+    A→B, does each A-value determine a single B-value? Emits the group
+    count, the EXACT violation count Σ_groups (|distinct B| − 1), and
+    the holds verdict — the dependency map schema-normalization,
+    key-detection, and dq-rule mining all start from (o_orderkey → *
+    should hold; everything else on this fixture is measured, not
+    assumed).
+
+    Exactness: all counts integer; holds is an integer equality.
+
+    Scale: one keyed aggregate PER LHS (6 shuffles, each map-side
+    partial on its own key — never a 30-way distinct expansion in one
+    plan, which blows up Catalyst's Expand operator), then each LHS
+    relation reduces to 5 violation sums. Level-k FDs chain the same
+    shape over composite keys; the lattice pruning (skip supersets of
+    holding FDs) is driver logic over 1-row results, exactly as TANE
+    prescribes."""
+    o = load_table(spark, sf_dir, "orders")
+    outs = []
+    for a in _FD_COLS:
+        others = [b for b in _FD_COLS if b != a]
+        per = o.groupBy(a).agg(
+            *[F.countDistinct(b).alias(f"n_{b}") for b in others]
+        )
+        agg = per.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            *[F.sum(F.col(f"n_{b}") - 1).alias(f"v_{b}") for b in others],
+        )
+        for b in others:
+            outs.append(
+                agg.select(
+                    F.lit(a).alias("lhs"),
+                    F.lit(b).alias("rhs"),
+                    F.col("n_groups"),
+                    F.col(f"v_{b}").alias("n_violations"),
+                    (F.col(f"v_{b}") == 0).alias("holds"),
+                )
+            )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# events_peak_detection — prominent local maxima in the hourly series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_peak_detection",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+        CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS h,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ctx AS (
+      SELECT event_type, h, c,
+        lag(c, 2) OVER w AS m2, lag(c, 1) OVER w AS m1,
+        lead(c, 1) OVER w AS p1, lead(c, 2) OVER w AS p2,
+        lag(h, 2) OVER w AS hm2, lead(h, 2) OVER w AS hp2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    full4 AS (
+      SELECT * FROM ctx
+      WHERE m2 IS NOT NULL AND p2 IS NOT NULL
+        AND hm2 = h - INTERVAL 2 HOUR AND hp2 = h + INTERVAL 2 HOUR)
+    SELECT event_type, h, c,
+      CAST(m2 + m1 + p1 + p2 AS BIGINT) AS neighbor_sum,
+      CAST(c AS DOUBLE) * 4 / (m2 + m1 + p1 + p2) AS prominence
+    FROM full4
+    WHERE c > m1 AND c > p1 AND c >= m2 AND c >= p2
+      AND 16 * c > 5 * (m2 + m1 + p1 + p2)
+    """,
+    tags=("timeseries", "B7", "B9", "anomaly", "peaks"),
+)
+def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prominent-peak detection in the hourly event-count series — the
+    burst detector monitoring stacks run next to drift and CUSUM: an
+    hour is a peak iff it strictly beats its ±1-hour neighbors, weakly
+    beats ±2, and clears the ALL-INTEGER prominence gate
+    16·c > 5·Σ(4 neighbors) (i.e. c > 1.25 × neighborhood mean — the
+    rational 5/4 kept as cross-multiplication so no float ever enters
+    the decision). Hours whose ±2 context crosses a series gap are
+    excluded by exact timestamp arithmetic, not null-padding guesses.
+
+    Exactness: counts and the gate are integers; prominence (4c/Σ) is
+    the one IEEE division, emitted for ranking only.
+
+    Scale: the fact table reduces to (type, hour) counts FIRST (one
+    map-side-combinable shuffle, |types|×|hours| rows); the lag/lead
+    context is a per-type window over that reduced series — window
+    width is constant, state is 5 rows, and the series relation is
+    ~10⁴ smaller than the fact table at any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("event_type").orderBy("h")
+    ctx = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.lag("c", 2).over(w).alias("m2"),
+        F.lag("c", 1).over(w).alias("m1"),
+        F.lead("c", 1).over(w).alias("p1"),
+        F.lead("c", 2).over(w).alias("p2"),
+        F.lag("h", 2).over(w).alias("hm2"),
+        F.lead("h", 2).over(w).alias("hp2"),
+    )
+    full4 = ctx.filter(
+        F.col("m2").isNotNull()
+        & F.col("p2").isNotNull()
+        & (F.col("hm2") == F.col("h") - F.expr("INTERVAL 2 HOUR"))
+        & (F.col("hp2") == F.col("h") + F.expr("INTERVAL 2 HOUR"))
+    )
+    nsum = F.col("m2") + F.col("m1") + F.col("p1") + F.col("p2")
+    return full4.filter(
+        (F.col("c") > F.col("m1"))
+        & (F.col("c") > F.col("p1"))
+        & (F.col("c") >= F.col("m2"))
+        & (F.col("c") >= F.col("p2"))
+        & (16 * F.col("c") > 5 * nsum)
+    ).select(
+        "event_type",
+        "h",
+        "c",
+        nsum.alias("neighbor_sum"),
+        (F.col("c").cast("double") * 4 / nsum).alias("prominence"),
+    )

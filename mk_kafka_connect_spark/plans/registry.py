@@ -172,6 +172,9 @@ R10_ADDITIONS: tuple[str, ...] = (
     "multimodal_phash_dct",
     "multimodal_phash_neardup",
     "er_fuzzy_join_edit1",
+    "dq_fd_discovery",
+    "events_peak_detection",
+    "streaming_topk_per_window",
 )
 
 # Round-10 window: CORRECTNESS_r09 certified all 50 of the r9 backlog,

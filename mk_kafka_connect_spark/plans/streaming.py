@@ -497,3 +497,49 @@ def streaming_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(final.collect(), schema=final.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_topk_per_window",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+        event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT wstart, event_type, n,
+        row_number() OVER (PARTITION BY wstart
+                           ORDER BY n DESC, event_type) AS rnk
+      FROM g)
+    SELECT wstart, event_type, n, CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("streaming", "B13", "topk", "leaderboard"),
+)
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-window leaderboard: the top-3 event types of every
+    tumbling hour — the KSQL `TOPK`/continuous-dashboard shape. The
+    UNBOUNDED half (per-window per-type counts, the state that must
+    survive late data) runs as the streaming tumbling aggregate under
+    the watermark; the rank-and-cut is a bounded POST-DRAIN window over
+    the |windows|×|types| result relation — the standard two-layer
+    serving split (Spark's streaming windows cannot nest a rank, and
+    pushing the cut upstream would discard counts a late event could
+    still promote; ranking |types| rows per window at read time is the
+    cheap, correct half). Deterministic tie-break (count desc, type) so
+    the drain hash-matches the batch oracle exactly."""
+    from pyspark.sql import Window
+
+    ev = SW.read_events_stream(spark, sf_dir)
+    counts = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("wstart"), "event_type", "n")
+    )
+    drained = SW.run_to_memory(counts, "complete")
+    w = Window.partitionBy("wstart").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        drained.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -506,3 +506,61 @@ def test_fastss_matches_bruteforce_and_is_complete(spark):
     }
     assert got == expect
     assert all(r.dist == 1 for r in rows)
+
+
+# --- batch 8: FD discovery, peak detection, streaming top-k ----------------
+
+
+def test_fd_discovery_key_column_determines_all(spark):
+    rows = QUERIES["dq_fd_discovery"].fn(spark, SF).collect()
+    assert len(rows) == 30  # 6 columns, ordered pairs
+    by_lhs = {}
+    for r in rows:
+        by_lhs.setdefault(r.lhs, []).append(r)
+        assert r.n_violations >= 0
+        assert r.holds == (r.n_violations == 0)
+    # The primary key determines every other column.
+    assert all(r.holds for r in by_lhs["o_orderkey"])
+    # A 5-value column cannot determine a ~15k-value one.
+    pri = {r.rhs: r for r in by_lhs["o_orderpriority"]}
+    assert not pri["o_orderkey"].holds
+    assert pri["o_orderkey"].n_groups == 5
+
+
+def test_peak_detection_recomputes_from_hourly(spark):
+    import duckdb
+
+    rows = QUERIES["events_peak_detection"].fn(spark, SF).collect()
+    assert rows
+    hourly = {}
+    for t, h, c in duckdb.sql(
+        f"SELECT event_type, time_bucket(INTERVAL '1 hour', ts), count(*) "
+        f"FROM '{SF}/events.parquet' GROUP BY 1, 2"
+    ).fetchall():
+        hourly[(t, h)] = c
+    import datetime
+
+    one = datetime.timedelta(hours=1)
+    for r in rows:
+        h = r.h
+        ns = [
+            hourly.get((r.event_type, h + d * one))
+            for d in (-2, -1, 1, 2)
+        ]
+        assert all(n is not None for n in ns)
+        assert r.c > ns[1] and r.c > ns[2]
+        assert r.c >= ns[0] and r.c >= ns[3]
+        assert 16 * r.c > 5 * sum(ns)
+        assert r.neighbor_sum == sum(ns)
+
+
+def test_streaming_topk_each_window_has_three(spark):
+    rows = QUERIES["streaming_topk_per_window"].fn(spark, SF).collect()
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r.wstart, []).append(r)
+    for w, rs in by_w.items():
+        assert sorted(r.rnk for r in rs) == [1, 2, 3]
+        ordered = sorted(rs, key=lambda r: r.rnk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert (a.n, b.event_type) >= (b.n, a.event_type) or a.n > b.n
