@@ -260,8 +260,15 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    # Filtered runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
+    # committed full-run artifact the judge reads.
+    local_name = (
+        "BENCH_LOCAL.json"
+        if not os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+        else "BENCH_LOCAL_FILTERED.json"
+    )
     local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)), local_name
     )
     try:
         with open(local_path, "w") as f:

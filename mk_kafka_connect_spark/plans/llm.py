@@ -3251,3 +3251,81 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash_lo",
     )
     return phash_near_dups(fp=fp0.unionByName(fp1), max_hamming=7)
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_recall_report — measured recall/precision of the LSH dedup tier
+# ---------------------------------------------------------------------------
+
+
+def _sql_dedup_recall_oracle() -> str:
+    from .registry import QUERIES as _QQ
+
+    true_sql = _QQ["dedup_ngram_jaccard"].oracle
+    lsh_sql = _QQ["dedup_minhash_lsh"].oracle
+    return f"""
+    WITH truth AS (SELECT id_a, id_b, jaccard FROM ({true_sql}) t),
+    cand AS (SELECT id_a, id_b, est_jaccard FROM ({lsh_sql}) t)
+    SELECT
+      coalesce(truth.id_a, cand.id_a) AS id_a,
+      coalesce(truth.id_b, cand.id_b) AS id_b,
+      truth.jaccard AS exact_jaccard,
+      cand.est_jaccard,
+      CASE WHEN truth.id_a IS NULL THEN 'false_positive'
+           WHEN cand.id_a IS NULL THEN 'missed'
+           ELSE 'hit' END AS status
+    FROM truth FULL JOIN cand
+      ON truth.id_a = cand.id_a AND truth.id_b = cand.id_b
+    """
+
+
+@query(
+    "dedup_lsh_recall_report",
+    oracle=_sql_dedup_recall_oracle(),
+    tags=("dedup", "B15", "evaluation", "recall"),
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP QUALITY REPORT as a relation: the MinHash-LSH candidate
+    tier full-outer-joined against its exact n-gram-Jaccard ground
+    truth, each pair labeled hit / missed / false_positive with both
+    similarity scores side by side — the measurement that decides
+    band/row parameters before trusting the approximate tier on a
+    corpus (the dedup counterpart of sim_recall_ivf_vs_exact). Both
+    sides come from the REGISTERED operators, so this certifies the
+    comparison: the oracle embeds both component oracles verbatim and
+    replays candidate generation, exact scoring, and the outer join.
+
+    Cost is the two component queries plus a pairs-sized outer join
+    (|pairs| ≈ dozens per 10⁴ docs after thresholding); in production
+    this runs on a sampled shard, exactly as here."""
+    from .registry import QUERIES as _QQ
+
+    truth = (
+        _QQ["dedup_ngram_jaccard"]
+        .fn(spark, sf_dir)
+        .select("id_a", "id_b", F.col("jaccard").alias("exact_jaccard"))
+    )
+    cand = (
+        _QQ["dedup_minhash_lsh"]
+        .fn(spark, sf_dir)
+        .select(
+            F.col("id_a").alias("c_a"),
+            F.col("id_b").alias("c_b"),
+            "est_jaccard",
+        )
+    )
+    j = truth.join(
+        cand,
+        (truth.id_a == cand.c_a) & (truth.id_b == cand.c_b),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce("id_a", "c_a").alias("id_a"),
+        F.coalesce("id_b", "c_b").alias("id_b"),
+        "exact_jaccard",
+        "est_jaccard",
+        F.when(F.col("id_a").isNull(), "false_positive")
+        .when(F.col("c_a").isNull(), "missed")
+        .otherwise("hit")
+        .alias("status"),
+    )

@@ -331,3 +331,73 @@ def docs_char_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "rnk",
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_zipf_fit — rank-size law diagnostic over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+
+@query(
+    "docs_zipf_fit",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    c AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+          WHERE word <> '' GROUP BY word),
+    n AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT word, freq,
+        row_number() OVER (ORDER BY freq DESC, word) AS rnk
+      FROM c)
+    SELECT r.word, r.freq, CAST(r.rnk AS BIGINT) AS rnk,
+      CAST(r.rnk * r.freq AS BIGINT) AS rank_freq_product,
+      CAST(r.freq AS DOUBLE) / n.total AS rel_freq,
+      CAST(r.rnk * r.freq AS DOUBLE) / n.total AS zipf_c
+    FROM r CROSS JOIN n
+    WHERE r.rnk <= {_ZIPF_TOPK}
+    """,
+    tags=("text", "B15", "corpus-stats", "zipf"),
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-size diagnostic over the corpus vocabulary: the top-100
+    words with rank, frequency, and the rank×frequency product — under
+    Zipf's law that product is ~constant (zipf_c ≈ the law's C), and
+    systematic drift in it is the standard screen for synthetic,
+    templated, or boilerplate-heavy corpora (natural text tracks C
+    within a band; generated word soup goes flat). LOG-FREE: the
+    classical log-log slope fit is replaced by the exact integer
+    product the slope would estimate, so no engine transcendental runs.
+
+    Exactness: counts, ranks, and the product are integers; rel_freq
+    and zipf_c are each ONE IEEE division by the exact corpus total.
+
+    Scale: one word explode into a map-side-combinable vocabulary
+    count, a 1-row total broadcast, and a top-k over the vocabulary
+    relation (TakeOrdered, no full sort); the corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n = c.agg(F.sum("freq").alias("total"))
+    r = c.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("word"))),
+    ).filter(F.col("rnk") <= _ZIPF_TOPK)
+    return r.crossJoin(F.broadcast(n)).select(
+        "word",
+        "freq",
+        F.col("rnk").cast("long").alias("rnk"),
+        (F.col("rnk") * F.col("freq")).cast("long").alias(
+            "rank_freq_product"
+        ),
+        (F.col("freq").cast("double") / F.col("total")).alias("rel_freq"),
+        (
+            (F.col("rnk") * F.col("freq")).cast("double") / F.col("total")
+        ).alias("zipf_c"),
+    )
