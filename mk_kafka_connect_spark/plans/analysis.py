@@ -632,11 +632,12 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _BM25_TERMS
         ],
     )
+    # Global top-k via ORDER BY + LIMIT (TakeOrderedAndProject: per-
+    # partition top-k + merge, no single-partition sort of |docs| rows);
+    # the rank window then runs over the ≤K-row bounded result only.
     wr = W.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        totaled.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= _BM25_TOPK)
-    )
+    top = totaled.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_TOPK)
+    return top.withColumn("rnk", F.row_number().over(wr))
 
 
 # ---------------------------------------------------------------------------

@@ -346,18 +346,21 @@ def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = nonedge.join(da, "a").join(db, "b")
     denom = F.col("deg_a") + F.col("deg_b") - F.col("common")
     key = (F.col("common") * F.lit(1000000000000) / denom).cast("long")
-    ranked = scored.withColumn(
-        "rnk",
-        F.row_number().over(
-            W.orderBy(
-                F.desc(key),
-                F.desc("common"),
-                F.desc("ra_micro"),
-                F.asc("a"),
-                F.asc("b"),
-            )
-        ),
-    ).filter(F.col("rnk") <= _LINKPRED_TOPK)
+    order = [
+        F.desc(key),
+        F.desc("common"),
+        F.desc("ra_micro"),
+        F.asc("a"),
+        F.asc("b"),
+    ]
+    # Global top-k via ORDER BY + LIMIT (TakeOrderedAndProject), so the
+    # O(|V|·k²) candidate relation is never sorted on one partition;
+    # the rank window runs over the ≤K-row bounded result only.
+    ranked = (
+        scored.orderBy(*order)
+        .limit(_LINKPRED_TOPK)
+        .withColumn("rnk", F.row_number().over(W.orderBy(*order)))
+    )
     return ranked.select(
         "a",
         "b",

@@ -1761,14 +1761,17 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").cast("long").alias("total"))
+    # The emitted prefix is rnk <= 200, so the global rank/cumsum only
+    # needs the top-200 rows: ORDER BY + LIMIT compiles to
+    # TakeOrderedAndProject (per-partition top-k + merge) and the
+    # window — whose running sum over the top-200 prefix equals the
+    # global prefix sum for exactly those rows — runs over the bounded
+    # 200-row result, never the unbounded vocabulary.
     win = Window.orderBy(F.desc("n"), F.asc("word"))
-    ranked = (
-        counts.withColumn("rnk", F.row_number().over(win))
-        .withColumn(
-            "cum",
-            F.sum("n").over(win.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .filter(F.col("rnk") <= 200)
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(200)
+    ranked = top.withColumn("rnk", F.row_number().over(win)).withColumn(
+        "cum",
+        F.sum("n").over(win.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         "rnk",
@@ -2665,7 +2668,7 @@ def _register_bpe_token_counts() -> None:
         # encoder is bit-identical to the training rewrite. Per-doc counts
         # then come from re-tokenizing the corpus and joining the
         # word -> symbol-count map.
-        oracle=f"""
+        oracle=rf"""
         WITH RECURSIVE
         m AS (SELECT merge_rank, left_sym, right_sym FROM ({merges_sql}) t),
         toks AS (

@@ -28,6 +28,9 @@ __all__ = [
     "R9_ADDITIONS",
     "R10_ADDITIONS",
     "R2_STALE_RECERTS",
+    "R12_ORPHANS",
+    "R12_ADDITIONS",
+    "R6_STALE_FILL",
     "certification_order",
 ]
 
@@ -231,7 +234,111 @@ def _r10_front() -> tuple[str, ...]:
     return tuple((head + fill)[:DRIVER_WINDOW])
 
 
-CERTIFICATION_FRONT: tuple[str, ...] = _r10_front()
+# ---------------------------------------------------------------------------
+# Round-12 rotation (VERDICT r11 "Next round" #4). The r10 AND r11 driver
+# windows both certified _r10_front() — its 45 additions plus the first five
+# stale re-certs (the agg_* head of R2_STALE_RECERTS); round 11 shipped no
+# registry change, so the r11 window re-ran the identical set. What remains
+# owed is (a) the two queries with NO driver row in any CORRECTNESS artifact
+# (the registry-rotation orphans this round finally enrolls) and (b) the 31
+# R2_STALE_RECERTS that did not fit the r10 window. That is 33 committed
+# slots; the rest of the window goes to queries ADDED during round 12, then
+# any still-free slots re-certify the stalest surviving evidence (newest
+# green row = round 6), in registration order. Derivations are recomputed
+# from the artifact files by tests/test_registry_rotation.py.
+# ---------------------------------------------------------------------------
+
+# Registered but never driver-certified (both fail-listed in VERDICT r10/r11).
+R12_ORPHANS: tuple[str, ...] = (
+    "docs_zipf_fit",
+    "dedup_lsh_recall_report",
+)
+
+# Queries REWRITTEN during round 12 (the global-window scale fix, VERDICT
+# r11 item 2) whose newest driver row predates the rewrite — pinned for
+# re-certification directly behind the owed set. docs_zipf_fit was also
+# rewritten but is already pinned via R12_ORPHANS.
+R12_REWRITTEN: tuple[str, ...] = (
+    "docs_bm25_topk",
+    "docs_collocations_lift",
+    "docs_char_bigram_rarity",
+    "docs_vocab_coverage",
+    "orders_pareto_customers",
+    "graph_linkpred",
+)
+
+# Queries ADDED during round 12 — extended as each lands; they take the
+# window slots directly behind the rewrites.
+R12_ADDITIONS: tuple[str, ...] = ()
+
+# Queries whose newest green driver row is round 6 (registration order) —
+# the fill pool for any window slots the owed set + r12 additions leave free.
+R6_STALE_FILL: tuple[str, ...] = (
+    "text_repetition_stats",
+    "text_gopher_quality",
+    "sim_topk_ivf",
+    "docs_hash_split",
+    "docs_decontaminate",
+    "pipeline_training_data",
+    "q1_pricing_summary",
+    "window_rank_funcs",
+    "window_running_agg",
+    "window_range_frame",
+    "sessionize_events",
+    "topk_per_group",
+    "sort_limit_offset",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    "pivot_event_counts",
+    "unpivot_order_stats",
+    "scalar_string_funcs",
+    "scalar_regex_funcs",
+    "scalar_datetime_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_json_funcs",
+    "string_cast_transform",
+    "scalar_map_funcs",
+    "scalar_posexplode",
+    "streaming_tumbling_window",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_dedup",
+    "streaming_stream_static_join",
+    "streaming_stateful_running",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discount_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "udf_row_python",
+    "udf_pandas_vectorized",
+    "udf_grouped_apply",
+    "udf_python_udtf",
+)
+
+
+def _r12_front() -> tuple[str, ...]:
+    certified_r10_r11 = set(_r10_front())
+    owed = list(R12_ORPHANS) + [
+        n for n in R2_STALE_RECERTS if n not in certified_r10_r11
+    ]
+    head = owed + [n for n in R12_REWRITTEN if n not in owed]
+    head += [n for n in R12_ADDITIONS if n not in head]
+    fill = [n for n in R6_STALE_FILL if n not in head]
+    return tuple((head + fill)[:DRIVER_WINDOW])
+
+
+CERTIFICATION_FRONT: tuple[str, ...] = _r12_front()
 
 
 def certification_order() -> list[str]:
@@ -243,7 +350,7 @@ def certification_order() -> list[str]:
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up = [
         n
-        for n in (*R10_ADDITIONS, *R2_STALE_RECERTS)
+        for n in (*R12_ADDITIONS, *R6_STALE_FILL)
         if n in QUERIES and n not in front
     ]
     pinned = set(front) | set(next_up)

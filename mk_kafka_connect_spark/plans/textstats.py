@@ -207,13 +207,19 @@ def docs_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    ranked = scored.withColumn(
+    # Global top-k WITHOUT a single-partition sort: ORDER BY + LIMIT
+    # compiles to TakeOrderedAndProject (per-partition top-k + merge);
+    # the row_number window then runs over the ≤K-row bounded result,
+    # so no WindowExec ever sees the unbounded bigram-vocab relation.
+    top = scored.orderBy(
+        F.desc("lift"), F.desc("c_ab"), F.asc("bigram")
+    ).limit(_COLL_TOPK)
+    return top.withColumn(
         "rnk",
         F.row_number().over(
             W.orderBy(F.desc("lift"), F.desc("c_ab"), F.asc("bigram"))
         ),
     )
-    return ranked.filter(F.col("rnk") <= _COLL_TOPK)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +253,7 @@ _RARITY_TOPK = 50
       SELECT doc_id, n_bigrams, n_distinct, n_rare, rarity_score,
         CAST(n_rare AS DOUBLE) / n_bigrams AS rare_rate,
         CAST(rarity_score AS DOUBLE) / n_bigrams AS avg_rarity,
-        row_number() OVER (ORDER BY rarity_score * 1000000 / n_bigrams DESC,
+        row_number() OVER (ORDER BY rarity_score * 1000000 // n_bigrams DESC,
                            doc_id) AS rnk
       FROM scored)
     SELECT doc_id, n_bigrams, n_distinct, n_rare, rarity_score,
@@ -305,18 +311,17 @@ def docs_char_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rarity_score"),
         )
     )
-    ranked = scored.withColumn(
+    # Exact integer ranking key (div = int64 division, matching the
+    # oracle's // — NOT double-divide-then-truncate, which would drift
+    # from the oracle on a precision collision) and global top-k via
+    # ORDER BY + LIMIT (TakeOrderedAndProject); the row_number window
+    # only ever sees the ≤K-row bounded result.
+    key = F.expr("div(rarity_score * 1000000, n_bigrams)")
+    top = scored.orderBy(key.desc(), F.asc("doc_id")).limit(_RARITY_TOPK)
+    ranked = top.withColumn(
         "rnk",
-        F.row_number().over(
-            W.orderBy(
-                F.desc(
-                    (F.col("rarity_score") * 1000000 / F.col("n_bigrams"))
-                    .cast("long")
-                ),
-                F.asc("doc_id"),
-            )
-        ),
-    ).filter(F.col("rnk") <= _RARITY_TOPK)
+        F.row_number().over(W.orderBy(key.desc(), F.asc("doc_id"))),
+    )
     return ranked.select(
         "doc_id",
         "n_bigrams",
@@ -385,10 +390,13 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     n = c.agg(F.sum("freq").alias("total"))
-    r = c.withColumn(
+    # ORDER BY + LIMIT → TakeOrderedAndProject; the rank window runs
+    # over the ≤K-row result, never the unbounded vocabulary.
+    top = c.orderBy(F.desc("freq"), F.asc("word")).limit(_ZIPF_TOPK)
+    r = top.withColumn(
         "rnk",
         F.row_number().over(W.orderBy(F.desc("freq"), F.asc("word"))),
-    ).filter(F.col("rnk") <= _ZIPF_TOPK)
+    )
     return r.crossJoin(F.broadcast(n)).select(
         "word",
         "freq",

@@ -495,17 +495,44 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal arithmetic — no division, bit-stable.
 
     Scale shape: one partial-aggregable per-customer rollup over orders,
-    then the rank/cumsum window runs over the AGGREGATED customer-sized
-    relation (the docs_vocab_coverage argument) with a 1-row total
-    broadcast."""
+    then the global rank/cumsum is the two-phase block-prefix
+    decomposition (per-revenue-band partials + exclusive prefix over the
+    tiny band table + band-partitioned window) with a 1-row total
+    broadcast — no single-partition sort at any size."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum(dec2("o_totalprice")).alias("r"))
-    win = Window.orderBy(F.desc("r"), F.asc("o_custkey"))
-    ranked = rev.select(
-        F.row_number().over(win).alias("rnk"),
+    # Global rank+cumsum over the UNBOUNDED customer relation WITHOUT a
+    # single-partition sort: the two-phase parallel-prefix decomposition
+    # (same device as events_disorder_profile / layout_zorder's grouped
+    # rank). The coarse block key -⌊cents/10⁶⌋ (~$10k revenue bands) is
+    # a monotone function of the leading sort key, hence a prefix of the
+    # total order: per-block counts AND revenue sums roll up map-side,
+    # the exclusive running totals cross the tiny block table only, and
+    # the within-block window is partitioned BY block. Global rank =
+    # prior-block count + within-block row_number; global cumsum =
+    # prior-block sum + within-block running sum — identical to the
+    # oracle's plain global window because ties never straddle blocks.
+    b = rev.withColumn(
+        "_blk", F.expr("-div(CAST(r * 100 AS BIGINT), 1000000)")
+    )
+    blocks = b.groupBy("_blk").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("r").alias("_s")
+    )
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    prior = blocks.select(
+        "_blk",
+        F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_prior_n"),
+        F.coalesce(F.sum("_s").over(wb), F.lit(0)).alias("_prior_s"),
+    )
+    ww = Window.partitionBy("_blk").orderBy(F.desc("r"), F.asc("o_custkey"))
+    ranked = b.join(F.broadcast(prior), "_blk").select(
+        (F.col("_prior_n") + F.row_number().over(ww)).alias("rnk"),
         "o_custkey",
         "r",
-        F.sum("r").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        (
+            F.col("_prior_s")
+            + F.sum("r").over(ww.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("cum"),
     )
     total = rev.agg(F.sum("r").alias("total"))
     return ranked.crossJoin(F.broadcast(total)).select(

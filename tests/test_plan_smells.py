@@ -62,7 +62,33 @@ ALLOWED = {
     "(N_uni, N_bi lift denominators)",
     "docs_char_bigram_rarity": "1-row corpus-total broadcast "
     "(rarity denominator)",
+    "docs_zipf_fit": "1-row corpus-total broadcast (rel_freq/zipf_c "
+    "denominator) onto the 100-row TakeOrdered result",
     "docs_dataset_card": "1-row corpus-totals broadcast (share denominators)",
+}
+
+# Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving
+# all data to a single partition") is fine over a PROVABLY BOUNDED input —
+# a ≤K-row TakeOrdered result, a coarse-block table, a calendar-bounded
+# day table — and a scale-killer over anything data-sized. Every query
+# whose plan contains one must be here with the boundedness argument.
+WINDOW_ALLOWED = {
+    # rank window over the ≤K-row ORDER BY + LIMIT (TakeOrderedAndProject)
+    # result — pinned by tests/test_plans_physical.py.
+    "docs_bm25_topk": "row_number over the 25-row TakeOrdered result",
+    "docs_char_bigram_rarity": "row_number over the 50-row TakeOrdered result",
+    "docs_collocations_lift": "row_number over the 30-row TakeOrdered result",
+    "docs_vocab_coverage": "rank+cumsum over the 200-row TakeOrdered result",
+    "docs_zipf_fit": "row_number over the 100-row TakeOrdered result",
+    "graph_linkpred": "row_number over the 50-row TakeOrdered result",
+    # exclusive-prefix window over the tiny coarse-block table of the
+    # two-phase block-prefix rank/cumsum decomposition.
+    "events_disorder_profile": "prefix max over the n/4096-row block table",
+    "layout_zorder_pruning_stats": "prefix count over the ~1024-row block tables",
+    "orders_pareto_customers": "prefix count+sum over the ~$10k-band block table",
+    # calendar- or k-bounded relations.
+    "orders_interpurchase_hazard": "survival curve over the k-sized gap-bucket table",
+    "orders_open_backlog": "running balance over the calendar-bounded day table",
 }
 
 _BATCH = [
@@ -70,6 +96,46 @@ _BATCH = [
     for n, s in QUERIES.items()
     if "streaming" not in s.tags and not n.startswith("streaming")
 ]
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Sort keys of every windowspecdefinition with NO partition columns.
+
+    In the executed-plan string a window spec reads
+    ``windowspecdefinition(part..., key ASC/DESC ..., specifiedwindowframe(...))``;
+    partition columns carry no sort direction, so an ASC/DESC marker in the
+    FIRST top-level argument means the partition list is empty — exactly the
+    case where WindowExec moves everything to a single partition."""
+    out: list[str] = []
+    i = 0
+    token = "windowspecdefinition("
+    while True:
+        j = plan.find(token, i)
+        if j < 0:
+            return out
+        k = j + len(token)
+        depth, end = 1, k
+        while depth and end < len(plan):
+            ch = plan[end]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            end += 1
+        args = plan[k : end - 1]
+        d, first_end = 0, len(args)
+        for idx, ch in enumerate(args):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch == "," and d == 0:
+                first_end = idx
+                break
+        first = args[:first_end]
+        if " ASC" in first or " DESC" in first:
+            out.append(first.strip())
+        i = end
 
 
 @pytest.mark.parametrize("name", [n for n, _ in _BATCH])
@@ -86,4 +152,13 @@ def test_no_unexpected_scale_smells(spark, name):
         raise AssertionError(
             f"{name}: unexpected scale smell(s) {smells} — either fix the plan "
             f"or allowlist with a reason in test_plan_smells.py"
+        )
+    globals_ = _unpartitioned_windows(plan)
+    if globals_ and name not in WINDOW_ALLOWED:
+        raise AssertionError(
+            f"{name}: unpartitioned WindowExec over sort keys {globals_} — "
+            f"a single-partition global sort at scale. Use ORDER BY + LIMIT "
+            f"(TakeOrderedAndProject) for top-k, the block-prefix device "
+            f"(plans/layout.py grouped rank) for global rank/cumsum, or "
+            f"allowlist with a boundedness argument in WINDOW_ALLOWED."
         )

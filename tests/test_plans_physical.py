@@ -374,3 +374,35 @@ def test_session_paths_single_row_sized_exchange(spark):
     plan = _plan(QUERIES["events_session_paths"].fn(spark, SF))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_global_topk_queries_take_ordered_not_global_sort(spark):
+    """VERDICT r10/r11 item 2: the six global top-k queries must reach
+    their K rows via TakeOrderedAndProject (per-partition top-k + merge)
+    and run the rank window only over that bounded result — never an
+    unpartitioned WindowExec over the data-sized relation. The window's
+    input being limited is pinned by TakeOrderedAndProject appearing in
+    the plan; test_plan_smells.WINDOW_ALLOWED carries the boundedness
+    argument for the residual ≤K-row window."""
+    for name in (
+        "docs_bm25_topk",
+        "docs_collocations_lift",
+        "docs_char_bigram_rarity",
+        "docs_zipf_fit",
+        "docs_vocab_coverage",
+        "graph_linkpred",
+    ):
+        plan = _plan(QUERIES[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k lost TakeOrdered"
+
+
+def test_pareto_rank_is_block_prefix_partitioned(spark):
+    """orders_pareto_customers emits EVERY customer, so its global
+    rank+cumsum must be the two-phase block-prefix decomposition: the
+    per-row window partitioned BY the revenue-band block key (no
+    single-partition sort of the customer relation), with the exclusive
+    prefix running over the tiny band table only."""
+    plan = _plan(QUERIES["orders_pareto_customers"].fn(spark, SF))
+    assert "windowspecdefinition(_blk" in plan, (
+        "customer-sized window lost its block partitioning"
+    )

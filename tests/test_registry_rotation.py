@@ -1,18 +1,18 @@
-"""Guard the driver-certification rotation (round 10).
+"""Guard the driver-certification rotation (round 12).
 
 The driver hash-checks only the FIRST 50 entries of the exposed query
-dict per round. CORRECTNESS_r09 went 50/50 green on the r9 backlog, so
-every query registered before round 9 now has >=1 driver row ever. The
-r10 window therefore certifies (a) the 16 queries added during r9
-(zero driver rows yet), (b) everything added during r10, and (c) fills
-the remaining slots by RE-certifying the stalest evidence — queries
-whose newest green driver row is still round 2. The stale set is
+dict per round. The r10 AND r11 windows both certified the same
+``_r10_front()`` set (round 11 shipped no registry change), so after
+r11 the owed evidence is: 2 queries with NO driver row ever (the
+rotation orphans) and 31 queries whose newest green row is still
+round 2. The r12 front pins orphans + stale-r2 re-certs first, then
+round-12 additions, then fills any free slots from the stalest
+surviving evidence (newest green row = round 6). Every set is
 recomputed here from the artifact files so the pin cannot drift.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import re
@@ -23,26 +23,31 @@ from mk_kafka_connect_spark.plans.registry import (
     DRIVER_WINDOW,
     QUERIES,
     R2_STALE_RECERTS,
-    R9_ADDITIONS,
-    R10_ADDITIONS,
+    R6_STALE_FILL,
+    R12_ADDITIONS,
+    R12_ORPHANS,
+    R12_REWRITTEN,
+    _r10_front,
     certification_order,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Artifacts that existed when the r10 front was pinned (r1..r9; the r7
+# Artifacts that existed when the r12 front was pinned (r1..r11; the r7
 # driver never ran, so that file is legitimately absent). Later rounds
 # append artifacts; the derivation stays frozen on this evidence.
-_PRE_R10_ARTIFACTS = tuple(f"CORRECTNESS_r0{n}.json" for n in range(1, 10))
+_PRE_R12_ARTIFACTS = tuple(
+    f"CORRECTNESS_r{n:02d}.json" for n in range(1, 12)
+)
 
 
 def _latest_green_round() -> dict[str, int]:
     latest: dict[str, int] = {}
-    for fname in _PRE_R10_ARTIFACTS:
+    for fname in _PRE_R12_ARTIFACTS:
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
             continue
-        rnd = int(re.search(r"r0(\d+)", fname).group(1))
+        rnd = int(re.search(r"r(\d+)", fname).group(1))
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -59,33 +64,52 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
-def test_every_pre_r9_query_has_a_driver_row():
-    # The r9 window closed the coverage bar: nothing registered before
-    # round 9 may be driver-uncertified. (R9/R10 additions are the only
-    # allowed holes — they are what the r10 front exists to certify.)
+def test_orphans_match_artifacts():
+    # Exactly the registered queries with no green driver row ever —
+    # outside the round-12 additions, which are new by definition.
     latest = _latest_green_round()
-    new = set(R9_ADDITIONS) | set(R10_ADDITIONS)
-    holes = [n for n in QUERIES if n not in latest and n not in new]
-    assert not holes, f"driver-uncertified queries outside the new-query set: {holes}"
-
-
-def test_stale_recert_list_matches_artifacts():
-    latest = _latest_green_round()
-    stale = sorted(n for n, r in latest.items() if r <= 2 and n in QUERIES)
-    assert stale == sorted(R2_STALE_RECERTS), (
-        f"stale set drifted from evidence: "
-        f"missing={sorted(set(stale) - set(R2_STALE_RECERTS))} "
-        f"extra={sorted(set(R2_STALE_RECERTS) - set(stale))}"
+    orphans = sorted(
+        n for n in QUERIES if n not in latest and n not in R12_ADDITIONS
+    )
+    assert orphans == sorted(R12_ORPHANS), (
+        f"orphan set drifted from evidence: artifacts say {orphans}"
     )
 
 
-def test_front_is_new_queries_then_stale_recerts():
-    head = list(R9_ADDITIONS) + [
-        n for n in R10_ADDITIONS if n not in R9_ADDITIONS
+def test_owed_stale_set_matches_artifacts():
+    # The stale-r2 queries owed a re-cert are exactly R2_STALE_RECERTS
+    # minus the five that made the r10/r11 windows.
+    latest = _latest_green_round()
+    stale = sorted(n for n, r in latest.items() if r <= 2 and n in QUERIES)
+    owed = sorted(n for n in R2_STALE_RECERTS if n not in set(_r10_front()))
+    assert stale == owed, (
+        f"owed set drifted from evidence: "
+        f"missing={sorted(set(stale) - set(owed))} "
+        f"extra={sorted(set(owed) - set(stale))}"
+    )
+
+
+def test_r6_fill_pool_matches_artifacts():
+    latest = _latest_green_round()
+    r6 = [n for n in QUERIES if latest.get(n) == 6]
+    assert r6 == list(R6_STALE_FILL), (
+        f"r6 fill pool drifted from evidence: "
+        f"missing={sorted(set(r6) - set(R6_STALE_FILL))} "
+        f"extra={sorted(set(R6_STALE_FILL) - set(r6))}"
+    )
+
+
+def test_front_is_orphans_then_owed_then_rewrites_then_additions_then_fill():
+    owed = list(R12_ORPHANS) + [
+        n for n in R2_STALE_RECERTS if n not in set(_r10_front())
     ]
-    fill = [n for n in R2_STALE_RECERTS if n not in head]
+    head = owed + [n for n in R12_REWRITTEN if n not in owed]
+    head += [n for n in R12_ADDITIONS if n not in head]
+    fill = [n for n in R6_STALE_FILL if n not in head]
     expected = tuple((head + fill)[:DRIVER_WINDOW])
     assert CERTIFICATION_FRONT == expected
+    # The 33 owed slots must never be displaced by rewrites/additions/fill.
+    assert list(CERTIFICATION_FRONT[: len(owed)]) == owed
 
 
 def test_front_fills_driver_window_exactly():
@@ -95,28 +119,38 @@ def test_front_fills_driver_window_exactly():
     assert len(set(CERTIFICATION_FRONT)) == DRIVER_WINDOW
     dangling = [n for n in CERTIFICATION_FRONT if n not in QUERIES]
     assert not dangling, f"front names not in registry: {dangling}"
-    dangling = [n for n in (*R9_ADDITIONS, *R10_ADDITIONS) if n not in QUERIES]
-    assert not dangling, f"addition names not in registry: {dangling}"
+    dangling = [
+        n
+        for n in (*R12_ORPHANS, *R12_REWRITTEN, *R12_ADDITIONS)
+        if n not in QUERIES
+    ]
+    assert not dangling, f"pinned names not in registry: {dangling}"
 
 
-def test_front_differs_from_r9_window():
-    # The r5/r6 failure mode: two rounds burned the driver window on the
-    # same 50 names. Spot-check the r9 head; none belongs in the r10
-    # window (they were all certified green in CORRECTNESS_r09).
-    r9_head = {"agg_approx_distinct", "cdc_scd2_history", "docs_pack_sequences"}
-    assert not r9_head & set(CERTIFICATION_FRONT), "r10 front repeats the r9 window"
+def test_front_differs_from_r11_window():
+    # The r5/r6 (and again r11) failure mode: two rounds burned the
+    # driver window on the same 50 names. Nothing certified green in the
+    # r10/r11 windows belongs in the r12 window — EXCEPT queries whose
+    # plan was rewritten this round, whose old rows no longer attest the
+    # shipped code.
+    repeats = set(_r10_front()) & set(CERTIFICATION_FRONT) - set(R12_REWRITTEN)
+    assert not repeats, f"r12 front repeats the r10/r11 window: {sorted(repeats)}"
 
 
-def test_recert_overflow_queues_directly_behind_window():
+def test_fill_overflow_queues_directly_behind_window():
     order = certification_order()
     front = set(CERTIFICATION_FRONT)
-    overflow = [n for n in R2_STALE_RECERTS if n not in front]
+    overflow = [
+        n
+        for n in (*R12_ADDITIONS, *R6_STALE_FILL)
+        if n in QUERIES and n not in front
+    ]
     behind = order[DRIVER_WINDOW : DRIVER_WINDOW + len(overflow)]
-    assert behind == overflow, "re-cert overflow must head the r11 queue"
+    assert behind == overflow, "fill overflow must head the r13 queue"
 
 
 def test_window_queries_all_have_oracles():
-    # Every r10 window query claims a full DuckDB value-hash oracle —
+    # Every r12 window query claims a full DuckDB value-hash oracle —
     # a rows-only driver row would not discharge the certification debt.
     missing = [n for n in CERTIFICATION_FRONT if QUERIES[n].oracle is None]
     assert not missing, f"window queries without oracle SQL: {missing}"
