@@ -1,0 +1,317 @@
+"""Round-12 curation/profiling query surface: corpus-level boilerplate
+and novelty screens, embedding outlier detection, and key-discovery
+profiling — the data-curation companions to the dedup/similarity
+families in ``plans/llm.py``.
+
+Same oracle discipline as the rest of the registry: deterministic
+integer hashing (functions/hashing.py) and exact-int arithmetic until a
+final one-division double, so DuckDB reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.hashing import md5_mod, shingles
+from .llm import _SQL_QUANT, _sql_shingle_cte
+from ..operators.similarity import quantize
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# docs_boilerplate_fraction — cross-document frequent-shingle gate
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_DF = 5  # a shingle in >= 5 distinct docs is boilerplate
+
+
+@query(
+    "docs_boilerplate_fraction",
+    oracle=f"""
+    WITH {_sql_shingle_cte()},
+    ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+    dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM ex GROUP BY h),
+    scored AS (
+      SELECT ex.doc_id,
+        CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN dfreq.df >= {_BOILER_MIN_DF} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boiler
+      FROM ex JOIN dfreq USING (h) GROUP BY ex.doc_id)
+    SELECT doc_id, n_shingles, n_boiler,
+      CAST(n_boiler AS DOUBLE) / n_shingles AS boiler_frac,
+      n_boiler * 10 >= 3 * n_shingles AS flagged
+    FROM scored
+    """,
+    tags=("text", "B15", "quality", "boilerplate"),
+)
+def docs_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate gate (the C4/RefinedWeb "common
+    n-gram" filter): the fraction of each document's distinct word
+    trigrams that occur in >= 5 other documents — headers, footers,
+    navigation chrome, and license blocks score high while original
+    prose scores low. The corpus-frequency complement of
+    ``text_repetition_stats`` (which measures WITHIN-document
+    repetition); a doc is flagged when >= 30% of its shingles are
+    corpus-boilerplate (exact integer cross-multiplication, no float
+    compare).
+
+    Scale shape: one shingle explode into a map-side-combinable
+    document-frequency group-by (|distinct shingles| rows — vocabulary-
+    bounded), a hash join back on the shingle hash (both sides already
+    partitioned by h from the group-by), and one per-doc aggregate that
+    re-uses the scan partitioning. No window, no all-pairs anything —
+    the same 100 TB shape as the MinHash signature pass."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", 3))).alias("_s"),
+    ).select("doc_id", md5_mod(F.col("_s")).alias("h"))
+    dfreq = ex.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        ex.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_MIN_DF, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        (F.col("n_boiler").cast("double") / F.col("n_shingles")).alias(
+            "boiler_frac"
+        ),
+        (F.col("n_boiler") * 10 >= 3 * F.col("n_shingles")).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_ngram_novelty_curve — novel-content fraction per crawl snapshot
+# ---------------------------------------------------------------------------
+
+_NOVELTY_EPOCHS = 8
+
+
+@query(
+    "docs_ngram_novelty_curve",
+    oracle=f"""
+    WITH {_sql_shingle_cte()},
+    eh AS (
+      SELECT DISTINCT doc_id % {_NOVELTY_EPOCHS} AS epoch, h
+      FROM (SELECT doc_id, unnest(sh) AS h FROM sh)),
+    first AS (SELECT h, min(epoch) AS first_epoch FROM eh GROUP BY h)
+    SELECT epoch,
+      CAST(count(*) AS BIGINT) AS n_hashes,
+      CAST(sum(CASE WHEN first.first_epoch = eh.epoch THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_novel,
+      CAST(sum(CASE WHEN first.first_epoch = eh.epoch THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*) AS novel_frac
+    FROM eh JOIN first USING (h)
+    GROUP BY epoch
+    """,
+    tags=("text", "B15", "dedup", "novelty"),
+)
+def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot content-novelty curve: treating doc_id % 8 as the
+    crawl snapshot, the fraction of each snapshot's distinct trigram
+    hashes first seen in THAT snapshot (vs inherited from any earlier
+    one) — the curve that decides whether re-crawling still yields new
+    training content or just re-downloads the same web (the
+    dedup-over-time diagnostic next to the pairwise dedup family; cf.
+    the reference's incremental-scan watermark semantics,
+    Task.java:294-343, which solve the same "what is new since last
+    time" problem at the connector tier).
+
+    Scale shape: distinct (epoch, hash) pairs — one explode + one
+    distinct shuffle on the hash-dominated key — then a min-epoch
+    group-by over |distinct hashes| rows and a join back on the hash
+    key both sides are already partitioned by. Output is
+    epoch-count-sized (8 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    eh = (
+        d.select(
+            (F.col("doc_id") % _NOVELTY_EPOCHS).alias("epoch"),
+            F.explode(F.array_distinct(shingles("text", 3))).alias("_s"),
+        )
+        .select("epoch", md5_mod(F.col("_s")).alias("h"))
+        .distinct()
+    )
+    first = eh.groupBy("h").agg(F.min("epoch").alias("first_epoch"))
+    novel = F.sum(
+        F.when(F.col("first_epoch") == F.col("epoch"), 1).otherwise(0)
+    )
+    return (
+        eh.join(first, "h")
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "epoch",
+            "n_hashes",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_hashes")).alias(
+                "novel_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_outlier_centroid_dist — per-label embedding outlier screen
+# ---------------------------------------------------------------------------
+
+_OUTLIER_TOPK = 5
+
+
+@query(
+    "emb_outlier_centroid_dist",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+        unnest({_SQL_QUANT.format(e='embedding')}) AS q,
+        generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    stats AS (
+      SELECT label, dim, CAST(sum(q) AS BIGINT) AS s,
+        CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY label, dim),
+    per AS (
+      SELECT vec_id, q.label,
+        CAST(sum((q.q * n - s) * (q.q * n - s)) AS BIGINT) AS dev2,
+        max(n) AS n
+      FROM q JOIN stats ON q.label = stats.label AND q.dim = stats.dim
+      GROUP BY vec_id, q.label),
+    r AS (
+      SELECT label, vec_id, n AS n_in_label, dev2,
+        CAST(dev2 AS DOUBLE) / CAST(n * n * 100000000 AS BIGINT) AS dist2,
+        row_number() OVER (PARTITION BY label
+                           ORDER BY dev2 DESC, vec_id) AS rnk
+      FROM per)
+    SELECT label, vec_id, n_in_label, dev2, dist2, rnk
+    FROM r WHERE rnk <= {_OUTLIER_TOPK}
+    """,
+    tags=("similarity", "B15", "embedding", "outlier"),
+)
+def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding OUTLIER screen: the 5 vectors farthest from
+    their label centroid, by exact integer arithmetic — the curation
+    pass that surfaces mislabeled or corrupt embeddings before they
+    poison contrastive training or ANN index statistics (the quality
+    companion to ``emb_label_centroids``/``sim_nearest_centroid``).
+
+    Exactness: with quantized components q and per-(label,dim) sums S
+    over n members, n²·Σ(q−μ)² = Σ(n·q − S)² is an exact int64
+    (|q| <= 6·10³, n <= 10⁵ stays under 2⁶³ summed over 64 dims);
+    ranking uses that integer; dist2 (original units) is ONE IEEE
+    division by n²·scale². At corpus scales beyond ~10⁶ rows/label the
+    same plan runs with double accumulators — the ranking is the
+    point, not the 9th decimal.
+
+    Scale shape: posexplode to (label, dim) partial sums — 64·|labels|
+    rows, broadcast back onto the exploded relation — then one per-vec
+    aggregate and a per-label top-k window (partitioned by label, never
+    global). The embedding table shuffles once, on vec_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(quantize(F.col("embedding"))).alias("dim", "q"),
+    )
+    stats = q.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    dev = F.col("q") * F.col("n") - F.col("s")
+    per = (
+        q.join(F.broadcast(stats), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(dev * dev).alias("dev2"), F.max("n").alias("n"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dev2"), F.asc("vec_id"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.col("n").alias("n_in_label"),
+            "dev2",
+            (
+                F.col("dev2").cast("double")
+                / (F.col("n") * F.col("n") * F.lit(100000000)).cast("double")
+            ).alias("dist2"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_candidate_keys — uniqueness / candidate-key discovery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_candidate_keys",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2,
+        CAST(count(DISTINCT o_orderdate) AS BIGINT) AS d3,
+        CAST(count(DISTINCT (o_custkey, o_orderdate)) AS BIGINT) AS d4,
+        CAST(count(DISTINCT (o_custkey, o_orderkey)) AS BIGINT) AS d5
+      FROM orders)
+    SELECT 'o_orderkey' AS candidate, n_rows, d1 AS n_distinct,
+           n_rows = d1 AS is_key FROM s
+    UNION ALL SELECT 'o_custkey', n_rows, d2, n_rows = d2 FROM s
+    UNION ALL SELECT 'o_orderdate', n_rows, d3, n_rows = d3 FROM s
+    UNION ALL SELECT 'o_custkey,o_orderdate', n_rows, d4, n_rows = d4 FROM s
+    UNION ALL SELECT 'o_custkey,o_orderkey', n_rows, d5, n_rows = d5 FROM s
+    """,
+    tags=("dq", "B7", "profiling", "keys"),
+)
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-KEY discovery over a declared candidate set — the
+    uniqueness half of schema profiling (the column-dependency half is
+    ``dq_fd_discovery``): for each candidate column (set), its exact
+    distinct count and whether it uniquely identifies every row. The
+    check that catches silently-duplicated primary keys after a bad
+    backfill, and tells a pipeline which merge keys are actually safe.
+
+    Scale shape: ONE pass — all five exact distinct counts run in a
+    single aggregate (Catalyst's Expand: one row per (candidate,
+    grouping) behind a partial-aggregable group-by), then a 1-row
+    stack() unpivots to the report relation. At 100 TB the same shape
+    holds; an approx_count_distinct screen would cheaply pre-filter
+    candidates first, with this exact pass confirming the survivors."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("d1"),
+        F.countDistinct("o_custkey").alias("d2"),
+        F.countDistinct("o_orderdate").alias("d3"),
+        F.countDistinct("o_custkey", "o_orderdate").alias("d4"),
+        F.countDistinct("o_custkey", "o_orderkey").alias("d5"),
+    )
+    return s.select(
+        F.expr(
+            "stack(5,"
+            " 'o_orderkey', d1,"
+            " 'o_custkey', d2,"
+            " 'o_orderdate', d3,"
+            " 'o_custkey,o_orderdate', d4,"
+            " 'o_custkey,o_orderkey', d5) AS (candidate, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+    )

@@ -269,7 +269,12 @@ R12_REWRITTEN: tuple[str, ...] = (
 
 # Queries ADDED during round 12 — extended as each lands; they take the
 # window slots directly behind the rewrites.
-R12_ADDITIONS: tuple[str, ...] = ()
+R12_ADDITIONS: tuple[str, ...] = (
+    "docs_boilerplate_fraction",
+    "docs_ngram_novelty_curve",
+    "emb_outlier_centroid_dist",
+    "dq_candidate_keys",
+)
 
 # Queries whose newest green driver row is round 6 (registration order) —
 # the fill pool for any window slots the owed set + r12 additions leave free.
