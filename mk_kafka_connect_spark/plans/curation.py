@@ -315,3 +315,140 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed reports: registered via functions so the oracles can embed the
+# component queries' oracle SQL verbatim (the dedup_lsh_recall_report /
+# sim_recall_ivf_vs_exact pattern) — the composition cannot drift from
+# the certified components.
+# ---------------------------------------------------------------------------
+
+
+def _register_neardup_overlap_matrix() -> None:
+    from .registry import QUERIES as _Q
+
+    lsh_sql = _Q["dedup_minhash_lsh"].oracle
+
+    @query(
+        "docs_neardup_overlap_matrix",
+        oracle=f"""
+        WITH pairs AS ({lsh_sql})
+        SELECT least(da.source, db.source) AS source_a,
+          greatest(da.source, db.source) AS source_b,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          sum(est_jaccard) / count(*) AS avg_est_jaccard
+        FROM pairs
+          JOIN documents da ON pairs.id_a = da.doc_id
+          JOIN documents db ON pairs.id_b = db.doc_id
+        GROUP BY 1, 2
+        """,
+        tags=("dedup", "B15", "minhash", "audit"),
+    )
+    def docs_neardup_overlap_matrix(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Crawl-overlap AUDIT matrix: the MinHash-LSH near-dup pairs
+        cross-tabulated by (source, source) — which ingestion sources
+        duplicate each other, and how strongly. The report that decides
+        source-level dedup policy (drop a mirrored crawl wholesale vs
+        pay pairwise dedup) before any per-document work; diagonal
+        cells measure within-source duplication. Composes the CERTIFIED
+        dedup_minhash_lsh operator; the oracle embeds its SQL verbatim.
+
+        Exactness: est_jaccard values are exact multiples of 1/32
+        (k equal signature components / 32), so double summation is
+        exact in any order and the average is ONE IEEE division.
+
+        Scale shape: pairs are LSH-bucket-bounded (never all-pairs);
+        the two document joins are id-keyed hash joins carrying only
+        (doc_id, source); the matrix aggregate is |sources|²-bounded."""
+        from .registry import QUERIES as _QQ
+
+        d = load_table(spark, sf_dir, "documents")
+        pairs = _QQ["dedup_minhash_lsh"].fn(spark, sf_dir)
+        da = d.select(
+            F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+        )
+        db = d.select(
+            F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+        )
+        return (
+            pairs.join(da, "id_a")
+            .join(db, "id_b")
+            .select(
+                F.least("src_a", "src_b").alias("source_a"),
+                F.greatest("src_a", "src_b").alias("source_b"),
+                "est_jaccard",
+            )
+            .groupBy("source_a", "source_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                (F.sum("est_jaccard") / F.count(F.lit(1))).alias(
+                    "avg_est_jaccard"
+                ),
+            )
+        )
+
+
+def _register_bpe_fertility() -> None:
+    from .registry import QUERIES as _Q
+
+    per_doc_sql = _Q["docs_bpe_token_counts"].oracle
+
+    @query(
+        "bpe_fertility_by_source",
+        oracle=f"""
+        WITH per AS ({per_doc_sql})
+        SELECT d.lang, d.source,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(per.n_words) AS BIGINT) AS n_words,
+          CAST(sum(per.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+          CAST(sum(per.n_bpe_tokens) AS DOUBLE) / sum(per.n_words)
+            AS fertility,
+          CAST(sum(per.n_chars) AS DOUBLE) / sum(per.n_bpe_tokens)
+            AS chars_per_token
+        FROM per JOIN documents d USING (doc_id)
+        GROUP BY d.lang, d.source
+        """,
+        tags=("text", "B15", "tokenizer", "bpe", "fairness"),
+    )
+    def bpe_fertility_by_source(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Tokenizer FERTILITY report per (lang, source): BPE tokens per
+        whitespace word and chars per token, aggregated from the
+        certified per-document encoder (docs_bpe_token_counts) — the
+        model-card metric that exposes tokenizer unfairness (a language
+        with fertility 2× pays 2× the context budget per word) and
+        drives merge-budget allocation across corpus slices.
+
+        Exactness: exact int64 sums from the component query; the two
+        ratios are each ONE IEEE division. Scale shape: inherits the
+        component's vocabulary-sized encode (the corpus never moves for
+        the merge application); this layer adds one id-keyed hash join
+        against (doc_id, lang, source) and a |lang×source|-bounded
+        aggregate."""
+        from .registry import QUERIES as _QQ
+
+        d = load_table(spark, sf_dir, "documents")
+        per = _QQ["docs_bpe_token_counts"].fn(spark, sf_dir)
+        return (
+            per.join(d.select("doc_id", "lang", "source"), "doc_id")
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").alias("n_words"),
+                F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+                (
+                    F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")
+                ).alias("fertility"),
+                (
+                    F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens")
+                ).alias("chars_per_token"),
+            )
+        )
+
+
+_register_neardup_overlap_matrix()
+_register_bpe_fertility()

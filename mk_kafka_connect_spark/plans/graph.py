@@ -205,11 +205,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINKPRED_TOPK = 50
 _LINKPRED_KNN = 3
 
-
-@query(
-    "graph_linkpred",
-    oracle=f"""
-    WITH os AS (
+# DuckDB CTE chain building the kNN-sparsified co-purchase edge set —
+# shared verbatim by the graph_linkpred and graph_bfs_levels oracles so
+# the two cannot drift from each other (mirrors _knn_edges below).
+_SQL_KNN_EDGES = f"""os AS (
       SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
     pairs AS (
       SELECT a.l_suppkey AS s, b.l_suppkey AS t,
@@ -227,7 +226,49 @@ _LINKPRED_KNN = 3
         FROM directed)
       WHERE rk <= {_LINKPRED_KNN}),
     edges AS (
-      SELECT DISTINCT least(z, n) AS s, greatest(z, n) AS t FROM knn),
+      SELECT DISTINCT least(z, n) AS s, greatest(z, n) AS t FROM knn)"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-sparsified supplier co-purchase edge set (s < t), the shared
+    graph substrate of graph_linkpred and graph_bfs_levels: each
+    supplier keeps its 3 strongest co-supply partners (by distinct
+    co-supplied order count, deterministic tie-break), the union of the
+    picks is the edge set — hub degrees stay bounded at any data scale.
+    Per-node top-k is a partitioned window (never global); the result
+    is localCheckpoint'ed because both consumers traverse it repeatedly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    a_ = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+    b_ = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("t"))
+    pairs = (
+        a_.join(b_, "o")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    directed = pairs.select(
+        F.col("s").alias("z"), F.col("t").alias("n"), "w"
+    ).unionAll(pairs.select(F.col("t").alias("z"), F.col("s").alias("n"), "w"))
+    wk = W.partitionBy("z").orderBy(F.desc("w"), F.asc("n"))
+    knn = (
+        directed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _LINKPRED_KNN)
+        .select("z", "n")
+    )
+    return (
+        knn.select(
+            F.least("z", "n").alias("s"), F.greatest("z", "n").alias("t")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+@query(
+    "graph_linkpred",
+    oracle=f"""
+    WITH {_SQL_KNN_EDGES},
     adj AS (
       SELECT s AS z, t AS n FROM edges
       UNION ALL SELECT t, s FROM edges),
@@ -291,32 +332,7 @@ def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg ≤ 2k by construction, so the fan-out is O(|V|·k²), never
     |V|² — then a hash anti-join against the edge set and two
     node-sized degree joins. Global top-k is a TakeOrdered."""
-    li = load_table(spark, sf_dir, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    a_ = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-    b_ = os_.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("t"))
-    pairs = (
-        a_.join(b_, "o")
-        .filter(F.col("s") < F.col("t"))
-        .groupBy("s", "t")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    directed = pairs.select(
-        F.col("s").alias("z"), F.col("t").alias("n"), "w"
-    ).unionAll(pairs.select(F.col("t").alias("z"), F.col("s").alias("n"), "w"))
-    wk = W.partitionBy("z").orderBy(F.desc("w"), F.asc("n"))
-    knn = (
-        directed.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= _LINKPRED_KNN)
-        .select("z", "n")
-    )
-    edges = (
-        knn.select(
-            F.least("z", "n").alias("s"), F.greatest("z", "n").alias("t")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _knn_edges(spark, sf_dir)
     adj = edges.select(F.col("s").alias("z"), F.col("t").alias("n")).unionAll(
         edges.select(F.col("t").alias("z"), F.col("s").alias("n"))
     )
@@ -370,4 +386,84 @@ def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("common").cast("double") / denom).alias("jaccard"),
         "ra_micro",
         "rnk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_levels — bounded-depth BFS reach profile from a seed node
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_LEVEL = 4
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_KNN_EDGES},
+    adj AS (
+      SELECT s AS z, t AS n FROM edges
+      UNION ALL SELECT t, s FROM edges),
+    reach AS (
+      SELECT (SELECT min(z) FROM adj) AS node, 0 AS level
+      UNION
+      SELECT a.n, r.level + 1
+      FROM reach r JOIN adj a ON a.z = r.node
+      WHERE r.level < {_BFS_MAX_LEVEL}),
+    lv AS (SELECT node, min(level) AS level FROM reach GROUP BY node)
+    SELECT CAST(level AS BIGINT) AS level,
+      CAST(count(*) AS BIGINT) AS n_nodes,
+      CAST(min(node) AS BIGINT) AS min_node,
+      CAST(max(node) AS BIGINT) AS max_node
+    FROM lv GROUP BY level
+    """,
+    tags=("graph", "B6", "iterative", "bfs"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS over the kNN co-purchase graph: per-hop frontier
+    sizes (node count + id range) for 4 hops from the smallest supplier
+    node — the reach/diameter profile that sizes any traversal before
+    running it (how much of the graph is within k hops decides whether a
+    propagation pass, a recall query, or a blast-radius estimate is even
+    feasible). The traversal member of the graph family next to the
+    fixpoint iterators (PageRank/LPA/k-core): an explicit FRONTIER loop,
+    the DataFrame form of Pregel-style level-synchronous BFS.
+
+    Semantics: level(v) = min #hops from the seed, capped at 4. The
+    frontier anti-join form (visit a node the first round it appears)
+    computes exactly the recursive CTE's min-level — certified against
+    the same edge CTE the linkpred oracle uses.
+
+    Scale shape: per round ONE hash join (frontier ⋈ adjacency on the
+    source key) + distinct + anti-join against the visited set — all
+    key-partitioned, frontier-sized state, localCheckpoint'ed each round
+    to cut lineage (bounded 4 rounds, the iterative-algorithm discipline
+    of operators/graph.py::pagerank). No collect: the seed is a 1-row
+    aggregate cross-joined in."""
+    edges = _knn_edges(spark, sf_dir)
+    adj = edges.select(F.col("s").alias("z"), F.col("t").alias("n")).unionAll(
+        edges.select(F.col("t").alias("z"), F.col("s").alias("n"))
+    ).localCheckpoint(eager=True)
+    seed = adj.agg(F.min("z").alias("node")).withColumn("level", F.lit(0))
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for lvl in range(1, _BFS_MAX_LEVEL + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.z)
+            .select(F.col("n").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    ).select(
+        F.col("level").cast("long").alias("level"),
+        "n_nodes",
+        "min_node",
+        "max_node",
     )

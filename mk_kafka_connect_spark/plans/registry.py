@@ -274,6 +274,9 @@ R12_ADDITIONS: tuple[str, ...] = (
     "docs_ngram_novelty_curve",
     "emb_outlier_centroid_dist",
     "dq_candidate_keys",
+    "graph_bfs_levels",
+    "docs_neardup_overlap_matrix",
+    "bpe_fertility_by_source",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —
