@@ -154,6 +154,17 @@ HEADLINE = [
     "er_fuzzy_join_edit1",
     "dq_fd_discovery",
     "events_peak_detection",
+    # r12 additions.
+    "docs_boilerplate_fraction",
+    "docs_ngram_novelty_curve",
+    "emb_outlier_centroid_dist",
+    "dq_candidate_keys",
+    "graph_bfs_levels",
+    "docs_neardup_overlap_matrix",
+    "bpe_fertility_by_source",
+    "dq_referential_orphans",
+    "cdc_scd2_integrity",
+    "pipeline_stage_funnel",
 ]
 
 

@@ -452,3 +452,295 @@ def _register_bpe_fertility() -> None:
 
 _register_neardup_overlap_matrix()
 _register_bpe_fertility()
+
+
+# ---------------------------------------------------------------------------
+# dq_referential_orphans — schema-wide foreign-key integrity audit
+# ---------------------------------------------------------------------------
+
+# (child table, child key, parent table, parent key) — the full FK edge
+# set of the TPC-H-ish schema.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _sql_fk_check(ct: str, ck: str, pt: str, pk: str) -> str:
+    label = f"{ct}.{ck}->{pt}.{pk}"
+    return f"""
+    SELECT '{label}' AS fk,
+      CAST(count(*) AS BIGINT) AS n_child_rows,
+      CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_orphans,
+      sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) = 0 AS ref_intact
+    FROM {ct} c LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p
+      ON c.{ck} = p.{pk}"""
+
+
+@query(
+    "dq_referential_orphans",
+    oracle=" UNION ALL ".join(_sql_fk_check(*e) for e in _FK_EDGES),
+    tags=("dq", "B6", "B7", "referential-integrity"),
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-WIDE referential-integrity audit: for every foreign-key
+    edge of the warehouse (7 edges, lineitem→orders/part/supplier
+    through nation→region), the child row count, orphan count (child
+    keys with no parent), and an intact flag — the DQ pass that catches
+    a partial parent-table load before downstream joins silently drop
+    (inner) or null-inflate (outer) the orphans. Completes the DQ
+    family: dq_checks_orders = row rules, dq_candidate_keys =
+    uniqueness, dq_fd_discovery = dependencies, this = cross-table.
+
+    Scale shape: per edge ONE left hash join child⋈distinct(parent
+    keys) feeding a partial-aggregable count/sum — parent key sets
+    broadcast when small (nation/region/customer) and hash-join
+    otherwise; the 7 audits are independent plan branches unioned into
+    a 7-row report."""
+    out = None
+    for ct, ck, pt, pk in _FK_EDGES:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt).select(
+            F.col(pk).alias("_pk")
+        ).distinct()
+        j = child.select(F.col(ck).alias("_ck")).join(
+            parent, F.col("_ck") == F.col("_pk"), "left"
+        )
+        orphans = F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+        row = j.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            orphans.alias("n_orphans"),
+        ).select(
+            F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("fk"),
+            "n_child_rows",
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("ref_intact"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cdc_scd2_integrity — temporal-integrity audit of an SCD2 history
+# ---------------------------------------------------------------------------
+
+
+def _register_scd2_integrity() -> None:
+    from .registry import QUERIES as _Q
+
+    scd2_sql = _Q["cdc_scd2_history"].oracle
+
+    @query(
+        "cdc_scd2_integrity",
+        oracle=f"""
+        WITH h AS ({scd2_sql}),
+        x AS (
+          SELECT user_id, valid_from, valid_to, is_current,
+            lead(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) AS nxt
+          FROM h),
+        per AS (
+          SELECT user_id,
+            CAST(count(*) AS BIGINT) AS n_versions,
+            sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_current,
+            sum(CASE WHEN valid_to IS NOT NULL AND nxt IS NOT NULL
+                      AND valid_to > nxt THEN 1 ELSE 0 END) AS n_overlaps,
+            sum(CASE WHEN valid_to IS NOT NULL AND nxt IS NOT NULL
+                      AND valid_to < nxt THEN 1 ELSE 0 END) AS n_gaps
+          FROM x GROUP BY user_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(n_versions) AS BIGINT) AS n_versions,
+          CAST(sum(CASE WHEN n_current = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_keys_one_current,
+          CAST(sum(n_overlaps) AS BIGINT) AS n_overlaps,
+          CAST(sum(n_gaps) AS BIGINT) AS n_gaps,
+          (count(*) = sum(CASE WHEN n_current = 1 THEN 1 ELSE 0 END)
+           AND sum(n_overlaps) = 0 AND sum(n_gaps) = 0) AS scd2_ok
+        FROM per
+        """,
+        tags=("cdc", "dq", "B8", "B9", "scd2", "audit"),
+    )
+    def cdc_scd2_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Temporal-integrity AUDIT of an SCD2 dimension: over the
+        certified cdc_scd2_history output, count per key the open
+        (is_current) versions, interval overlaps (valid_to past the
+        next version's valid_from), and coverage gaps — then roll up to
+        the one-row report with the scd2_ok verdict. The invariant
+        check every warehouse runs after an SCD2 merge: exactly one
+        open row per key, intervals that tile time with no overlap and
+        no gap; a bad backfill breaks as-of joins silently, this
+        catches it loudly.
+
+        Scale shape: one per-key ordered window over the history (the
+        standard SCD2 partitioning — parallel across keys), one keyed
+        aggregate, one global 1-row rollup (partial-aggregable)."""
+        from .registry import QUERIES as _QQ
+
+        h = _QQ["cdc_scd2_history"].fn(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        x = h.select(
+            "user_id",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            F.lead("valid_from").over(w).alias("nxt"),
+        )
+        both = F.col("valid_to").isNotNull() & F.col("nxt").isNotNull()
+        per = x.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias(
+                "n_current"
+            ),
+            F.sum(
+                F.when(both & (F.col("valid_to") > F.col("nxt")), 1).otherwise(0)
+            ).alias("n_overlaps"),
+            F.sum(
+                F.when(both & (F.col("valid_to") < F.col("nxt")), 1).otherwise(0)
+            ).alias("n_gaps"),
+        )
+        one_current = F.sum(F.when(F.col("n_current") == 1, 1).otherwise(0))
+        return per.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_versions").alias("n_versions"),
+            one_current.alias("n_keys_one_current"),
+            F.sum("n_overlaps").alias("n_overlaps"),
+            F.sum("n_gaps").alias("n_gaps"),
+        ).select(
+            "n_keys",
+            "n_versions",
+            "n_keys_one_current",
+            "n_overlaps",
+            "n_gaps",
+            (
+                (F.col("n_keys") == F.col("n_keys_one_current"))
+                & (F.col("n_overlaps") == 0)
+                & (F.col("n_gaps") == 0)
+            ).alias("scd2_ok"),
+        )
+
+
+_register_scd2_integrity()
+
+
+# ---------------------------------------------------------------------------
+# pipeline_stage_funnel — per-stage survival audit of the prep pipeline
+# ---------------------------------------------------------------------------
+
+
+def _register_stage_funnel() -> None:
+    from .llm import (
+        _SQL_NORM_TEXT,
+        _sql_gopher_passed,
+        _sql_minhash_sig,
+        _sql_shingle_cte,
+    )
+
+    @query(
+        "pipeline_stage_funnel",
+        oracle=f"""
+        WITH passed AS ({_sql_gopher_passed()}),
+        canon AS (
+          SELECT min(doc_id) AS doc_id FROM passed
+          GROUP BY md5({_SQL_NORM_TEXT})),
+        dd AS (
+          SELECT p.doc_id, p.text FROM passed p
+          JOIN canon c ON p.doc_id = c.doc_id),
+        {_sql_shingle_cte(table="dd")},
+        sigs AS (SELECT doc_id, {_sql_minhash_sig(32)} AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, b AS band_idx,
+            array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+          FROM sigs, unnest(range(0, 8)) t(b)),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        est AS (
+          SELECT id_a, id_b,
+            CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2]))
+                 AS DOUBLE) / 32 AS est_jaccard
+          FROM cands JOIN sigs x ON id_a = x.doc_id
+                     JOIN sigs y ON id_b = y.doc_id),
+        removed AS (
+          SELECT DISTINCT id_b AS doc_id FROM est WHERE est_jaccard >= 0.7),
+        near AS (
+          SELECT dd.doc_id FROM dd
+          ANTI JOIN removed r ON dd.doc_id = r.doc_id),
+        u AS (
+          SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents
+          UNION ALL SELECT '1_quality_gate', count(*) FROM passed
+          UNION ALL SELECT '2_exact_dedup', count(*) FROM dd
+          UNION ALL SELECT '3_near_dedup', count(*) FROM near)
+        SELECT stage, n_docs,
+          coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0)
+            AS n_removed
+        FROM u
+        """,
+        tags=("pipeline", "B15", "dedup", "audit"),
+    )
+    def pipeline_stage_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-stage SURVIVAL funnel of the training-data prep pipeline:
+        raw corpus → Gopher quality gate → exact dedup (normalized-md5,
+        keep min id) → MinHash-LSH near-dedup (drop the larger id of
+        every >= 0.7-estimated pair), with documents surviving and
+        removed at each stage — the observability artifact every
+        production corpus build logs next to the dataset itself (the
+        audit companion to ``pipeline_training_data``, which emits the
+        final dataset; same certified operators, composed for counting).
+        Near-dedup here is the one-pass keep-smaller-id policy — cluster
+        -canonical selection is ``dedup_clusters``' job.
+
+        Scale shape: inherits each component's posture — map-side gate,
+        one dedup shuffle, banded LSH bucket join (never all-pairs) —
+        plus four 1-row aggregates; the final lag window orders the
+        4-row stage table (bounded, WINDOW_ALLOWED)."""
+        from ..operators import dedup as D_ops
+        from ..operators.text import fingerprint, gopher_quality_flags
+
+        d = load_table(spark, sf_dir, "documents")
+        passed = (
+            gopher_quality_flags(d, "text")
+            .filter(F.col("pass_gopher"))
+            .select("doc_id", "text")
+        )
+        fp = fingerprint(passed, "text")
+        canon = fp.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
+        dd = fp.join(canon.select("doc_id"), "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
+        pairs = D_ops.minhash_near_dups(
+            dd, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.7
+        )
+        removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        near = dd.join(removed, "doc_id", "left_anti")
+        stages = (
+            ("0_raw", d),
+            ("1_quality_gate", passed),
+            ("2_exact_dedup", dd),
+            ("3_near_dedup", near),
+        )
+        u = None
+        for name, df_ in stages:
+            row = df_.agg(F.count(F.lit(1)).alias("n_docs")).select(
+                F.lit(name).alias("stage"), "n_docs"
+            )
+            u = row if u is None else u.unionByName(row)
+        w = Window.orderBy("stage")
+        return u.select(
+            "stage",
+            "n_docs",
+            F.coalesce(
+                F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0)
+            ).alias("n_removed"),
+        )
+
+
+_register_stage_funnel()

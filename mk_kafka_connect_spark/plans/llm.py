@@ -41,18 +41,18 @@ _SHINGLE_HASHES_CTE = f"""
     SELECT doc_id,
       list_transform(list_distinct({{shingles}}),
                      s -> {SQL_MD5_MOD('s')}) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS w, text FROM {{table}})
   )
 """
 
 
-def _sql_shingle_cte() -> str:
+def _sql_shingle_cte(table: str = "documents") -> str:
     parts3 = " || ' ' || ".join(f"w[i + {k}]" for k in range(3))
     shingle = (
         f"CASE WHEN len(w) >= 3 THEN "
         f"list_transform(range(1, len(w) - 1), i -> {parts3}) ELSE [] END"
     )
-    return _SHINGLE_HASHES_CTE.format(shingles=shingle)
+    return _SHINGLE_HASHES_CTE.format(shingles=shingle, table=table)
 
 
 def _sql_minhash_sig(num_hashes: int = 32) -> str:

@@ -277,6 +277,9 @@ R12_ADDITIONS: tuple[str, ...] = (
     "graph_bfs_levels",
     "docs_neardup_overlap_matrix",
     "bpe_fertility_by_source",
+    "dq_referential_orphans",
+    "cdc_scd2_integrity",
+    "pipeline_stage_funnel",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

@@ -89,6 +89,7 @@ WINDOW_ALLOWED = {
     # calendar- or k-bounded relations.
     "orders_interpurchase_hazard": "survival curve over the k-sized gap-bucket table",
     "orders_open_backlog": "running balance over the calendar-bounded day table",
+    "pipeline_stage_funnel": "lag over the 4-row stage-count table",
 }
 
 _BATCH = [
