@@ -1,0 +1,133 @@
+"""Semantic contracts for the round-12 curation/audit operators —
+properties the oracle comparison alone can't express (invariants,
+monotonicity, cross-query consistency, independent recomputation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_boilerplate_fraction_bounds_and_flag(spark):
+    rows = QUERIES["docs_boilerplate_fraction"].fn(spark, SF).collect()
+    assert rows, "boilerplate report empty"
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_shingles
+        assert abs(r.boiler_frac - r.n_boiler / r.n_shingles) < 1e-12
+        assert r.flagged == (r.n_boiler * 10 >= 3 * r.n_shingles)
+
+
+def test_novelty_curve_epoch_zero_is_all_novel(spark):
+    rows = {
+        r.epoch: r
+        for r in QUERIES["docs_ngram_novelty_curve"].fn(spark, SF).collect()
+    }
+    # Epoch 0 is the first snapshot: every hash it holds is first seen
+    # there by definition of min-epoch.
+    assert rows[0].n_novel == rows[0].n_hashes
+    assert rows[0].novel_frac == 1.0
+    # Later snapshots on a word-soup fixture must inherit SOMETHING.
+    assert any(r.n_novel < r.n_hashes for e, r in rows.items() if e > 0)
+    assert set(rows) == set(range(8))
+
+
+def test_emb_outliers_are_per_label_topk(spark):
+    rows = QUERIES["emb_outlier_centroid_dist"].fn(spark, SF).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    assert len(by_label) == 10, "expected all 10 labels"
+    for label, rs in by_label.items():
+        assert len(rs) == 5
+        assert sorted(r.rnk for r in rs) == [1, 2, 3, 4, 5]
+        ordered = sorted(rs, key=lambda r: r.rnk)
+        devs = [r.dev2 for r in ordered]
+        assert devs == sorted(devs, reverse=True), f"label {label} not ranked"
+
+
+def test_candidate_keys_verdicts(spark):
+    rows = {
+        r.candidate: r for r in QUERIES["dq_candidate_keys"].fn(spark, SF).collect()
+    }
+    # o_orderkey is the primary key; a composite containing it is too.
+    assert rows["o_orderkey"].is_key
+    assert rows["o_custkey,o_orderkey"].is_key
+    # o_custkey / o_orderdate repeat on any TPC-H-ish fixture.
+    assert not rows["o_custkey"].is_key
+    assert not rows["o_orderdate"].is_key
+    n_rows = {r.n_rows for r in rows.values()}
+    assert len(n_rows) == 1, "all candidates must profile the same table"
+
+
+def test_bfs_levels_start_at_single_seed_and_expand(spark):
+    rows = {
+        r.level: r for r in QUERIES["graph_bfs_levels"].fn(spark, SF).collect()
+    }
+    assert rows[0].n_nodes == 1, "level 0 must be the seed alone"
+    assert rows[0].min_node == rows[0].max_node
+    assert set(rows) <= set(range(5))
+    # Levels partition the reached set: total reach equals the sum.
+    assert all(r.n_nodes >= 1 for r in rows.values())
+
+
+def test_overlap_matrix_is_consistent_with_lsh_pairs(spark):
+    pairs = QUERIES["dedup_minhash_lsh"].fn(spark, SF).count()
+    matrix = QUERIES["docs_neardup_overlap_matrix"].fn(spark, SF).collect()
+    assert sum(r.n_pairs for r in matrix) == pairs
+    for r in matrix:
+        assert r.source_a <= r.source_b, "matrix must be upper-triangular"
+        assert 0.0 <= r.avg_est_jaccard <= 1.0
+
+
+def test_fertility_consistent_with_per_doc_counts(spark):
+    per_doc = QUERIES["docs_bpe_token_counts"].fn(spark, SF)
+    total = per_doc.agg(
+        F.sum("n_words").alias("w"), F.sum("n_bpe_tokens").alias("t")
+    ).collect()[0]
+    rows = QUERIES["bpe_fertility_by_source"].fn(spark, SF).collect()
+    assert sum(r.n_words for r in rows) == total.w
+    assert sum(r.n_bpe_tokens for r in rows) == total.t
+    for r in rows:
+        # Merges only ever shrink the symbol count; chars/word >= 1.
+        assert r.n_bpe_tokens <= r.n_words * 30 + r.n_words  # sanity cap
+        assert r.fertility >= 1.0 or r.n_bpe_tokens < r.n_words
+
+
+def test_referential_orphans_clean_fixture(spark):
+    rows = QUERIES["dq_referential_orphans"].fn(spark, SF).collect()
+    assert len(rows) == 7
+    assert all(r.ref_intact for r in rows), "fixture FKs must be intact"
+    assert all(r.n_orphans == 0 for r in rows)
+    # And the audit actually counts the child tables it claims to.
+    by_fk = {r.fk: r for r in rows}
+    li = by_fk["lineitem.l_orderkey->orders.o_orderkey"].n_child_rows
+    assert li == by_fk["lineitem.l_partkey->part.p_partkey"].n_child_rows
+
+
+def test_scd2_integrity_verdict_on_certified_history(spark):
+    row = QUERIES["cdc_scd2_integrity"].fn(spark, SF).collect()[0]
+    assert row.scd2_ok, "lead-built SCD2 history must satisfy invariants"
+    assert row.n_keys == row.n_keys_one_current
+    assert row.n_overlaps == 0 and row.n_gaps == 0
+    assert row.n_versions >= row.n_keys
+
+
+def test_stage_funnel_is_monotone_and_consistent(spark):
+    rows = sorted(
+        QUERIES["pipeline_stage_funnel"].fn(spark, SF).collect(),
+        key=lambda r: r.stage,
+    )
+    assert [r.stage for r in rows] == [
+        "0_raw",
+        "1_quality_gate",
+        "2_exact_dedup",
+        "3_near_dedup",
+    ]
+    counts = [r.n_docs for r in rows]
+    assert counts == sorted(counts, reverse=True), "stages must only shrink"
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_removed == prev.n_docs - cur.n_docs
+    assert rows[0].n_removed == 0
