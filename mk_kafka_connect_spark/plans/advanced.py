@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from ..functions.exact import SQL_DSUM, dec2, dsum, one_minus
 from .registry import query
 
@@ -1462,7 +1463,7 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans.select(F.col("d1").alias("day"), F.lit(-1).cast("long").alias("delta"))
     )
     byday = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = bounded_window("day", "day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return byday.select("day", F.sum("net").over(w).alias("n_open"))
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -635,7 +636,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global top-k via ORDER BY + LIMIT (TakeOrderedAndProject: per-
     # partition top-k + merge, no single-partition sort of |docs| rows);
     # the rank window then runs over the ≤K-row bounded result only.
-    wr = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    wr = bounded_window("doc_id", F.desc("score"), F.asc("doc_id"))
     top = totaled.orderBy(F.desc("score"), F.asc("doc_id")).limit(_BM25_TOPK)
     return top.withColumn("rnk", F.row_number().over(wr))
 
@@ -808,7 +809,7 @@ def orders_interpurchase_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = gaps.groupBy(F.col("gap").cast("long").alias("k")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    wk = W.orderBy(F.desc("k")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wk = bounded_window("k", F.desc("k")).rowsBetween(W.unboundedPreceding, W.currentRow)
     return d.select(
         "k",
         "n_events",

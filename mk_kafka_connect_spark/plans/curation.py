@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from ..functions.hashing import md5_mod, shingles
 from .llm import _SQL_QUANT, _sql_shingle_cte
 from ..operators.similarity import quantize
@@ -733,7 +734,7 @@ def _register_stage_funnel() -> None:
                 F.lit(name).alias("stage"), "n_docs"
             )
             u = row if u is None else u.unionByName(row)
-        w = Window.orderBy("stage")
+        w = bounded_window("stage", "stage")
         return u.select(
             "stage",
             "n_docs",

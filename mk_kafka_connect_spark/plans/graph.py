@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from ..operators.graph import SCALE, pagerank
 from .registry import query
 
@@ -375,7 +376,7 @@ def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         scored.orderBy(*order)
         .limit(_LINKPRED_TOPK)
-        .withColumn("rnk", F.row_number().over(W.orderBy(*order)))
+        .withColumn("rnk", F.row_number().over(bounded_window("a", *order)))
     )
     return ranked.select(
         "a",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from .registry import query
 
 _BITS = 16
@@ -215,7 +216,7 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # prefix of the total order.
         b = df.withColumn("_blk", blk)
         counts = b.groupBy("_blk").agg(F.count(F.lit(1)).alias("_c"))
-        wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+        wb = bounded_window("_blk", "_blk").rowsBetween(Window.unboundedPreceding, -1)
         prior = counts.select(
             "_blk",
             F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_prior"),

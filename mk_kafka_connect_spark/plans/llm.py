@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from ..functions.hashing import MERSENNE_P, SQL_MD5_MOD, minhash_params
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -1767,7 +1768,7 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window — whose running sum over the top-200 prefix equals the
     # global prefix sum for exactly those rows — runs over the bounded
     # 200-row result, never the unbounded vocabulary.
-    win = Window.orderBy(F.desc("n"), F.asc("word"))
+    win = bounded_window("word", F.desc("n"), F.asc("word"))
     top = counts.orderBy(F.desc("n"), F.asc("word")).limit(200)
     ranked = top.withColumn("rnk", F.row_number().over(win)).withColumn(
         "cum",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -217,7 +218,7 @@ def docs_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk",
         F.row_number().over(
-            W.orderBy(F.desc("lift"), F.desc("c_ab"), F.asc("bigram"))
+            bounded_window("bigram", F.desc("lift"), F.desc("c_ab"), F.asc("bigram"))
         ),
     )
 
@@ -320,7 +321,7 @@ def docs_char_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(key.desc(), F.asc("doc_id")).limit(_RARITY_TOPK)
     ranked = top.withColumn(
         "rnk",
-        F.row_number().over(W.orderBy(key.desc(), F.asc("doc_id"))),
+        F.row_number().over(bounded_window("doc_id", key.desc(), F.asc("doc_id"))),
     )
     return ranked.select(
         "doc_id",
@@ -395,7 +396,7 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = c.orderBy(F.desc("freq"), F.asc("word")).limit(_ZIPF_TOPK)
     r = top.withColumn(
         "rnk",
-        F.row_number().over(W.orderBy(F.desc("freq"), F.asc("word"))),
+        F.row_number().over(bounded_window("word", F.desc("freq"), F.asc("word"))),
     )
     return r.crossJoin(F.broadcast(n)).select(
         "word",

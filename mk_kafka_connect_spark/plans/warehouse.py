@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from ..functions.exact import dec2
 from ..functions.hashing import SQL_MD5_MOD, md5_mod
 from .registry import query
@@ -518,7 +519,7 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = b.groupBy("_blk").agg(
         F.count(F.lit(1)).alias("_c"), F.sum("r").alias("_s")
     )
-    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    wb = bounded_window("_blk", "_blk").rowsBetween(Window.unboundedPreceding, -1)
     prior = blocks.select(
         "_blk",
         F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_prior_n"),
@@ -909,7 +910,7 @@ def events_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") / _DISORDER_BLOCK).cast("long").alias("blk"),
     )
     blocks = ev.groupBy("blk").agg(F.max("us").alias("blk_max"))
-    wb = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    wb = bounded_window("blk", "blk").rowsBetween(Window.unboundedPreceding, -1)
     prior = blocks.select(
         "blk", F.max("blk_max").over(wb).alias("prior_max")
     )

@@ -68,29 +68,16 @@ ALLOWED = {
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving
-# all data to a single partition") is fine over a PROVABLY BOUNDED input —
-# a ≤K-row TakeOrdered result, a coarse-block table, a calendar-bounded
-# day table — and a scale-killer over anything data-sized. Every query
-# whose plan contains one must be here with the boundedness argument.
-WINDOW_ALLOWED = {
-    # rank window over the ≤K-row ORDER BY + LIMIT (TakeOrderedAndProject)
-    # result — pinned by tests/test_plans_physical.py.
-    "docs_bm25_topk": "row_number over the 25-row TakeOrdered result",
-    "docs_char_bigram_rarity": "row_number over the 50-row TakeOrdered result",
-    "docs_collocations_lift": "row_number over the 30-row TakeOrdered result",
-    "docs_vocab_coverage": "rank+cumsum over the 200-row TakeOrdered result",
-    "docs_zipf_fit": "row_number over the 100-row TakeOrdered result",
-    "graph_linkpred": "row_number over the 50-row TakeOrdered result",
-    # exclusive-prefix window over the tiny coarse-block table of the
-    # two-phase block-prefix rank/cumsum decomposition.
-    "events_disorder_profile": "prefix max over the n/4096-row block table",
-    "layout_zorder_pruning_stats": "prefix count over the ~1024-row block tables",
-    "orders_pareto_customers": "prefix count+sum over the ~$10k-band block table",
-    # calendar- or k-bounded relations.
-    "orders_interpurchase_hazard": "survival curve over the k-sized gap-bucket table",
-    "orders_open_backlog": "running balance over the calendar-bounded day table",
-    "pipeline_stage_funnel": "lag over the 4-row stage-count table",
-}
+# all data to a single partition") is a scale-killer over anything
+# data-sized, and over a PROVABLY BOUNDED input (a ≤K-row TakeOrdered
+# result, a coarse-block prefix table, a calendar-bounded day table)
+# it must go through functions/bounded.py::bounded_window, whose
+# non-foldable constant partition key makes the reviewed boundedness
+# visible in the plan. Consequently the allowlist is EMPTY: every
+# window with an empty partition spec is a failure — either partition
+# it, restructure (ORDER BY + LIMIT / block-prefix), or wrap the
+# bounded input in bounded_window with the argument in the docstring.
+WINDOW_ALLOWED: dict[str, str] = {}
 
 _BATCH = [
     (n, s)
