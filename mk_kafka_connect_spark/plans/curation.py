@@ -209,7 +209,8 @@ def emb_outlier_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: with quantized components q and per-(label,dim) sums S
     over n members, n²·Σ(q−μ)² = Σ(n·q − S)² is an exact int64
-    (|q| <= 6·10³, n <= 10⁵ stays under 2⁶³ summed over 64 dims);
+    (|q| <= 6·10³ here: 64·(2·q_max·n)² stays under 2⁶³ for
+    n <= ~3·10⁴ rows/label — two orders past the fixtures);
     ranking uses that integer; dist2 (original units) is ONE IEEE
     division by n²·scale². At corpus scales beyond ~10⁶ rows/label the
     same plan runs with double accumulators — the ranking is the
