@@ -165,6 +165,7 @@ HEADLINE = [
     "dq_referential_orphans",
     "cdc_scd2_integrity",
     "pipeline_stage_funnel",
+    "docs_sample_exact_budget",
 ]
 
 

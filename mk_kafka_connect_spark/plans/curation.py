@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.bounded import bounded_window
-from ..functions.hashing import md5_mod, shingles
+from ..functions.hashing import SQL_MD5_MOD, md5_mod, shingles
 from .llm import _SQL_QUANT, _sql_shingle_cte
 from ..operators.similarity import quantize
 from .registry import query
@@ -746,3 +746,171 @@ def _register_stage_funnel() -> None:
 
 
 _register_stage_funnel()
+
+
+# ---------------------------------------------------------------------------
+# docs_sample_exact_budget — exact largest-remainder stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BUDGET = 500  # total docs in the sample across all strata
+_SAMPLE_BLOCK = 4_000_000  # md5_mod range step -> ~251 ordered hash blocks
+
+_SAMPLE_H = SQL_MD5_MOD("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "docs_sample_exact_budget",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS c_total FROM c),
+    q AS (
+      SELECT source, n_docs,
+        ({_SAMPLE_BUDGET} * n_docs) // c_total AS base,
+        ({_SAMPLE_BUDGET} * n_docs) % c_total AS rem
+      FROM c, tot),
+    leftover AS (
+      SELECT CAST({_SAMPLE_BUDGET} - sum(base) AS BIGINT) AS r_extra FROM q),
+    alloc AS (
+      SELECT source, n_docs,
+        CAST(base + CASE WHEN
+          row_number() OVER (ORDER BY rem DESC, source) <= r_extra
+          THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM q, leftover),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+        row_number() OVER (
+          PARTITION BY source ORDER BY {_SAMPLE_H}, doc_id) AS rnk
+      FROM documents),
+    sel AS (
+      SELECT r.source, r.doc_id, r.n_chars
+      FROM ranked r JOIN alloc a USING (source) WHERE r.rnk <= a.alloc),
+    agg AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_selected,
+        CAST(sum(n_chars) AS BIGINT) AS sel_chars,
+        CAST(sum(doc_id) AS BIGINT) AS sel_id_sum
+      FROM sel GROUP BY source)
+    SELECT a.source, a.n_docs, a.alloc,
+      CAST(coalesce(g.n_selected, 0) AS BIGINT) AS n_selected,
+      CAST(coalesce(g.sel_chars, 0) AS BIGINT) AS sel_chars,
+      CAST(coalesce(g.sel_id_sum, 0) AS BIGINT) AS sel_id_sum
+    FROM alloc a LEFT JOIN agg g USING (source)
+    ORDER BY a.source
+    """,
+    tags=("pipeline", "B15", "sampling", "curation"),
+)
+def docs_sample_exact_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT stratified sample of the corpus (the
+    fixed-size complement of ``docs_stratified_sample``, the
+    configured-RATE map-side filter — rates can't hit a byte budget
+    exactly; this does, at the price of one rank): a fixed budget of
+    500 documents apportioned across ``source`` strata by the
+    largest-remainder (Hamilton) method — quota_s = floor(N*c_s/C) plus
+    one extra for the strata with the largest remainders (N*c_s mod C,
+    ties by source name) until the budget is exact — then the first
+    alloc_s documents of each stratum in (md5(doc_id), doc_id) order.
+    Every training-data pipeline needs this exact operator for eval-set
+    carve-outs and mixture rebalancing; hash-ordered selection makes the
+    sample reproducible across runs AND engines (no rand()), and
+    integer-only apportionment means sum(alloc) == N exactly.
+
+    Scale shape (the reason this is not just ``row_number() PARTITION BY
+    source`` — which would sort each multi-TB stratum on ONE task): the
+    within-stratum rank uses the two-phase block-prefix device
+    (plans/layout.py grouped()): docs hash into ~251 ORDERED md5-range
+    blocks; per-(source, block) counts (a map-side-combinable aggregate)
+    give each block's exclusive prefix via a window over the k x 251-row
+    bounded counts table; and — the pruning step — any block whose prefix
+    already meets the stratum's allocation is dropped BEFORE the sort, so
+    the only per-doc window runs over the few candidate blocks that can
+    still hold selected rows (~alloc + one block per stratum, regardless
+    of corpus size). Allocation itself is computed on the k-row stratum
+    table under ``bounded_window``. At 100 TB: one documents scan, two
+    small aggregates, a broadcast join, and a window over ~O(N) rows."""
+    N = F.lit(_SAMPLE_BUDGET).cast("long")
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = bounded_window("source", "source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q = c.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(wt).alias("_c_total"),
+    ).select(
+        "source",
+        "n_docs",
+        ((N * F.col("n_docs")) / F.col("_c_total"))
+        .cast("long")
+        .alias("_base"),
+        ((N * F.col("n_docs")) % F.col("_c_total")).alias("_rem"),
+    )
+    wr = bounded_window("source", F.col("_rem").desc(), F.col("source"))
+    alloc = q.select(
+        "source",
+        "n_docs",
+        "_base",
+        F.row_number().over(wr).cast("long").alias("_rn"),
+        F.sum("_base").over(wt).alias("_base_total"),
+    ).select(
+        "source",
+        "n_docs",
+        (
+            F.col("_base")
+            + F.when(F.col("_rn") <= N - F.col("_base_total"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        md5_mod(F.col("doc_id").cast("string")).alias("_h"),
+    ).withColumn("_blk", (F.col("_h") / F.lit(_SAMPLE_BLOCK)).cast("long"))
+    counts = keyed.groupBy("source", "_blk").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = counts.select(
+        "source",
+        "_blk",
+        F.coalesce(F.sum("_bc").over(wb), F.lit(0).cast("long")).alias(
+            "_prior"
+        ),
+    )
+    ww = Window.partitionBy("source", "_blk").orderBy("_h", "doc_id")
+    sel = (
+        keyed.join(F.broadcast(prior), ["source", "_blk"])
+        .join(F.broadcast(alloc.select("source", "alloc")), "source")
+        .filter(F.col("_prior") < F.col("alloc"))
+        .withColumn(
+            "_rnk", F.col("_prior") + F.row_number().over(ww).cast("long")
+        )
+        .filter(F.col("_rnk") <= F.col("alloc"))
+    )
+    agg = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").alias("sel_chars"),
+        F.sum("doc_id").alias("sel_id_sum"),
+    )
+    return (
+        alloc.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "alloc",
+            F.coalesce("n_selected", F.lit(0).cast("long")).alias(
+                "n_selected"
+            ),
+            F.coalesce("sel_chars", F.lit(0).cast("long")).alias("sel_chars"),
+            F.coalesce("sel_id_sum", F.lit(0).cast("long")).alias(
+                "sel_id_sum"
+            ),
+        )
+        .orderBy("source")
+    )

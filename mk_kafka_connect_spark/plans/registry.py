@@ -280,6 +280,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "dq_referential_orphans",
     "cdc_scd2_integrity",
     "pipeline_stage_funnel",
+    "docs_sample_exact_budget",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

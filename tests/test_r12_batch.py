@@ -131,3 +131,58 @@ def test_stage_funnel_is_monotone_and_consistent(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.n_removed == prev.n_docs - cur.n_docs
     assert rows[0].n_removed == 0
+
+
+def test_exact_budget_sample_apportionment(spark):
+    rows = QUERIES["docs_sample_exact_budget"].fn(spark, SF).collect()
+    # Every stratum reports, and the Hamilton apportionment is exact:
+    # the allocations sum to the budget to the row.
+    n_docs = {r.source: r.n_docs for r in rows}
+    total = sum(n_docs.values())
+    assert sum(r.alloc for r in rows) == 500
+    for r in rows:
+        base = (500 * r.n_docs) // total
+        assert base <= r.alloc <= base + 1, f"{r.source}: quota violated"
+        # Selection fills the allocation exactly (never oversamples).
+        assert r.n_selected == min(r.alloc, r.n_docs)
+        assert (r.sel_chars > 0) == (r.n_selected > 0)
+
+
+def test_exact_budget_sample_matches_naive_rank(spark):
+    """The block-prefix + pruned rank must select the IDENTICAL doc set
+    as the naive per-stratum row_number (the thing it decomposes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.functions.hashing import md5_mod
+
+    got = {r.source: r for r in QUERIES["docs_sample_exact_budget"].fn(spark, SF).collect()}
+    d = load_table(spark, SF, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_mod(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = d.withColumn("_rnk", F.row_number().over(w))
+    # Rank every doc, join the query's own alloc, and re-derive the
+    # per-source id-sum of the naive selection.
+    alloc = spark.createDataFrame(
+        [(s, int(r.alloc)) for s, r in got.items()], ["source", "alloc"]
+    )
+    sel = naive.join(alloc, "source").filter(F.col("_rnk") <= F.col("alloc"))
+    check = {
+        r.source: r
+        for r in sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("ids"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .collect()
+    }
+    for s, r in got.items():
+        if r.n_selected == 0:
+            assert s not in check
+            continue
+        assert check[s].n == r.n_selected
+        assert check[s].ids == r.sel_id_sum
+        assert check[s].chars == r.sel_chars
