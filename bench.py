@@ -166,6 +166,8 @@ HEADLINE = [
     "cdc_scd2_integrity",
     "pipeline_stage_funnel",
     "docs_sample_exact_budget",
+    "docs_greedy_pack_stats",
+    "dedup_split_leakage",
 ]
 
 

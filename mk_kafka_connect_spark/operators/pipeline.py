@@ -366,3 +366,63 @@ def top_fraction_by_group(
         df.withColumn("q_rank", F.cume_dist().over(w))
         .filter(F.col("q_rank") >= 1.0 - keep_frac)
     )
+
+
+def greedy_pack(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int = 256,
+    n_streams: int = 16,
+) -> DataFrame:
+    """NO-SPLIT greedy sequence packing: documents are never chunked
+    across packs — a pack closes when the next document would overflow
+    the token budget (T5/LLM finetune-style "example packing", the
+    boundary-respecting complement of ``pack_sequences``' concat-then-
+    chunk). Docs are visited in deterministic md5-shuffled order within
+    ``n_streams`` independent streams; oversize docs are assumed
+    pre-truncated to ``budget`` by the caller (fill never exceeds it).
+
+    The close-on-overflow recurrence (fill' = tok if fill+tok > budget
+    else fill+tok) is a sequential scan — not expressible as a window
+    cumsum, the textbook case for a custom stateful operator. It runs as
+    ONE Arrow ``applyInPandas`` kernel per stream: linear, vectorized
+    transfer, no Python-per-row boxing. Scale shape: shuffle by stream
+    (uniform md5 buckets), then embarrassingly parallel linear scans —
+    raise ``n_streams`` with the cluster exactly as real packers shard;
+    within-stream sequentiality is inherent to packing itself.
+
+    Returns one row per input doc: (stream, ``id_col``, ``token_col``,
+    _h, pack_id) with pack_id dense from 0 per stream."""
+    import pandas as pd
+
+    t = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        md5_mod(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn("stream", (F.col("_h") % n_streams).cast("long"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        toks = pdf[token_col].to_numpy()
+        packs = []
+        fill, pack = 0, 0
+        for tok in toks:
+            if fill + tok > budget:
+                pack += 1
+                fill = int(tok)
+            else:
+                fill += int(tok)
+            packs.append(pack)
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        return pdf
+
+    return t.groupBy("stream").applyInPandas(
+        _pack,
+        schema=(
+            f"stream long, {id_col} long, {token_col} long, "
+            f"_h long, pack_id long"
+        ),
+    )

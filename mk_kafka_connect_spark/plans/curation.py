@@ -17,7 +17,13 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.bounded import bounded_window
 from ..functions.hashing import SQL_MD5_MOD, md5_mod, shingles
-from .llm import _SQL_QUANT, _sql_shingle_cte
+from .llm import (
+    _SQL_QUANT,
+    _sql_bucket,
+    _sql_minhash_sig,
+    _sql_shingle_cte,
+    _sql_split_case,
+)
 from ..operators.similarity import quantize
 from .registry import query
 
@@ -914,3 +920,228 @@ def docs_sample_exact_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_greedy_pack_stats — no-split example-packing utilization report
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per pack
+_PACK_STREAMS = 16  # independent pack streams
+
+
+@query(
+    "docs_greedy_pack_stats",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+        least(len(string_split(text, ' ')), {_PACK_BUDGET}) AS tok,
+        {SQL_MD5_MOD("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id, tok, h, h % {_PACK_STREAMS} AS stream,
+        row_number() OVER (
+          PARTITION BY h % {_PACK_STREAMS} ORDER BY h, doc_id) AS rn
+      FROM t),
+    p AS (
+      SELECT stream, rn, tok, tok AS fill, CAST(0 AS BIGINT) AS pack_id
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.stream, s.rn, s.tok,
+        CASE WHEN p.fill + s.tok > {_PACK_BUDGET}
+             THEN s.tok ELSE p.fill + s.tok END,
+        CASE WHEN p.fill + s.tok > {_PACK_BUDGET}
+             THEN p.pack_id + 1 ELSE p.pack_id END
+      FROM p JOIN s ON s.stream = p.stream AND s.rn = p.rn + 1)
+    SELECT stream,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+      CAST(sum(tok) AS BIGINT) AS total_tok,
+      CAST(max(pack_id) + 1 AS BIGINT) * {_PACK_BUDGET}
+        - CAST(sum(tok) AS BIGINT) AS waste,
+      CAST(sum(tok) AS DOUBLE)
+        / ((max(pack_id) + 1) * {_PACK_BUDGET}) AS util
+    FROM p GROUP BY stream ORDER BY stream
+    """,
+    tags=("pipeline", "B15", "packing", "stateful"),
+)
+def docs_greedy_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utilization report of NO-SPLIT greedy example packing: documents
+    (truncated to the 256-token budget) greedily fill fixed-budget packs
+    in deterministic md5-shuffled order within 16 independent streams; a
+    pack closes when the next doc would overflow. Reports per-stream doc
+    /pack counts, packed tokens, boundary waste, and fill utilization —
+    the number a training pipeline watches to choose between no-split
+    packing (keeps document boundaries, wastes pack tails) and
+    ``pack_sequences``' concat-then-chunk (zero waste, splits docs).
+
+    The close-on-overflow recurrence is sequential state — the textbook
+    non-SQL-expressible custom operator (cf. the reference's stateful
+    incremental scan, Task.java:294-343, for the connector-tier analog)
+    — yet still fully oracle-checked: the DuckDB side replays the exact
+    recurrence as a RECURSIVE CTE advancing all streams in lockstep,
+    and both engines agree bit-for-bit on every count (util is one IEEE
+    division of exact integers).
+
+    Scale shape: one scan → shuffle by md5-uniform stream → per-stream
+    linear Arrow ``applyInPandas`` kernels (operators/pipeline.py
+    ``greedy_pack``) → 16-row aggregate. Parallelism = n_streams, the
+    knob real packers shard by; no global sort anywhere."""
+    from ..operators.pipeline import greedy_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.least(
+            F.size(F.split(F.col("text"), " ")), F.lit(_PACK_BUDGET)
+        )
+        .cast("long")
+        .alias("tok"),
+    )
+    packed = greedy_pack(
+        toks, "doc_id", "tok", budget=_PACK_BUDGET, n_streams=_PACK_STREAMS
+    )
+    return (
+        packed.groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.max("pack_id") + 1).alias("n_packs"),
+            F.sum("tok").alias("total_tok"),
+        )
+        .select(
+            "stream",
+            "n_docs",
+            "n_packs",
+            "total_tok",
+            (F.col("n_packs") * _PACK_BUDGET - F.col("total_tok")).alias(
+                "waste"
+            ),
+            (
+                F.col("total_tok").cast("double")
+                / (F.col("n_packs") * _PACK_BUDGET)
+            ).alias("util"),
+        )
+        .orderBy("stream")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_split_leakage — near-dup pairs straddling train/valid/test splits
+# ---------------------------------------------------------------------------
+
+
+def _register_split_leakage() -> None:
+    _SPLIT_SQL = None  # computed below to keep the f-string readable
+
+    @query(
+        "dedup_split_leakage",
+        oracle=None,  # patched after definition (needs the split helper)
+        tags=("dedup", "B15", "pipeline", "audit"),
+    )
+    def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SPLIT-LEAKAGE audit: MinHash-LSH near-dup pairs (est-Jaccard
+        >= 0.7, the certified ``dedup_minhash_lsh`` pair set) cross-
+        tabulated by the deterministic 8/1/1 train/valid/test assignment
+        (``hash_split``). Any pair straddling two different splits is an
+        eval-contamination leak — near-identical text in train AND test
+        silently inflates held-out metrics, which is why production
+        corpus builds near-dedup BEFORE splitting and run exactly this
+        audit after. Rows: (split_lo, split_hi, n_pairs,
+        avg_est_jaccard, is_leak); est-Jaccard values are multiples of
+        1/32 (dyadic), so their sum — and the one-division average — is
+        IEEE-exact in any order, hash-identical across engines.
+
+        Scale shape: inherits the LSH banded bucket join (never
+        all-pairs) + two broadcast-sized hash joins onto the per-doc
+        split assignment (itself a pure map-side md5 bucket), then a
+        <= 6-row aggregate. The pair relation is the bottleneck and it
+        is the same one every dedup query already certifies."""
+        from ..operators import dedup as D_ops
+        from ..operators.pipeline import hash_split
+
+        d = load_table(spark, sf_dir, "documents")
+        pairs = D_ops.minhash_near_dups(
+            d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.7
+        )
+        sp = hash_split(d, "doc_id").select("doc_id", "split")
+        j = (
+            pairs.join(
+                sp.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("split").alias("split_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                sp.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("split").alias("split_b"),
+                ),
+                "id_b",
+            )
+            .select(
+                F.least("split_a", "split_b").alias("split_lo"),
+                F.greatest("split_a", "split_b").alias("split_hi"),
+                "est_jaccard",
+            )
+        )
+        return (
+            j.groupBy("split_lo", "split_hi")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                (F.sum("est_jaccard") / F.count(F.lit(1))).alias(
+                    "avg_est_jaccard"
+                ),
+            )
+            .select(
+                "split_lo",
+                "split_hi",
+                "n_pairs",
+                "avg_est_jaccard",
+                (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+            )
+            .orderBy("split_lo", "split_hi")
+        )
+
+
+_register_split_leakage()
+
+
+def _sql_split_leakage_oracle() -> str:
+    split = _sql_split_case(_sql_bucket("CAST(doc_id AS VARCHAR)"))
+    return f"""
+    WITH {_sql_shingle_cte()},
+    sigs AS (SELECT doc_id, {_sql_minhash_sig(32)} AS sig FROM sh),
+    bands AS (
+      SELECT doc_id, b AS band_idx,
+        array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',') AS band_key
+      FROM sigs, unnest(range(0, 8)) t(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+        CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2]))
+             AS DOUBLE) / 32 AS est_jaccard
+      FROM cands JOIN sigs x ON id_a = x.doc_id JOIN sigs y ON id_b = y.doc_id),
+    pr AS (SELECT * FROM est WHERE est_jaccard >= 0.7),
+    sp AS (SELECT doc_id, {split} AS split FROM documents),
+    cl AS (
+      SELECT least(sa.split, sb.split) AS split_lo,
+        greatest(sa.split, sb.split) AS split_hi, est_jaccard
+      FROM pr JOIN sp sa ON pr.id_a = sa.doc_id
+              JOIN sp sb ON pr.id_b = sb.doc_id)
+    SELECT split_lo, split_hi,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      sum(est_jaccard) / count(*) AS avg_est_jaccard,
+      split_lo <> split_hi AS is_leak
+    FROM cl GROUP BY split_lo, split_hi
+    ORDER BY split_lo, split_hi
+    """
+
+
+from .llm import _set_oracle as _patch_oracle  # noqa: E402
+
+_patch_oracle("dedup_split_leakage", _sql_split_leakage_oracle())

@@ -281,6 +281,8 @@ R12_ADDITIONS: tuple[str, ...] = (
     "cdc_scd2_integrity",
     "pipeline_stage_funnel",
     "docs_sample_exact_budget",
+    "docs_greedy_pack_stats",
+    "dedup_split_leakage",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

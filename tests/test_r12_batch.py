@@ -186,3 +186,70 @@ def test_exact_budget_sample_matches_naive_rank(spark):
         assert check[s].n == r.n_selected
         assert check[s].ids == r.sel_id_sum
         assert check[s].chars == r.sel_chars
+
+
+def test_greedy_pack_replays_sequentially_and_bounds(spark):
+    """Replay the close-on-overflow recurrence in plain Python per
+    stream and demand the operator's per-doc assignment matches; then
+    check the report's invariants against bin-packing bounds."""
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.operators.pipeline import greedy_pack
+
+    budget, n_streams = 256, 16
+    d = load_table(spark, SF, "documents")
+    toks = d.select(
+        "doc_id",
+        F.least(F.size(F.split(F.col("text"), " ")), F.lit(budget))
+        .cast("long")
+        .alias("tok"),
+    )
+    rows = greedy_pack(
+        toks, "doc_id", "tok", budget=budget, n_streams=n_streams
+    ).collect()
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r.stream, []).append(r)
+    assert sum(len(v) for v in by_stream.values()) == d.count()
+    for stream, rs in by_stream.items():
+        rs.sort(key=lambda r: (r._h, r.doc_id))
+        fill, pack = 0, 0
+        for r in rs:
+            if fill + r.tok > budget:
+                pack, fill = pack + 1, r.tok
+            else:
+                fill += r.tok
+            assert r.pack_id == pack, f"stream {stream} doc {r.doc_id}"
+            assert fill <= budget
+
+    report = {
+        r.stream: r
+        for r in QUERIES["docs_greedy_pack_stats"].fn(spark, SF).collect()
+    }
+    for stream, rs in by_stream.items():
+        rep = report[stream]
+        total = sum(r.tok for r in rs)
+        assert rep.n_docs == len(rs)
+        assert rep.total_tok == total
+        assert rep.n_packs == max(r.pack_id for r in rs) + 1
+        # Bin-packing bounds: never fewer than the fractional lower
+        # bound, never more than one pack per doc.
+        assert -(-total // budget) <= rep.n_packs <= len(rs)
+        assert rep.waste == rep.n_packs * budget - total >= 0
+        assert 0.0 < rep.util <= 1.0
+
+
+def test_split_leakage_consistent_with_lsh_pairs(spark):
+    """Pair mass must equal the certified LSH pair set, every doc's
+    split must come from hash_split, and the leak flag must mark
+    exactly the off-diagonal cells."""
+    rows = QUERIES["dedup_split_leakage"].fn(spark, SF).collect()
+    total_pairs = QUERIES["dedup_minhash_lsh"].fn(spark, SF).count()
+    assert sum(r.n_pairs for r in rows) == total_pairs
+    for r in rows:
+        assert r.split_lo <= r.split_hi
+        assert r.is_leak == (r.split_lo != r.split_hi)
+        assert 0.7 <= r.avg_est_jaccard <= 1.0
+        assert r.split_lo in ("test", "train", "val")
+        assert r.split_hi in ("test", "train", "val")
