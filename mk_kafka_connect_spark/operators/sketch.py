@@ -191,18 +191,16 @@ def exact_quantile_distributed(
         # passes would only trade one small job for another.
         if located <= 4096:
             break
-    # Final pass: k-th smallest within the narrowed range, k small enough
-    # to resolve with min() after skipping (target - rank_before - 1)
-    # values — one exact ordered selection over the (tiny) remaining set.
+    # Final pass: k-th smallest within the narrowed range = max of the
+    # k smallest — ORDER BY + LIMIT compiles to TakeOrderedAndProject
+    # (per-partition top-k heaps + driver merge of k values), so the
+    # selection never plans a window or a global sort; k is bounded by
+    # the located bucket's count (≤4096 after descent), the same bound
+    # the early-stop already relies on.
     remaining = (
         df.where((F.col(col) >= lo) & (F.col(col) <= hi))
         .select(F.col(col).cast("double").alias("_v"))
     )
     k = target - rank_before
-    from pyspark.sql import Window as _W
-
-    ranked = remaining.withColumn(
-        "_r", F.row_number().over(_W.orderBy("_v"))
-    ).where(F.col("_r") == k)
-    row = ranked.collect()
-    return row[0]["_v"] if row else None
+    row = remaining.orderBy("_v").limit(k).agg(F.max("_v").alias("_v")).collect()
+    return row[0]["_v"] if row and row[0]["_v"] is not None else None
