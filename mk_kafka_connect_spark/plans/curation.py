@@ -1145,3 +1145,121 @@ def _sql_split_leakage_oracle() -> str:
 from .llm import _set_oracle as _patch_oracle  # noqa: E402
 
 _patch_oracle("dedup_split_leakage", _sql_split_leakage_oracle())
+
+
+# ---------------------------------------------------------------------------
+# sim_hybrid_rrf — reciprocal-rank fusion of lexical BM25 + vector top-k
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOPK = 50  # per-list depth (matches _BM25_TOPK)
+_RRF_OUT = 10  # fused results returned
+
+
+def _register_hybrid_rrf() -> None:
+    @query(
+        "sim_hybrid_rrf",
+        oracle=None,  # patched below (embeds the certified BM25 oracle)
+        tags=("similarity", "B15", "retrieval", "fusion"),
+    )
+    def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """HYBRID retrieval by reciprocal-rank fusion (RRF, the standard
+        score-free list combiner): the certified BM25 lexical top-50
+        (``docs_bm25_topk``'s exact ranking, reused verbatim) fused with
+        an exact vector top-50 (integer dot product of the quantized
+        embeddings against the vec_id-0 query vector, descending dot,
+        id tie-break — fixture ids align doc_id = vec_id) via
+        score(d) = 1/(60+r_lex) + 1/(60+r_vec), missing list membership
+        contributing 0. Both contributions are single IEEE divisions of
+        identical integers and their fixed-order sum is one addition, so
+        the fused ordering — and the returned top-10 — hash-matches
+        across engines exactly.
+
+        Scale shape: the lexical branch inherits BM25's posture (term
+        filter before aggregation, TakeOrdered top-k); the vector branch
+        is a 1-row broadcast query vector against a map-side dot product
+        + TakeOrdered — the brute-force baseline by design; swap the
+        IVF/LSH rankers in for the ANN tier (same fusion works on any
+        two rank lists). The fusion itself joins two <= 50-row relations
+        — driver-trivial at any corpus size."""
+        from ..operators.similarity import _dot
+
+        from .analysis import docs_bm25_topk
+
+        lex = docs_bm25_topk(spark, sf_dir).select(
+            F.col("doc_id").alias("id"),
+            F.col("rnk").cast("long").alias("rank_lex"),
+        )
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", quantize(F.col("embedding")).alias("q")
+        )
+        qv = emb.filter(F.col("vec_id") == 0).select(F.col("q").alias("qq"))
+        scored = emb.crossJoin(F.broadcast(qv)).select(
+            "vec_id", _dot(F.col("q"), F.col("qq")).alias("dot")
+        )
+        topv = scored.orderBy(F.desc("dot"), F.asc("vec_id")).limit(_RRF_TOPK)
+        wv = bounded_window("vec_id", F.desc("dot"), F.asc("vec_id"))
+        vec = topv.withColumn(
+            "rank_vec", F.row_number().over(wv).cast("long")
+        ).select(F.col("vec_id").alias("id"), "rank_vec")
+        fused = lex.join(vec, "id", "full_outer").select(
+            F.col("id").alias("doc_id"),
+            "rank_lex",
+            "rank_vec",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_vec")),
+                    F.lit(0.0),
+                )
+            ).alias("rrf_score"),
+        )
+        wr = bounded_window("doc_id", F.desc("rrf_score"), F.asc("doc_id"))
+        return (
+            fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            .limit(_RRF_OUT)
+            .withColumn("rrf_rank", F.row_number().over(wr).cast("long"))
+        )
+
+
+_register_hybrid_rrf()
+
+
+def _sql_hybrid_rrf_oracle() -> str:
+    from .registry import QUERIES as _QQ
+
+    bm25 = _QQ["docs_bm25_topk"].oracle
+    quant = _SQL_QUANT.format(e="embedding")
+    return f"""
+    WITH lex AS (
+      SELECT doc_id AS id, CAST(rnk AS BIGINT) AS rank_lex
+      FROM ({bm25})),
+    emb AS (SELECT vec_id, {quant} AS q FROM embeddings),
+    qv AS (SELECT q AS qq FROM emb WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+        list_sum(list_transform(list_zip(q, qq), p -> p[1] * p[2])) AS dot
+      FROM emb, qv),
+    topv AS (
+      SELECT vec_id,
+        row_number() OVER (ORDER BY dot DESC, vec_id) AS rank_vec
+      FROM scored ORDER BY dot DESC, vec_id LIMIT {_RRF_TOPK}),
+    vec AS (SELECT vec_id AS id, CAST(rank_vec AS BIGINT) AS rank_vec
+            FROM topv),
+    fused AS (
+      SELECT coalesce(l.id, v.id) AS doc_id, l.rank_lex, v.rank_vec,
+        coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + l.rank_lex), 0.0)
+        + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + v.rank_vec), 0.0)
+          AS rrf_score
+      FROM lex l FULL JOIN vec v ON l.id = v.id)
+    SELECT doc_id, rank_lex, rank_vec, rrf_score,
+      CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+        AS rrf_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+_patch_oracle("sim_hybrid_rrf", _sql_hybrid_rrf_oracle())

@@ -283,6 +283,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "docs_sample_exact_budget",
     "docs_greedy_pack_stats",
     "dedup_split_leakage",
+    "sim_hybrid_rrf",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

@@ -55,6 +55,8 @@ ALLOWED = {
     # by data volume. Forcing a constant-key hash join would do the same
     # work through one degenerate hash bucket.
     "sim_nearest_centroid": "K-row centroid broadcast (K = |labels|)",
+    "sim_hybrid_rrf": "1-row query-vector broadcast (vec_id-0 probe); "
+    "the vector branch is the declared brute-force baseline tier",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
     "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",
