@@ -16,7 +16,14 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.bounded import bounded_window
-from ..functions.hashing import SQL_MD5_MOD, md5_mod, shingles
+from ..functions.hashing import (
+    SQL_MD5_MOD,
+    SQL_SHINGLES,
+    SQL_WORDS,
+    md5_mod,
+    shingles,
+    words,
+)
 from .llm import (
     _SQL_QUANT,
     _sql_bucket,
@@ -1263,3 +1270,155 @@ def _sql_hybrid_rrf_oracle() -> str:
 
 
 _patch_oracle("sim_hybrid_rrf", _sql_hybrid_rrf_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_dsir_importance — hashed-ngram importance resampling (DSIR)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed feature buckets
+_DSIR_TARGET = "src0"  # in-domain proxy source
+_DSIR_OUT = 20  # selected documents returned
+_DSIR_SCALE = 1_000_000  # fixed-point quantization of the log-ratio
+
+
+def _lnq(col):
+    """round(ln(x), 8) — the repo's certified cross-engine log pattern
+    (plans/scalar.py:145); every argument here is >= 1 so the value is
+    non-negative and half-up/half-away rounding agree."""
+    return F.round(F.log(col), 8)
+
+
+def _register_dsir() -> None:
+    @query(
+        "docs_dsir_importance",
+        oracle=None,  # patched below
+        tags=("text", "B15", "sampling", "selection", "dsir"),
+    )
+    def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DSIR-style data selection (Xie et al. 2023, "Data Selection
+        for Language Models via Importance Resampling"): fit hashed
+        bag-of-ngram (unigram+bigram, md5 -> 512 buckets) class models
+        for the target domain (source = src0) and the raw pool
+        (everything else), score every raw document by the importance
+        log-ratio  sum_b f_b * [ln p_target(b) - ln p_raw(b)]  with
+        Laplace(+1) smoothing, and return the top-20 selected documents.
+
+        Determinism: each per-bucket log-ratio is composed of four
+        8-decimal-rounded lns of exact integers and quantized to an
+        int64 at 1e-6 resolution, so the per-document score is an exact
+        INTEGER sum — order-independent across partitions and bit-equal
+        in DuckDB; the one final division back to double is shared.
+
+        Scale shape: the model fit is a groupBy over 512 buckets
+        (map-side partial agg emits <= 512 rows per task); the totals
+        are a 1-row broadcast; scoring is explode -> broadcast hash
+        join against the 512-row model -> integer groupBy(doc_id);
+        selection is TakeOrderedAndProject. No global window, no
+        all-pairs anything — the corpus is touched exactly twice."""
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        grams = docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.concat(words(F.col("text")), shingles("text", 2))
+            ).alias("g"),
+        )
+        feats = grams.select(
+            "doc_id", "source", (md5_mod(F.col("g")) % _DSIR_B).alias("b")
+        )
+        is_t = F.col("source") == _DSIR_TARGET
+        model = feats.groupBy("b").agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+        )
+        tot = model.agg(
+            F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+        )
+        lr = model.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.round(
+                (
+                    _lnq(F.col("ct") + 1)
+                    - _lnq(F.col("t_tot") + _DSIR_B)
+                    - _lnq(F.col("cr") + 1)
+                    + _lnq(F.col("r_tot") + _DSIR_B)
+                )
+                * _DSIR_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("lr_q"),
+        )
+        scored = (
+            feats.filter(~is_t)
+            .join(F.broadcast(lr), "b")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_feats"),
+                F.sum("lr_q").alias("score_q"),
+            )
+        )
+        wr = bounded_window("doc_id", F.desc("score_q"), F.asc("doc_id"))
+        return (
+            scored.orderBy(F.desc("score_q"), F.asc("doc_id"))
+            .limit(_DSIR_OUT)
+            .select(
+                "doc_id",
+                "source",
+                "n_feats",
+                (F.col("score_q").cast("double") / _DSIR_SCALE).alias(
+                    "dsir_score"
+                ),
+                F.row_number().over(wr).cast("long").alias("sel_rank"),
+            )
+        )
+
+
+_register_dsir()
+
+
+def _sql_dsir_oracle() -> str:
+    lnq = "round(ln(CAST({x} AS DOUBLE)), 8)"
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, source,
+        unnest(list_concat({SQL_WORDS('text')}, {SQL_SHINGLES('text', 2)}))
+          AS g
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source, ({SQL_MD5_MOD('g')}) % {_DSIR_B} AS b
+      FROM grams),
+    model AS (
+      SELECT b,
+        sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+        sum(CASE WHEN source <> '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS cr
+      FROM feats GROUP BY b),
+    tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM model),
+    lr AS (
+      SELECT b,
+        CAST(round((
+            {lnq.format(x='ct + 1')}
+          - {lnq.format(x='t_tot + ' + str(_DSIR_B))}
+          - {lnq.format(x='cr + 1')}
+          + {lnq.format(x='r_tot + ' + str(_DSIR_B))}
+        ) * {_DSIR_SCALE}, 0) AS BIGINT) AS lr_q
+      FROM model, tot),
+    scored AS (
+      SELECT f.doc_id, f.source,
+        CAST(count(*) AS BIGINT) AS n_feats,
+        CAST(sum(lr.lr_q) AS BIGINT) AS score_q
+      FROM feats f JOIN lr USING (b)
+      WHERE f.source <> '{_DSIR_TARGET}'
+      GROUP BY f.doc_id, f.source)
+    SELECT doc_id, source, n_feats,
+      CAST(score_q AS DOUBLE) / {_DSIR_SCALE} AS dsir_score,
+      CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS BIGINT)
+        AS sel_rank
+    FROM scored ORDER BY score_q DESC, doc_id LIMIT {_DSIR_OUT}
+    """
+
+
+_patch_oracle("docs_dsir_importance", _sql_dsir_oracle())

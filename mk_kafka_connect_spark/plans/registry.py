@@ -284,6 +284,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "docs_greedy_pack_stats",
     "dedup_split_leakage",
     "sim_hybrid_rrf",
+    "docs_dsir_importance",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

@@ -57,6 +57,8 @@ ALLOWED = {
     "sim_nearest_centroid": "K-row centroid broadcast (K = |labels|)",
     "sim_hybrid_rrf": "1-row query-vector broadcast (vec_id-0 probe); "
     "the vector branch is the declared brute-force baseline tier",
+    "docs_dsir_importance": "1-row corpus-totals broadcast (T, R "
+    "smoothing denominators for the 512-bucket model)",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
     "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",
