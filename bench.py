@@ -168,6 +168,8 @@ HEADLINE = [
     "docs_sample_exact_budget",
     "docs_greedy_pack_stats",
     "dedup_split_leakage",
+    "sim_hybrid_rrf",
+    "docs_dsir_importance",
 ]
 
 

@@ -253,3 +253,48 @@ def test_split_leakage_consistent_with_lsh_pairs(spark):
         assert 0.7 <= r.avg_est_jaccard <= 1.0
         assert r.split_lo in ("test", "train", "val")
         assert r.split_hi in ("test", "train", "val")
+
+
+def test_hybrid_rrf_fusion_arithmetic_and_rank(spark):
+    """Every fused score must equal the RRF formula applied to its own
+    rank columns, ranks must be a 1..10 prefix ordered by score, and a
+    doc absent from BOTH lists can't appear."""
+    rows = QUERIES["sim_hybrid_rrf"].fn(spark, SF).collect()
+    assert [r.rrf_rank for r in rows] == list(range(1, 11))
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.rank_lex is not None or r.rank_vec is not None
+        expect = 0.0
+        if r.rank_lex is not None:
+            assert 1 <= r.rank_lex <= 50
+            expect += 1.0 / (60 + r.rank_lex)
+        if r.rank_vec is not None:
+            assert 1 <= r.rank_vec <= 50
+            expect += 1.0 / (60 + r.rank_vec)
+        assert abs(r.rrf_score - expect) < 1e-15
+
+
+def test_dsir_selection_excludes_target_and_counts_features(spark):
+    """Selected docs must all come from the raw pool (never the target
+    domain), ranks must be ordered by score, and each doc's feature
+    count must equal 2·words−1 (unigrams + bigrams), recomputed
+    independently from the documents table."""
+    rows = QUERIES["docs_dsir_importance"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    assert [r.sel_rank for r in rows] == list(range(1, 21))
+    scores = [r.dsir_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.source != "src0" for r in rows)
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    nw = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r.n_feats == 2 * nw[r.doc_id] - 1
