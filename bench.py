@@ -170,6 +170,7 @@ HEADLINE = [
     "dedup_split_leakage",
     "sim_hybrid_rrf",
     "docs_dsir_importance",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -1422,3 +1422,122 @@ def _sql_dsir_oracle() -> str:
 
 
 _patch_oracle("docs_dsir_importance", _sql_dsir_oracle())
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_recall — prefix-dimension truncation recall gate
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)  # prefix budgets; 64 = full dimension
+_MRL_NQ = 25  # query batch size (vec_id < 25)
+_MRL_K = 10  # recall@k
+
+
+def _register_matryoshka() -> None:
+    @query(
+        "emb_matryoshka_recall",
+        oracle=None,  # patched below
+        tags=("similarity", "B15", "evaluation", "recall", "matryoshka"),
+    )
+    def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MATRYOSHKA dimension-budget gate (Kusupati et al. 2022): for
+        each prefix budget d in (8, 16, 32, 64), the exact top-10 by
+        integer dot product over the FIRST d embedding dimensions for a
+        25-query batch, scored as recall@10 against the full-dimension
+        exact ranking — the measurement that decides how far embeddings
+        can be truncated (4x-8x index shrink) before ANN quality pays.
+        The d=64 row is the self-recall anchor (exactly 1.0 by
+        construction). Quantized integer dots with id tie-break, so
+        every ranking — and the recall fractions — are bit-equal in
+        DuckDB.
+
+        Scale shape: the query batch is a 25-row broadcast against one
+        corpus scan per budget (the declared brute-force evaluation
+        tier, same posture as sim_topk_bruteforce); per-query rankings
+        are windows PARTITIONED by (query, budget); the recall join runs
+        on |Q| x k x |budgets| rows. In production this runs on a
+        sampled query batch exactly as here."""
+        from ..operators.similarity import _dot, quantize
+
+        v = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", quantize(F.col("embedding")).alias("v")
+        )
+        q = v.filter(F.col("vec_id") < _MRL_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        tops = None
+        for d in _MRL_DIMS:
+            pairs = v.crossJoin(F.broadcast(q)).filter(
+                F.col("vec_id") != F.col("query_id")
+            )
+            scored = pairs.select(
+                F.lit(d).alias("dim_budget"),
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                _dot(
+                    F.slice(F.col("qv"), 1, d), F.slice(F.col("v"), 1, d)
+                ).alias("dot"),
+            )
+            w = Window.partitionBy("query_id", "dim_budget").orderBy(
+                F.desc("dot"), F.asc("neighbor_id")
+            )
+            top = scored.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") <= _MRL_K
+            )
+            tops = top if tops is None else tops.unionByName(top)
+        base = tops.filter(F.col("dim_budget") == max(_MRL_DIMS)).select(
+            "query_id", "neighbor_id", F.lit(1).alias("_hit")
+        )
+        return (
+            tops.join(base, ["query_id", "neighbor_id"], "left")
+            .groupBy("dim_budget")
+            .agg(F.count("_hit").alias("n_match"))
+            .select(
+                "dim_budget",
+                "n_match",
+                (
+                    F.col("n_match").cast("double") / (_MRL_NQ * _MRL_K)
+                ).alias("recall_at_10"),
+            )
+            .orderBy("dim_budget")
+        )
+
+
+_register_matryoshka()
+
+
+def _sql_matryoshka_oracle() -> str:
+    quant = _SQL_QUANT.format(e="embedding")
+
+    def branch(d: int) -> str:
+        return f"""
+      SELECT {d} AS dim_budget, query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY dot DESC, neighbor_id) AS rn
+        FROM (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+            list_sum(list_transform(
+              list_zip(q.qv[1:{d}], c.v[1:{d}]), p -> p[1] * p[2])) AS dot
+          FROM q, v c WHERE c.vec_id <> q.query_id))
+      WHERE rn <= {_MRL_K}"""
+
+    branches = " UNION ALL ".join(branch(d) for d in _MRL_DIMS)
+    return f"""
+    WITH v AS (SELECT vec_id, {quant} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id < {_MRL_NQ}),
+    tops AS ({branches}),
+    base AS (SELECT query_id, neighbor_id FROM tops
+             WHERE dim_budget = {max(_MRL_DIMS)})
+    SELECT t.dim_budget,
+      CAST(count(b.neighbor_id) AS BIGINT) AS n_match,
+      CAST(count(b.neighbor_id) AS DOUBLE) / {_MRL_NQ * _MRL_K}
+        AS recall_at_10
+    FROM tops t LEFT JOIN base b
+      ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+    GROUP BY t.dim_budget ORDER BY t.dim_budget
+    """
+
+
+_patch_oracle("emb_matryoshka_recall", _sql_matryoshka_oracle())

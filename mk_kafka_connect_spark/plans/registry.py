@@ -285,6 +285,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "dedup_split_leakage",
     "sim_hybrid_rrf",
     "docs_dsir_importance",
+    "emb_matryoshka_recall",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

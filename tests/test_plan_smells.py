@@ -59,6 +59,8 @@ ALLOWED = {
     "the vector branch is the declared brute-force baseline tier",
     "docs_dsir_importance": "1-row corpus-totals broadcast (T, R "
     "smoothing denominators for the 512-bucket model)",
+    "emb_matryoshka_recall": "25-row query-batch broadcast; the exact "
+    "|Q|x|C| evaluation tier (same posture as sim_topk_bruteforce)",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
     "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",

@@ -298,3 +298,21 @@ def test_dsir_selection_excludes_target_and_counts_features(spark):
     }
     for r in rows:
         assert r.n_feats == 2 * nw[r.doc_id] - 1
+
+
+def test_matryoshka_recall_anchor_and_bounds(spark):
+    """The full-dimension row is the self-recall anchor (exactly 1.0);
+    every budget reports over the same 25x10 denominator."""
+    rows = {
+        r.dim_budget: r
+        for r in QUERIES["emb_matryoshka_recall"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64].n_match == 250
+    assert rows[64].recall_at_10 == 1.0
+    for r in rows.values():
+        assert 0 <= r.n_match <= 250
+        assert abs(r.recall_at_10 - r.n_match / 250) < 1e-15
+    # Truncating to an eighth of the dimensions must actually cost
+    # something on a 64-dim corpus — otherwise the gate measures nothing.
+    assert rows[8].n_match < 250
