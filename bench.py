@@ -171,6 +171,7 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "docs_dsir_importance",
     "emb_matryoshka_recall",
+    "agg_countmin_estimates",
 ]
 
 

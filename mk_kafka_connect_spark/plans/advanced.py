@@ -1638,3 +1638,120 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(li, "l_orderkey", "lineitem.l_orderkey").unionAll(
         profile(ev, "user_id", "events.user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_countmin_estimates — Count-Min sketch with value-exact estimates
+# ---------------------------------------------------------------------------
+
+_CM_W = 4096  # sketch width (buckets per hash row)
+_CM_D = 3  # sketch depth (independent hash rows)
+_CM_TOPK = 10  # report rows
+
+
+def _register_countmin() -> None:
+    from ..functions.hashing import MERSENNE_P, minhash_params
+
+    params = minhash_params(_CM_D)
+
+    hash_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(params)
+    )
+
+    @query(
+        "agg_countmin_estimates",
+        oracle=f"""
+        WITH h(j, a, b) AS (VALUES {hash_rows}),
+        cm AS (
+          SELECT h.j,
+            ((h.a * o_custkey + h.b) % {MERSENNE_P}) % {_CM_W} AS bucket,
+            count(*) AS c
+          FROM orders, h GROUP BY 1, 2),
+        top AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_count
+          FROM orders GROUP BY o_custkey
+          ORDER BY exact_count DESC, o_custkey LIMIT {_CM_TOPK}),
+        est AS (
+          SELECT t.o_custkey, t.exact_count,
+            CAST(min(cm.c) AS BIGINT) AS cm_estimate
+          FROM top t, h
+          JOIN cm ON cm.j = h.j
+            AND cm.bucket = ((h.a * t.o_custkey + h.b) % {MERSENNE_P})
+                            % {_CM_W}
+          GROUP BY 1, 2)
+        SELECT o_custkey, exact_count, cm_estimate,
+          cm_estimate - exact_count AS overestimate,
+          cm_estimate >= exact_count AS never_underestimates
+        FROM est ORDER BY exact_count DESC, o_custkey
+        """,
+        tags=("agg", "B7", "approx", "sketch", "countmin"),
+    )
+    def agg_countmin_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Count-Min sketch (Cormode & Muthukrishnan 2005) over order
+        counts per customer: a d=3 x w=4096 integer counter matrix
+        (bucket_j = affine_j(key) mod w, the same deterministic
+        permutation family as MinHash), point-queried for the exact
+        top-10 customers with est = min_j cm[j][bucket_j(key)]. Unlike
+        the HLL / Misra-Gries rows (whose sketch STATE depends on
+        partition order, so they emit exact counts + guarantee
+        booleans), CM counters are pure sums — order-independent and
+        merge-by-addition — so the ESTIMATE ITSELF is emitted and
+        hash-checked cross-engine, along with the realized overestimate
+        and the one deterministic CM guarantee (never underestimates).
+
+        Scale shape: the fit is one keyed aggregate over d*w = 12,288
+        bounded buckets — each task's partial state is the whole sketch,
+        KBs, regardless of input rows (THE bounded-memory frequency
+        structure for 100 TB streams; shard/day sketches compose by
+        element-wise +). Point queries probe a 30-row broadcast of
+        (key, j, bucket) into the sketch relation by equi-join."""
+        o = load_table(spark, sf_dir, "orders").select("o_custkey")
+
+        def buckets(key_col):
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            ((key_col * a + b) % MERSENNE_P) % _CM_W
+                        ).alias("bucket"),
+                    )
+                    for j, (a, b) in enumerate(params)
+                ]
+            )
+
+        cm = (
+            o.select(F.explode(buckets(F.col("o_custkey"))).alias("h"))
+            .groupBy("h.j", "h.bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+            .orderBy(F.desc("exact_count"), F.asc("o_custkey"))
+            .limit(_CM_TOPK)
+        )
+        probe = top.select(
+            "o_custkey",
+            "exact_count",
+            F.explode(buckets(F.col("o_custkey"))).alias("h"),
+        ).select("o_custkey", "exact_count", "h.j", "h.bucket")
+        est = (
+            cm.join(F.broadcast(probe), ["j", "bucket"])
+            .groupBy("o_custkey", "exact_count")
+            .agg(F.min("c").alias("cm_estimate"))
+        )
+        return est.select(
+            "o_custkey",
+            "exact_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+            (F.col("cm_estimate") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        ).orderBy(F.desc("exact_count"), F.asc("o_custkey"))
+
+
+_register_countmin()

@@ -286,6 +286,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "sim_hybrid_rrf",
     "docs_dsir_importance",
     "emb_matryoshka_recall",
+    "agg_countmin_estimates",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

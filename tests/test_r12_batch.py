@@ -316,3 +316,29 @@ def test_matryoshka_recall_anchor_and_bounds(spark):
     # Truncating to an eighth of the dimensions must actually cost
     # something on a 64-dim corpus — otherwise the gate measures nothing.
     assert rows[8].n_match < 250
+
+
+def test_countmin_estimates_guarantee_and_exactness(spark):
+    """CM must never underestimate, the reported overestimate must be
+    internally consistent, and the exact counts must reconcile with a
+    direct group-by recomputation."""
+    rows = QUERIES["agg_countmin_estimates"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    counts = [r.exact_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.never_underestimates
+        assert r.cm_estimate >= r.exact_count
+        assert r.overestimate == r.cm_estimate - r.exact_count
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    orders = load_table(spark, SF, "orders")
+    exact = {
+        r.o_custkey: r.n
+        for r in orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for r in rows:
+        assert r.exact_count == exact[r.o_custkey]
