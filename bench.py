@@ -172,6 +172,7 @@ HEADLINE = [
     "docs_dsir_importance",
     "emb_matryoshka_recall",
     "agg_countmin_estimates",
+    "agg_kmv_set_sketch",
 ]
 
 

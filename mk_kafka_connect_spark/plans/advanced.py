@@ -1755,3 +1755,237 @@ def _register_countmin() -> None:
 
 
 _register_countmin()
+
+
+# ---------------------------------------------------------------------------
+# agg_kmv_set_sketch — k-minimum-values sketch: union AND intersection
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64  # sketch size (64 < 150 distinct users at sf0.01 -> estimator branch exercises)
+_KMV_A = "view"
+_KMV_B = "click"
+
+
+def _register_kmv() -> None:
+    from ..functions.hashing import MERSENNE_P, SQL_MD5_MOD, md5_mod
+
+    K, P, A, B = _KMV_K, MERSENNE_P, _KMV_A, _KMV_B
+
+    @query(
+        "agg_kmv_set_sketch",
+        oracle=f"""
+        WITH pairs AS (
+          SELECT DISTINCT event_type,
+            {SQL_MD5_MOD("CAST(user_id AS VARCHAR)")} AS h
+          FROM events WHERE event_type IN ('{A}', '{B}')),
+        stats AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM pairs GROUP BY event_type),
+        sk AS (
+          SELECT event_type, h FROM (
+            SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM pairs) WHERE rn <= {K}),
+        u AS (
+          SELECT h FROM (SELECT DISTINCT h FROM sk)
+          ORDER BY h LIMIT {K}),
+        ustats AS (
+          SELECT CAST(count(*) AS BIGINT) AS cu,
+            CAST(max(h) AS BIGINT) AS hku,
+            CAST(sum(CASE WHEN h IN (SELECT h FROM sk WHERE event_type = '{A}')
+                      AND h IN (SELECT h FROM sk WHERE event_type = '{B}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c_both
+          FROM u),
+        skstats AS (
+          SELECT
+            (SELECT n FROM stats WHERE event_type = '{A}') AS na,
+            (SELECT n FROM stats WHERE event_type = '{B}') AS nb,
+            (SELECT CAST(max(h) AS BIGINT) FROM sk
+             WHERE event_type = '{A}') AS hka,
+            (SELECT CAST(max(h) AS BIGINT) FROM sk
+             WHERE event_type = '{B}') AS hkb),
+        exact AS (
+          SELECT
+            CAST(count(DISTINCT CASE WHEN event_type = '{A}'
+                 THEN user_id END) AS BIGINT) AS xa,
+            CAST(count(DISTINCT CASE WHEN event_type = '{B}'
+                 THEN user_id END) AS BIGINT) AS xb,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS xu
+          FROM events WHERE event_type IN ('{A}', '{B}')),
+        exact_i AS (
+          SELECT CAST(count(*) AS BIGINT) AS xi FROM (
+            SELECT user_id FROM events
+            WHERE event_type IN ('{A}', '{B}')
+            GROUP BY user_id
+            HAVING count(DISTINCT event_type) = 2)),
+        one AS (SELECT * FROM skstats, ustats, exact, exact_i)
+        SELECT * FROM (
+          SELECT 'distinct_{A}' AS measure, xa AS exact_count,
+            CASE WHEN na < {K} THEN CAST(na AS DOUBLE)
+                 ELSE CAST({K - 1} AS DOUBLE) * {P} / hka END AS kmv_estimate,
+            na < {K} AS sketch_exhaustive FROM one
+          UNION ALL
+          SELECT 'distinct_{B}', xb,
+            CASE WHEN nb < {K} THEN CAST(nb AS DOUBLE)
+                 ELSE CAST({K - 1} AS DOUBLE) * {P} / hkb END,
+            nb < {K} FROM one
+          UNION ALL
+          SELECT 'union', xu,
+            CASE WHEN cu < {K} THEN CAST(cu AS DOUBLE)
+                 ELSE CAST({K - 1} AS DOUBLE) * {P} / hku END,
+            cu < {K} FROM one
+          UNION ALL
+          SELECT 'intersection', xi,
+            CASE WHEN cu < {K} THEN CAST(c_both AS DOUBLE)
+                 ELSE CAST(c_both * {K - 1} AS DOUBLE) * {P}
+                      / ({K} * hku) END,
+            cu < {K} FROM one)
+        ORDER BY measure
+        """,
+        tags=("agg", "B7", "approx", "sketch", "kmv", "distinct"),
+    )
+    def agg_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """K-minimum-values (KMV / theta-style) distinct sketch over the
+        'view' and 'click' audiences, with the two estimates HLL cannot
+        give: the UNION estimate composes by keeping the k smallest of
+        the merged sketch values, and the INTERSECTION estimate is the
+        Jaccard-scaled union ((|U ∩ A ∩ B| / k) · est_union) — the
+        audience-overlap primitives for 100 TB segment analytics. The k
+        smallest deterministic hashes are a SET property (no dependence
+        on row or partition order, unlike HLL/Misra-Gries state), so
+        the sketch contents — and every estimate — are value-exact
+        cross-engine: each estimate is one division of exactly-
+        representable integers ((k−1)·P ≈ 6.3e10 < 2^53). Rows carry
+        the exact ground truth next to the estimate plus the
+        exhaustive-branch flag (k=64 < 150 distinct users at sf0.01,
+        so the ESTIMATOR branch is what the driver certifies).
+
+        Scale shape: one map-side-combinable distinct over (type, hash),
+        per-type k-smallest via a rank window that Spark rewrites to
+        WindowGroupLimit (per-partition top-k, no full per-type sort
+        materialization), union/intersection over <= 2k-row relations,
+        exact ground truth from one multi-count-distinct pass. Sketch
+        states merge by set-union + re-truncation — shard/day sketches
+        compose exactly like the HLL row's shards."""
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin(A, B))
+            .select("event_type", "user_id")
+        )
+        pairs = ev.select(
+            "event_type",
+            md5_mod(F.col("user_id").cast("string")).alias("h"),
+        ).distinct()
+        stats = pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        wsk = Window.partitionBy("event_type").orderBy("h")
+        sk = (
+            pairs.withColumn("rn", F.row_number().over(wsk))
+            .filter(F.col("rn") <= K)
+            .select("event_type", "h")
+        )
+        u = sk.select("h").distinct().orderBy("h").limit(K)
+        ska = sk.filter(F.col("event_type") == A).select(
+            "h", F.lit(1).alias("_ina")
+        )
+        skb = sk.filter(F.col("event_type") == B).select(
+            "h", F.lit(1).alias("_inb")
+        )
+        ustats = (
+            u.join(F.broadcast(ska), "h", "left")
+            .join(F.broadcast(skb), "h", "left")
+            .agg(
+                F.count(F.lit(1)).alias("cu"),
+                F.max("h").alias("hku"),
+                F.sum(
+                    F.when(
+                        F.col("_ina").isNotNull()
+                        & F.col("_inb").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("c_both"),
+            )
+        )
+        skstats = (
+            sk.groupBy("event_type")
+            .agg(F.max("h").alias("hk"))
+            .join(stats, "event_type")
+            .groupBy()
+            .agg(
+                F.max(F.when(F.col("event_type") == A, F.col("n"))).alias("na"),
+                F.max(F.when(F.col("event_type") == B, F.col("n"))).alias("nb"),
+                F.max(F.when(F.col("event_type") == A, F.col("hk"))).alias("hka"),
+                F.max(F.when(F.col("event_type") == B, F.col("hk"))).alias("hkb"),
+            )
+        )
+        exact = ev.agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == A, F.col("user_id"))
+            ).alias("xa"),
+            F.countDistinct(
+                F.when(F.col("event_type") == B, F.col("user_id"))
+            ).alias("xb"),
+            F.countDistinct("user_id").alias("xu"),
+        )
+        exact_i = (
+            ev.groupBy("user_id")
+            .agg(F.countDistinct("event_type").alias("_nt"))
+            .filter(F.col("_nt") == 2)
+            .agg(F.count(F.lit(1)).alias("xi"))
+        )
+        one = (
+            skstats.crossJoin(F.broadcast(ustats))
+            .crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(exact_i))
+        )
+
+        def est(n, hk):
+            return F.when(
+                F.col(n) < K, F.col(n).cast("double")
+            ).otherwise(F.lit(float(K - 1)) * P / F.col(hk))
+
+        rows = one.select(
+            F.array(
+                F.struct(
+                    F.lit(f"distinct_{A}").alias("measure"),
+                    F.col("xa").alias("exact_count"),
+                    est("na", "hka").alias("kmv_estimate"),
+                    (F.col("na") < K).alias("sketch_exhaustive"),
+                ),
+                F.struct(
+                    F.lit(f"distinct_{B}").alias("measure"),
+                    F.col("xb").alias("exact_count"),
+                    est("nb", "hkb").alias("kmv_estimate"),
+                    (F.col("nb") < K).alias("sketch_exhaustive"),
+                ),
+                F.struct(
+                    F.lit("union").alias("measure"),
+                    F.col("xu").alias("exact_count"),
+                    est("cu", "hku").alias("kmv_estimate"),
+                    (F.col("cu") < K).alias("sketch_exhaustive"),
+                ),
+                F.struct(
+                    F.lit("intersection").alias("measure"),
+                    F.col("xi").alias("exact_count"),
+                    F.when(
+                        F.col("cu") < K, F.col("c_both").cast("double")
+                    )
+                    .otherwise(
+                        (F.col("c_both") * (K - 1)).cast("double")
+                        * P
+                        / (K * F.col("hku"))
+                    )
+                    .alias("kmv_estimate"),
+                    (F.col("cu") < K).alias("sketch_exhaustive"),
+                ),
+            ).alias("_r")
+        )
+        return (
+            rows.select(F.explode("_r").alias("r"))
+            .select("r.*")
+            .orderBy("measure")
+        )
+
+
+_register_kmv()

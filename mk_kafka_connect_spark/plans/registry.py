@@ -287,6 +287,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "docs_dsir_importance",
     "emb_matryoshka_recall",
     "agg_countmin_estimates",
+    "agg_kmv_set_sketch",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

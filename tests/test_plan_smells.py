@@ -61,6 +61,8 @@ ALLOWED = {
     "smoothing denominators for the 512-bucket model)",
     "emb_matryoshka_recall": "25-row query-batch broadcast; the exact "
     "|Q|x|C| evaluation tier (same posture as sim_topk_bruteforce)",
+    "agg_kmv_set_sketch": "1-row sketch-scalar broadcasts (per-type "
+    "kth-min / union stats / exact ground truth composed into one row)",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
     "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",

@@ -342,3 +342,37 @@ def test_countmin_estimates_guarantee_and_exactness(spark):
     }
     for r in rows:
         assert r.exact_count == exact[r.o_custkey]
+
+
+def test_kmv_sketch_estimates_and_exhaustive_branch(spark):
+    """At sf0.01 (150 distinct users per type > k=64) every sketch must
+    take the ESTIMATOR branch; estimates must land within the k=64
+    theoretical error envelope of the exact counts, and the exact
+    ground-truth columns must reconcile with direct recomputation."""
+    rows = {
+        r.measure: r
+        for r in QUERIES["agg_kmv_set_sketch"].fn(spark, SF).collect()
+    }
+    assert set(rows) == {"distinct_view", "distinct_click", "union",
+                         "intersection"}
+    for r in rows.values():
+        assert not r.sketch_exhaustive
+        assert r.kmv_estimate > 0
+        # KMV rse = 1/sqrt(k-2) ~ 12.7%; 5 sigma is a generous but
+        # non-vacuous envelope for a deterministic fixture.
+        assert abs(r.kmv_estimate - r.exact_count) <= 0.65 * r.exact_count
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    xa = ev.filter(F.col("event_type") == "view").select(
+        "user_id").distinct().count()
+    xu = ev.select("user_id").distinct().count()
+    assert rows["distinct_view"].exact_count == xa
+    assert rows["union"].exact_count == xu
+    assert rows["intersection"].exact_count <= min(
+        rows["distinct_view"].exact_count,
+        rows["distinct_click"].exact_count,
+    )
