@@ -173,6 +173,7 @@ HEADLINE = [
     "emb_matryoshka_recall",
     "agg_countmin_estimates",
     "agg_kmv_set_sketch",
+    "sim_mutual_knn",
 ]
 
 

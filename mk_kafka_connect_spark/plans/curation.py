@@ -1541,3 +1541,102 @@ def _sql_matryoshka_oracle() -> str:
 
 
 _patch_oracle("emb_matryoshka_recall", _sql_matryoshka_oracle())
+
+
+# ---------------------------------------------------------------------------
+# sim_mutual_knn — reciprocal-nearest-neighbor pairs over LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _register_mutual_knn() -> None:
+    @query(
+        "sim_mutual_knn",
+        oracle=None,  # patched below (embeds the certified LSH oracle)
+        tags=("similarity", "B15", "dedup", "rnn"),
+    )
+    def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """RECIPROCAL nearest neighbors over the certified LSH
+        candidate set: symmetrize ``dedup_embedding_lsh``'s verified
+        pairs, pick each node's single best neighbor (max cosine, id
+        tie-break), and keep exactly the pairs where the choice is
+        MUTUAL — the standard high-precision filter between "near-dup
+        candidates" and "delete one of them" (one-sided neighbors are
+        usually hub artifacts; mutual choice is the classic RNN
+        dedup/matching criterion). Composes the registered operator, so
+        the oracle replays candidate generation, per-node argmax, and
+        the reciprocity join end to end; cosines are bit-identical
+        cross-engine (exact integer dot/norms, one IEEE divide), so the
+        argmax — and the returned pair set — hash-match exactly.
+
+        Scale shape: candidates are LSH-bucket-bounded (never all
+        pairs); per-node best is a rank-1 window that Spark rewrites to
+        WindowGroupLimit (bounded per-partition state); reciprocity is
+        an equi-join of two best-edge relations on the (src, dst) key.
+        Everything is candidate-set-sized — 100 TB-safe whenever the
+        banding is."""
+        from .registry import QUERIES as _QQ
+
+        pairs = _QQ["dedup_embedding_lsh"].fn(spark, sf_dir)
+        sym = pairs.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            "cosine",
+        ).unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"),
+                F.col("id_a").alias("dst"),
+                "cosine",
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("cosine"), F.asc("dst")
+        )
+        best = (
+            sym.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "cosine")
+        )
+        other = best.select(
+            F.col("src").alias("_osrc"), F.col("dst").alias("_odst")
+        )
+        return (
+            best.join(
+                other,
+                (F.col("src") == F.col("_odst"))
+                & (F.col("dst") == F.col("_osrc")),
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .select(
+                F.col("src").alias("id_a"),
+                F.col("dst").alias("id_b"),
+                "cosine",
+            )
+        )
+
+
+_register_mutual_knn()
+
+
+def _sql_mutual_knn_oracle() -> str:
+    from .registry import QUERIES as _QQ
+
+    lsh = _QQ["dedup_embedding_lsh"].oracle
+    return f"""
+    WITH p AS ({lsh}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst, cosine FROM p
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst, cosine FROM p),
+    best AS (
+      SELECT src, dst, cosine FROM (
+        SELECT src, dst, cosine,
+          row_number() OVER (PARTITION BY src
+                             ORDER BY cosine DESC, dst) AS rn
+        FROM sym) WHERE rn = 1)
+    SELECT a.src AS id_a, a.dst AS id_b, a.cosine AS cosine
+    FROM best a JOIN best b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    """
+
+
+_patch_oracle("sim_mutual_knn", _sql_mutual_knn_oracle())

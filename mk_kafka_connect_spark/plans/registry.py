@@ -288,6 +288,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "emb_matryoshka_recall",
     "agg_countmin_estimates",
     "agg_kmv_set_sketch",
+    "sim_mutual_knn",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

@@ -376,3 +376,35 @@ def test_kmv_sketch_estimates_and_exhaustive_branch(spark):
         rows["distinct_view"].exact_count,
         rows["distinct_click"].exact_count,
     )
+
+
+def test_mutual_knn_is_reciprocal_subset_of_lsh_pairs(spark):
+    """Every mutual pair must be an LSH candidate pair, each node may
+    appear in at most one mutual pair... (reciprocity makes the best-
+    neighbor relation a partial matching), and reciprocity must be
+    recomputable from the candidates directly."""
+    mutual = QUERIES["sim_mutual_knn"].fn(spark, SF).collect()
+    assert mutual, "fixture should produce at least one mutual pair"
+    cand = QUERIES["dedup_embedding_lsh"].fn(spark, SF).collect()
+    cand_pairs = {(r.id_a, r.id_b): r.cosine for r in cand}
+    # candidate-subset + node-disjointness
+    seen = set()
+    for r in mutual:
+        assert (r.id_a, r.id_b) in cand_pairs
+        assert abs(cand_pairs[(r.id_a, r.id_b)] - r.cosine) < 1e-15
+        assert r.id_a not in seen and r.id_b not in seen
+        seen.add(r.id_a)
+        seen.add(r.id_b)
+    # recompute best-neighbor argmax in plain Python and check
+    best = {}
+    for r in cand:
+        for s, d in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            cur = best.get(s)
+            if cur is None or (-r.cosine, d) < cur[0]:
+                best[s] = ((-r.cosine, d), d)
+    expect = {
+        (s, b[1])
+        for s, b in best.items()
+        if s < b[1] and best.get(b[1], (None, None))[1] == s
+    }
+    assert {(r.id_a, r.id_b) for r in mutual} == expect
