@@ -174,6 +174,7 @@ HEADLINE = [
     "agg_countmin_estimates",
     "agg_kmv_set_sketch",
     "sim_mutual_knn",
+    "docs_ks_drift_by_source",
 ]
 
 

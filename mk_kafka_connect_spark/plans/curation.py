@@ -1640,3 +1640,130 @@ def _sql_mutual_knn_oracle() -> str:
 
 
 _patch_oracle("sim_mutual_knn", _sql_mutual_knn_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_ks_drift_by_source — exact two-sample Kolmogorov–Smirnov test
+# ---------------------------------------------------------------------------
+
+_KS_A = "src0"
+_KS_B = "src1"
+_KS_BLK = 64  # length-band width for the parallel-prefix decomposition
+_KS_C95 = 1.358  # c(alpha) at alpha = 0.05
+
+
+def _register_ks_drift() -> None:
+    @query(
+        "docs_ks_drift_by_source",
+        oracle=f"""
+        WITH lens AS (
+          SELECT source, n_chars AS v FROM documents
+          WHERE source IN ('{_KS_A}', '{_KS_B}')),
+        counts AS (
+          SELECT v,
+            sum(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END) AS ca,
+            sum(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END) AS cb
+          FROM lens GROUP BY v),
+        cum AS (
+          SELECT v,
+            sum(ca) OVER (ORDER BY v) AS fa,
+            sum(cb) OVER (ORDER BY v) AS fb
+          FROM counts),
+        tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b
+          FROM counts)
+        SELECT n_a, n_b,
+          CAST(max(abs(fa * n_b - fb * n_a)) AS BIGINT) AS d_num,
+          CAST(max(abs(fa * n_b - fb * n_a)) AS DOUBLE) / (n_a * n_b)
+            AS d_stat,
+          {_KS_C95} * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+            AS ks_critical_95,
+          CAST(max(abs(fa * n_b - fb * n_a)) AS DOUBLE) / (n_a * n_b)
+            > {_KS_C95} * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+            AS drift_detected
+        FROM cum, tot GROUP BY n_a, n_b
+        """,
+        tags=("text", "B15", "quality", "drift", "stats"),
+    )
+    def docs_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EXACT two-sample Kolmogorov-Smirnov test between the src0 and
+        src1 document-length distributions — the classic distribution-
+        drift gate between corpus snapshots/sources (the CDF-supremum
+        complement of events_histogram_drift's binned PSI shape). The
+        statistic is computed in pure integers: D_num = max over
+        observed lengths of |F_a(v)*n_b - F_b(v)*n_a| (cross-multiplied
+        empirical CDFs, no per-step division), with d_stat =
+        D_num/(n_a*n_b) and the alpha=0.05 critical value
+        1.358*sqrt((n_a+n_b)/(n_a*n_b)) each one shared IEEE
+        expression — bit-equal cross-engine (sqrt is correctly rounded
+        in both).
+
+        Scale shape: one keyed aggregate over distinct length values,
+        then the global CDF cumsum is the two-phase block-prefix
+        decomposition (per-64-char-band partials, exclusive prefix over
+        the tiny band table, band-partitioned within-window) — no
+        single-partition sort at any size; the final max is a plain
+        aggregate with a 1-row totals broadcast."""
+        lens = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("source").isin(_KS_A, _KS_B))
+            .select("source", F.col("n_chars").alias("v"))
+        )
+        counts = lens.groupBy("v").agg(
+            F.sum(F.when(F.col("source") == _KS_A, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("source") == _KS_B, 1).otherwise(0)).alias("cb"),
+        )
+        b = counts.withColumn("_blk", (F.col("v") / _KS_BLK).cast("long"))
+        blocks = b.groupBy("_blk").agg(
+            F.sum("ca").alias("_bca"), F.sum("cb").alias("_bcb")
+        )
+        wb = bounded_window("_blk", "_blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prior = blocks.select(
+            "_blk",
+            F.coalesce(F.sum("_bca").over(wb), F.lit(0)).alias("_pa"),
+            F.coalesce(F.sum("_bcb").over(wb), F.lit(0)).alias("_pb"),
+        )
+        ww = (
+            Window.partitionBy("_blk")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = b.join(F.broadcast(prior), "_blk").select(
+            "v",
+            (F.col("_pa") + F.sum("ca").over(ww)).alias("fa"),
+            (F.col("_pb") + F.sum("cb").over(ww)).alias("fb"),
+        )
+        tot = counts.agg(
+            F.sum("ca").cast("long").alias("n_a"),
+            F.sum("cb").cast("long").alias("n_b"),
+        )
+        d = (
+            cum.crossJoin(F.broadcast(tot))
+            .groupBy("n_a", "n_b")
+            .agg(
+                F.max(
+                    F.abs(F.col("fa") * F.col("n_b") - F.col("fb") * F.col("n_a"))
+                )
+                .cast("long")
+                .alias("d_num")
+            )
+        )
+        crit = F.lit(_KS_C95) * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        )
+        stat = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))
+        return d.select(
+            "n_a",
+            "n_b",
+            "d_num",
+            stat.alias("d_stat"),
+            crit.alias("ks_critical_95"),
+            (stat > crit).alias("drift_detected"),
+        )
+
+
+_register_ks_drift()

@@ -63,6 +63,8 @@ ALLOWED = {
     "|Q|x|C| evaluation tier (same posture as sim_topk_bruteforce)",
     "agg_kmv_set_sketch": "1-row sketch-scalar broadcasts (per-type "
     "kth-min / union stats / exact ground truth composed into one row)",
+    "docs_ks_drift_by_source": "1-row sample-size totals broadcast "
+    "(n_a, n_b cross-multiplication denominators)",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
     "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",

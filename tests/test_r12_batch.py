@@ -408,3 +408,35 @@ def test_mutual_knn_is_reciprocal_subset_of_lsh_pairs(spark):
         if s < b[1] and best.get(b[1], (None, None))[1] == s
     }
     assert {(r.id_a, r.id_b) for r in mutual} == expect
+
+
+def test_ks_drift_statistic_matches_naive_recompute(spark):
+    """Recompute the two-sample KS statistic naively in Python from the
+    raw lengths and check the exact integer numerator, the derived
+    statistic, and the critical-value arithmetic."""
+    import math
+
+    rows = QUERIES["docs_ks_drift_by_source"].fn(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    lens = [(x.source, x.n_chars) for x in docs.select("source", "n_chars").collect()]
+    a = sorted(v for s, v in lens if s == "src0")
+    b = sorted(v for s, v in lens if s == "src1")
+    na, nb = len(a), len(b)
+    assert (r.n_a, r.n_b) == (na, nb)
+    d_num = 0
+    for v in sorted(set(a) | set(b)):
+        fa = sum(1 for x in a if x <= v)
+        fb = sum(1 for x in b if x <= v)
+        d_num = max(d_num, abs(fa * nb - fb * na))
+    assert r.d_num == d_num
+    assert abs(r.d_stat - d_num / (na * nb)) < 1e-15
+    crit = 1.358 * math.sqrt((na + nb) / (na * nb))
+    assert abs(r.ks_critical_95 - crit) < 1e-12
+    assert r.drift_detected == (r.d_stat > r.ks_critical_95)
