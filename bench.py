@@ -175,6 +175,7 @@ HEADLINE = [
     "agg_kmv_set_sketch",
     "sim_mutual_knn",
     "docs_ks_drift_by_source",
+    "orders_gini_coefficient",
 ]
 
 

@@ -1767,3 +1767,87 @@ def _register_ks_drift() -> None:
 
 
 _register_ks_drift()
+
+
+# ---------------------------------------------------------------------------
+# orders_gini_coefficient — exact revenue-inequality statistic
+# ---------------------------------------------------------------------------
+
+_GINI_BLK = 1_000_000  # cents per revenue band (~$10k) for the prefix device
+
+
+def _register_gini() -> None:
+    from ..functions.exact import dec2
+
+    @query(
+        "orders_gini_coefficient",
+        oracle=f"""
+        WITH rev AS (
+          SELECT o_custkey,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS cents
+          FROM orders GROUP BY o_custkey),
+        ranked AS (
+          SELECT cents,
+            row_number() OVER (ORDER BY cents, o_custkey) AS rnk
+          FROM rev)
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+          CAST(sum(cents) AS DOUBLE) / 100 AS total_revenue,
+          CAST(2 * sum(rnk * cents) - (count(*) + 1) * sum(cents)
+               AS DOUBLE) / (count(*) * sum(cents)) AS gini
+        FROM ranked
+        """,
+        tags=("agg", "B7", "stats", "inequality"),
+    )
+    def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EXACT Gini coefficient of per-customer revenue — the standard
+        inequality summary next to orders_pareto_customers' cumulative-
+        share curve: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+        ascending-sorted revenues. All arithmetic is integer cents until
+        ONE final division (the rank-weighted sum is invariant under
+        permuting tied revenues, so the (cents, custkey) tie-break
+        changes nothing), making the statistic bit-equal in DuckDB.
+
+        Scale shape: the per-customer rollup is partial-aggregable; the
+        global ascending rank is the two-phase block-prefix
+        decomposition (per-$10k-band counts, exclusive prefix over the
+        tiny band table, band-partitioned row_number) — no single-
+        partition sort; the weighted sums are one plain aggregate. For
+        beyond-int64 corpora the two sums upgrade to decimal(38,0)
+        unchanged."""
+        o = load_table(spark, sf_dir, "orders")
+        rev = o.groupBy("o_custkey").agg(
+            (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("cents")
+        )
+        b = rev.withColumn(
+            "_blk", (F.col("cents") / _GINI_BLK).cast("long")
+        )
+        blocks = b.groupBy("_blk").agg(F.count(F.lit(1)).alias("_c"))
+        wb = bounded_window("_blk", "_blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prior = blocks.select(
+            "_blk",
+            F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_prior_n"),
+        )
+        ww = Window.partitionBy("_blk").orderBy(
+            F.asc("cents"), F.asc("o_custkey")
+        )
+        ranked = b.join(F.broadcast(prior), "_blk").select(
+            "cents",
+            (F.col("_prior_n") + F.row_number().over(ww)).alias("rnk"),
+        )
+        return ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("cents").cast("double") / 100).alias("total_revenue"),
+            (
+                (
+                    2 * F.sum(F.col("rnk") * F.col("cents"))
+                    - (F.count(F.lit(1)) + 1) * F.sum("cents")
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.sum("cents"))
+            ).alias("gini"),
+        )
+
+
+_register_gini()

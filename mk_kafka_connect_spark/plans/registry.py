@@ -290,6 +290,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "agg_kmv_set_sketch",
     "sim_mutual_knn",
     "docs_ks_drift_by_source",
+    "orders_gini_coefficient",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

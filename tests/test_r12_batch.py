@@ -440,3 +440,29 @@ def test_ks_drift_statistic_matches_naive_recompute(spark):
     crit = 1.358 * math.sqrt((na + nb) / (na * nb))
     assert abs(r.ks_critical_95 - crit) < 1e-12
     assert r.drift_detected == (r.d_stat > r.ks_critical_95)
+
+
+def test_gini_matches_naive_recompute_and_bounds(spark):
+    """Recompute Gini naively from sorted per-customer revenues and
+    check the bound 0 <= G < 1 plus consistency with the Pareto query's
+    revenue total."""
+    rows = QUERIES["orders_gini_coefficient"].fn(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0.0 <= r.gini < 1.0
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    cents = sorted(
+        int(round(x.s * 100))
+        for x in o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .collect()
+    )
+    n = len(cents)
+    s0 = sum(cents)
+    s1 = sum((i + 1) * c for i, c in enumerate(cents))
+    assert r.n_customers == n
+    assert abs(r.total_revenue - s0 / 100) < 1e-9
+    assert abs(r.gini - (2 * s1 - (n + 1) * s0) / (n * s0)) < 1e-15
