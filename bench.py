@@ -176,6 +176,7 @@ HEADLINE = [
     "sim_mutual_knn",
     "docs_ks_drift_by_source",
     "orders_gini_coefficient",
+    "events_acf_hourly",
 ]
 
 

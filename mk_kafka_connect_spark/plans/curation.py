@@ -1851,3 +1851,107 @@ def _register_gini() -> None:
 
 
 _register_gini()
+
+
+# ---------------------------------------------------------------------------
+# events_acf_hourly — exact autocorrelation of the hourly volume series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 6
+
+
+def _register_acf() -> None:
+    @query(
+        "events_acf_hourly",
+        oracle=f"""
+        WITH series AS (
+          SELECT epoch_us(ts) // 3600000000 AS h,
+            CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(c) AS HUGEINT) AS s FROM series),
+        dev AS (SELECT h, n * c - s AS d FROM series, st),
+        den AS (SELECT sum(d * d) AS denom FROM dev),
+        lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+        pairs AS (
+          SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+            sum(a.d * b.d) AS num
+          FROM lags l
+          JOIN dev a ON TRUE
+          JOIN dev b ON b.h = a.h + l.lag
+          GROUP BY l.lag)
+        SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+          CAST(num AS DOUBLE) / CAST(denom AS DOUBLE) AS acf
+        FROM pairs, den ORDER BY lag
+        """,
+        tags=("timeseries", "stats", "B7", "autocorrelation"),
+    )
+    def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sample AUTOCORRELATION function of the hourly event-volume
+        series at lags 1..6 — the periodicity diagnostic missing between
+        events_ols_trend (linear drift), events_seasonal_backtest
+        (assumed daily cycle), and events_cusum_changepoint (level
+        shifts): a daily rhythm shows as the lag structure directly.
+        Exact arithmetic throughout: with dev_t = n*x_t - S (the
+        n-scaled mean deviation, integer), r_k = sum(dev_t * dev_(t+k))
+        / sum(dev_t^2) — the n^2 scale factors cancel exactly, so each
+        r_k is ONE division of exact decimal(38,0)/HUGEINT integers.
+        Computed over the hours present (the fixture series is dense);
+        n_pairs reports the overlap length per lag.
+
+        Scale shape: the raw stream reduces 10^4-fold to the hourly
+        relation in one map-side-combinable aggregate; lag alignment is
+        an EQUI-join on h = h + k (no window, no sort) with the 6 lags
+        exploded on the probe side; the two scalar stats are 1-row
+        broadcasts."""
+        d38 = "decimal(38,0)"
+        ev = load_table(spark, sf_dir, "events")
+        series = ev.groupBy(
+            (F.unix_micros("ts") / F.lit(3600000000))
+            .cast("long")
+            .alias("h")
+        ).agg(F.count(F.lit(1)).alias("c"))
+        st = series.agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("c").cast(d38).alias("s"),
+        )
+        # The deviation relation feeds THREE consumers (denominator,
+        # join build side, exploded probe); Spark would otherwise replay
+        # the raw-events scan + aggregate for each. The series is
+        # 10^4x-reduced and calendar-bounded, so pinning it is KBs.
+        dev = (
+            series.crossJoin(F.broadcast(st))
+            .select("h", (F.col("n") * F.col("c") - F.col("s")).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("denom"))
+        probe = dev.select(
+            F.explode(
+                F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+            ).alias("lag"),
+            (F.col("h") - F.col("lag")).alias("h0"),
+            F.col("d").alias("d_b"),
+        )
+        pairs = (
+            dev.join(probe, dev.h == probe.h0)
+            .groupBy("lag")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("d") * F.col("d_b")).alias("num"),
+            )
+        )
+        return (
+            pairs.crossJoin(F.broadcast(den))
+            .select(
+                F.col("lag").cast("long").alias("lag"),
+                "n_pairs",
+                (
+                    F.col("num").cast("double")
+                    / F.col("denom").cast("double")
+                ).alias("acf"),
+            )
+            .orderBy("lag")
+        )
+
+
+_register_acf()

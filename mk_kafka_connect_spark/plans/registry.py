@@ -291,6 +291,7 @@ R12_ADDITIONS: tuple[str, ...] = (
     "sim_mutual_knn",
     "docs_ks_drift_by_source",
     "orders_gini_coefficient",
+    "events_acf_hourly",
 )
 
 # Queries whose newest green driver row is round 6 (registration order) —

@@ -65,6 +65,8 @@ ALLOWED = {
     "kth-min / union stats / exact ground truth composed into one row)",
     "docs_ks_drift_by_source": "1-row sample-size totals broadcast "
     "(n_a, n_b cross-multiplication denominators)",
+    "events_acf_hourly": "1-row series-stats broadcasts (n, S mean "
+    "deviation scalers and the ACF denominator)",
     "graph_pagerank": "1-row node-count broadcast (init/base damping constants)",
     "orders_pareto_customers": "1-row revenue-total broadcast (share denominator)",
     "docs_bm25_topk": "1-row corpus-stats broadcast (N, sum-dl denominators)",

@@ -466,3 +466,31 @@ def test_gini_matches_naive_recompute_and_bounds(spark):
     assert r.n_customers == n
     assert abs(r.total_revenue - s0 / 100) < 1e-9
     assert abs(r.gini - (2 * s1 - (n + 1) * s0) / (n * s0)) < 1e-15
+
+
+def test_acf_matches_naive_recompute(spark):
+    """Recompute the lag-1..6 autocorrelations naively in Python from
+    the hourly counts and check bounds (|r_k| <= 1) and pair counts."""
+    rows = {r.lag: r for r in QUERIES["events_acf_hourly"].fn(spark, SF).collect()}
+    assert set(rows) == set(range(1, 7))
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    series = dict(
+        (r.h, r.c)
+        for r in ev.groupBy(
+            (F.unix_micros("ts") / F.lit(3600000000)).cast("long").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n, s = len(series), sum(series.values())
+    dev = {h: n * c - s for h, c in series.items()}
+    denom = sum(d * d for d in dev.values())
+    for k, r in rows.items():
+        pairs = [(h, h + k) for h in dev if h + k in dev]
+        assert r.n_pairs == len(pairs)
+        num = sum(dev[a] * dev[b] for a, b in pairs)
+        assert abs(r.acf - num / denom) < 1e-15
+        assert -1.0 <= r.acf <= 1.0
