@@ -45,3 +45,22 @@ def test_exposed_dicts_follow_certification_order():
     assert list(spark_queries()) == certification_order()
     oracle_names = [n for n in certification_order() if QUERIES[n].oracle is not None]
     assert list(oracle_queries()) == oracle_names
+
+
+def test_scale_probe_set_is_registered():
+    """Every query the scaling probe reports on must exist in the
+    registry — keeps SCALING.md's tool from silently probing nothing."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "scale_probe.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from mk_kafka_connect_spark.plans import QUERIES
+
+    missing = [n for n in mod.PROBE_SET if n not in QUERIES]
+    assert not missing, f"probe set names not registered: {missing}"
