@@ -1,0 +1,90 @@
+"""Opt-in partition-count robustness: re-run the most numerically
+sensitive oracle comparisons under a DIFFERENT (prime, larger) shuffle
+partition count than every other suite uses.
+
+The engine's determinism story rests on order-independence — exact
+decimal/integer aggregation, fixed-point quantization before sums, one
+final shared division — and partition count is the easiest way to
+shuffle aggregation order. A query that only matches its oracle at
+spark.sql.shuffle.partitions=8 is relying on accidental ordering; this
+suite would catch it.
+
+Opt-in (own SparkSession, ~6 min): SPARK_GRAFT_PARTITION_ROBUST=1
+    python -m pytest tests/test_partition_robustness.py -q
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+SENSITIVE = [
+    "events_ols_trend",
+    "orders_gini_coefficient",
+    "events_acf_hourly",
+    "docs_ks_drift_by_source",
+    "docs_dsir_importance",
+    "docs_bm25_topk",
+    "orders_pareto_customers",
+    "orders_weighted_median",
+    "orders_trimmed_mean",
+    "agg_quantiles_distributed",
+    "supplier_concentration_hhi",
+    "agg_kmv_set_sketch",
+    "agg_countmin_estimates",
+    "sim_hybrid_rrf",
+    "emb_matryoshka_recall",
+    "sim_mutual_knn",
+    "q1_pricing_summary",
+    "emb_pca_projection",
+    "events_disorder_profile",
+    "docs_char_bigram_rarity",
+]
+
+SF = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_PARTITION_ROBUST"),
+    reason="partition robustness is opt-in: set SPARK_GRAFT_PARTITION_ROBUST=1",
+)
+
+
+@pytest.fixture(scope="module")
+def odd_spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("partition-robustness")
+        .config("spark.sql.shuffle.partitions", "37")
+        .config("spark.default.parallelism", "13")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    from mk_kafka_connect_spark import catalog
+
+    con = duckdb.connect()
+    for t in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_oracle_parity_at_prime_partition_count(name, odd_spark, oracle_con):
+    from mk_kafka_connect_spark.plans import QUERIES
+
+    from .conftest import assert_matches_oracle
+
+    q = QUERIES[name]
+    assert q.oracle is not None
+    assert_matches_oracle(q.fn(odd_spark, SF), oracle_con, q.oracle, name=name)
