@@ -50,7 +50,18 @@ def _update(
 def running_user_stats(events: DataFrame) -> DataFrame:
     """Per-user running (count, max, exact total) maintained in explicit
     group state; emits the updated row per key per micro-batch. State is
-    O(keys) — the scale knob is key cardinality, not event volume."""
+    O(keys) — the scale knob is key cardinality, not event volume.
+
+    ``_update`` is a module-level function, so cloudpickle serializes it
+    BY REFERENCE — task workers must be able to import the package. In a
+    session built without PYTHONPATH (the round driver, spark-submit
+    sans --py-files) that import fails with ModuleNotFoundError, so ship
+    the package zip first (same device as the multimodal/bloom kernels;
+    nested-closure UDFs elsewhere dodge this because cloudpickle
+    serializes closures by value)."""
+    from ..session import ship_package
+
+    ship_package(events.sparkSession)
     return (
         events.select("user_id", "value")
         .groupBy("user_id")

@@ -85,6 +85,12 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         )
     spark = events.sparkSession
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    # _RunningStats is module-level -> pickled by reference; ship the
+    # package so PYTHONPATH-less sessions' workers can import it (same
+    # fix as stateful.running_user_stats).
+    from ..session import ship_package
+
+    ship_package(spark)
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
