@@ -177,6 +177,9 @@ HEADLINE = [
     "docs_ks_drift_by_source",
     "orders_gini_coefficient",
     "events_acf_hourly",
+    "dq_k_anonymity",
+    "docs_nb_quality_classifier",
+    "docs_wordlm_xent",
 ]
 
 

@@ -1,0 +1,457 @@
+"""Round-13 data-governance / model-quality query surface: privacy
+re-identification audits (k-anonymity, l-diversity, entropy
+l-diversity), a supervised hashed Naive-Bayes quality classifier with a
+held-out confusion matrix, and a word-bigram language-model
+cross-entropy filter (the CCNet-style "perplexity" quality gate,
+reported as exact cross-entropy so no transcendental ``exp`` has to
+agree across engines).
+
+Same oracle discipline as the rest of the registry
+(``plans/curation.py``): deterministic md5-based integer hashing
+(functions/hashing.py), 8-decimal-rounded logs of exact integers
+quantized to int64 before any cross-partition sum, and a single shared
+final division — so DuckDB reproduces every value bit-for-bit and every
+aggregation is order-independent across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import SQL_MD5_MOD, SQL_SHINGLES, SQL_WORDS, md5_mod, shingles, words
+from .curation import _lnq
+from .llm import _set_oracle as _patch_oracle
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# dq_k_anonymity — privacy re-identification audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # classes smaller than this are re-identification risks
+_LNQ_SCALE = 100_000_000  # int64 quantization of the 8-decimal lnq
+
+
+def _lnq_q(col):
+    """round(ln(n), 8) quantized to an exact int64 at 1e-8.
+
+    ``n >= 1`` everywhere below, so the value is non-negative and the
+    half-up rounding of both engines agrees; the int64 form makes every
+    downstream sum order-independent."""
+    return F.round(_lnq(col) * _LNQ_SCALE, 0).cast("long")
+
+
+def _sql_lnq_q(expr: str) -> str:
+    return (
+        f"CAST(round(round(ln(CAST({expr} AS DOUBLE)), 8) * {_LNQ_SCALE}, 0)"
+        f" AS BIGINT)"
+    )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+        CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS acct_band,
+        count(*) AS cnt
+      FROM customer
+      GROUP BY 1, 2, 3),
+    classes AS (
+      SELECT c_mktsegment, c_nationkey,
+        CAST(sum(cnt) AS BIGINT) AS k_size,
+        CAST(count(*) AS BIGINT) AS l_div,
+        sum(cnt * {_sql_lnq_q('cnt')}) AS num
+      FROM cells
+      GROUP BY c_mktsegment, c_nationkey)
+    SELECT c_mktsegment, c_nationkey, k_size, l_div,
+      CAST((k_size * {_sql_lnq_q('k_size')} - num) AS DOUBLE)
+        / (k_size * {_LNQ_SCALE}) AS entropy_l,
+      k_size >= {_KANON_K} AS k_anonymous
+    FROM classes
+    """,
+    tags=("dq", "B7", "privacy", "k-anonymity"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) of the customer table under the quasi-identifier
+    (market segment, nation): each equivalence class reports its size k
+    (rows sharing the QI — a class below k=5 is a re-identification
+    risk), the l-diversity of the sensitive attribute (distinct
+    account-balance 2000-wide bands inside the class), and the entropy
+    l-diversity H = ln k − (1/k)·Σ c·ln c — low entropy means one
+    sensitive value dominates the class even when l looks healthy.
+
+    Determinism: band = floor(acctbal/2000) is one IEEE divide + floor
+    (identical bits cross-engine); the entropy numerator is an exact
+    int64 sum of count-weighted 1e-8-quantized logs, divided once at
+    the end — order-independent across partitions.
+
+    Scale shape: two map-side-combinable groupBys (QI+band, then QI) —
+    output is bounded by |QI domain|, never by row count. No window,
+    no join. At 100 TB this is the cheapest possible full-table audit:
+    one pass, two partial aggregations.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("acct_band"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    classes = cells.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cnt").cast("long").alias("k_size"),
+        F.count(F.lit(1)).cast("long").alias("l_div"),
+        F.sum(F.col("cnt") * _lnq_q(F.col("cnt"))).alias("_num"),
+    )
+    return classes.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "k_size",
+        "l_div",
+        (
+            (F.col("k_size") * _lnq_q(F.col("k_size")) - F.col("_num")).cast(
+                "double"
+            )
+            / (F.col("k_size") * F.lit(_LNQ_SCALE))
+        ).alias("entropy_l"),
+        (F.col("k_size") >= _KANON_K).alias("k_anonymous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_nb_quality_classifier — hashed Naive Bayes with held-out confusion
+# ---------------------------------------------------------------------------
+
+_NB_B = 256  # hashed feature buckets
+_NB_SCALE = 1_000_000  # int64 quantization of per-bucket log-ratios
+_NB_POS = "en"  # positive class: English documents
+
+
+def _register_nb_classifier() -> None:
+    @query(
+        "docs_nb_quality_classifier",
+        oracle=None,  # patched below
+        tags=("text", "B15", "classifier", "quality"),
+    )
+    def docs_nb_quality_classifier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """fastText-style supervised quality classifier as multinomial
+        Naive Bayes over hashed bag-of-words features (md5 → 256
+        buckets), trained on the deterministic 80% hash split
+        (md5(doc_id) % 10 < 8, the same split as ``docs_hash_split``)
+        to predict lang = 'en', evaluated on the held-out 20%. Returns
+        the confusion matrix — (actual, predicted, n_docs, share) —
+        the standard eval artifact for a corpus quality/language gate.
+        (The synthetic fixture draws every language from ONE shared
+        vocabulary, so the measured confusion is near-chance by
+        construction; the contract test replays the whole train/score
+        path in plain Python and checks the matrix cell-for-cell.)
+
+        Determinism: per-bucket log-likelihood ratio
+        ln((ct+1)/(t_tot+B)) − ln((cr+1)/(r_tot+B)) and the class-prior
+        log-ratio are composed of 8-decimal-rounded lns of exact
+        integers, quantized to int64 at 1e-6 — every per-doc score is
+        an exact integer sum (order-independent), so the decision
+        boundary score > 0 is bit-equal in DuckDB.
+
+        Scale shape: the model fit is a groupBy over 256 buckets
+        (map-side partial aggregation emits ≤256 rows per task); the
+        model and the 1-row totals broadcast to the scorer; scoring is
+        explode → broadcast hash join → integer groupBy(doc_id); the
+        confusion matrix is a 4-row aggregate. The corpus is scanned
+        exactly twice and never shuffled by anything wider than
+        doc_id. Unseen-bucket features fall back to the Laplace floor
+        via coalesce, not a dropped join row.
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            (F.col("lang") == _NB_POS).alias("y"),
+            (md5_mod(F.col("doc_id").cast("string")) % 10 < 8).alias(
+                "is_train"
+            ),
+        )
+        feats = docs.select(
+            "doc_id",
+            "y",
+            "is_train",
+            F.explode(words(F.col("text"))).alias("w"),
+        ).select(
+            "doc_id", "y", "is_train", (md5_mod(F.col("w")) % _NB_B).alias("b")
+        )
+        train = feats.filter("is_train")
+        model = train.groupBy("b").agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("cr"),
+        )
+        tot = model.agg(
+            F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+        )
+        prior = (
+            docs.filter("is_train")
+            .agg(
+                F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+                F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n_neg"),
+            )
+            .select(
+                F.round(
+                    (_lnq(F.col("n_pos") + 1) - _lnq(F.col("n_neg") + 1))
+                    * _NB_SCALE,
+                    0,
+                )
+                .cast("long")
+                .alias("prior_q")
+            )
+        )
+        lr = model.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.round(
+                (
+                    _lnq(F.col("ct") + 1)
+                    - _lnq(F.col("t_tot") + _NB_B)
+                    - _lnq(F.col("cr") + 1)
+                    + _lnq(F.col("r_tot") + _NB_B)
+                )
+                * _NB_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("lr_q"),
+        )
+        floor_q = tot.select(
+            F.round(
+                (_lnq(F.col("r_tot") + _NB_B) - _lnq(F.col("t_tot") + _NB_B))
+                * _NB_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("floor_q")
+        )
+        scored = (
+            feats.filter(~F.col("is_train"))
+            .join(F.broadcast(lr), "b", "left")
+            .crossJoin(F.broadcast(floor_q))
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sum(F.coalesce(F.col("lr_q"), F.col("floor_q"))).alias(
+                    "feat_q"
+                )
+            )
+            .crossJoin(F.broadcast(prior))
+            .select(
+                "y",
+                (F.col("prior_q") + F.col("feat_q") > 0).alias("pred"),
+            )
+        )
+        cm = scored.groupBy("y", "pred").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        total = cm.agg(F.sum("n_docs").alias("n_total"))
+        return cm.crossJoin(F.broadcast(total)).select(
+            F.col("y").alias("actual"),
+            F.col("pred").alias("predicted"),
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "share"
+            ),
+        )
+
+
+_register_nb_classifier()
+
+
+def _sql_nb_oracle() -> str:
+    lnq = "round(ln(CAST({x} AS DOUBLE)), 8)"
+    bucket10 = f"({SQL_MD5_MOD('CAST(doc_id AS VARCHAR)')}) % 10"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text, lang = '{_NB_POS}' AS y,
+        {bucket10} < 8 AS is_train
+      FROM documents),
+    feats AS (
+      SELECT doc_id, y, is_train, ({SQL_MD5_MOD('w')}) % {_NB_B} AS b
+      FROM (SELECT doc_id, y, is_train, unnest({SQL_WORDS('text')}) AS w
+            FROM docs)),
+    model AS (
+      SELECT b,
+        sum(CASE WHEN y THEN 1 ELSE 0 END) AS ct,
+        sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cr
+      FROM feats WHERE is_train GROUP BY b),
+    tot AS (SELECT sum(ct) AS t_tot, sum(cr) AS r_tot FROM model),
+    prior AS (
+      SELECT CAST(round((
+          {lnq.format(x='sum(CASE WHEN y THEN 1 ELSE 0 END) + 1')}
+        - {lnq.format(x='sum(CASE WHEN NOT y THEN 1 ELSE 0 END) + 1')}
+      ) * {_NB_SCALE}, 0) AS BIGINT) AS prior_q
+      FROM docs WHERE is_train),
+    lr AS (
+      SELECT b, CAST(round((
+          {lnq.format(x='ct + 1')}
+        - {lnq.format(x='t_tot + ' + str(_NB_B))}
+        - {lnq.format(x='cr + 1')}
+        + {lnq.format(x='r_tot + ' + str(_NB_B))}
+      ) * {_NB_SCALE}, 0) AS BIGINT) AS lr_q
+      FROM model, tot),
+    flr AS (
+      SELECT CAST(round((
+          {lnq.format(x='t_tot + ' + str(_NB_B))} * -1
+        + {lnq.format(x='r_tot + ' + str(_NB_B))}
+      ) * {_NB_SCALE}, 0) AS BIGINT) AS floor_q
+      FROM tot),
+    scored AS (
+      SELECT f.doc_id, f.y,
+        (SELECT prior_q FROM prior)
+          + sum(coalesce(lr.lr_q, (SELECT floor_q FROM flr))) AS score_q
+      FROM feats f LEFT JOIN lr USING (b)
+      WHERE NOT f.is_train
+      GROUP BY f.doc_id, f.y),
+    cm AS (
+      SELECT y AS actual, score_q > 0 AS predicted,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY 1, 2)
+    SELECT actual, predicted, n_docs,
+      CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM cm) AS share
+    FROM cm
+    """
+
+
+_patch_oracle("docs_nb_quality_classifier", _sql_nb_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_wordlm_xent — word-bigram LM cross-entropy quality gate (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000  # int64 quantization of per-bigram log-probs
+
+
+def _register_wordlm_xent() -> None:
+    @query(
+        "docs_wordlm_xent",
+        oracle=None,  # patched below
+        tags=("text", "B15", "quality", "language-model"),
+    )
+    def docs_wordlm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet-style language-model quality gate (Wenzek et al. 2020)
+        re-expressed as exact cross-entropy: fit a Laplace-smoothed
+        word-bigram LM on the whole corpus — p(w2|w1) =
+        (c(w1 w2)+1)/(c(w1·)+V), counts keyed by the deterministic md5
+        hash, V = |distinct first-word hashes| — and score every
+        document by H(doc) = −(1/n)·Σ ln p(bigram). Documents are
+        flagged ``below_avg`` when their mean log-prob is worse than
+        their language's corpus mean — CCNet's tail bucket — via exact
+        integer cross-multiplication (sum_q·lang_n < lang_sum·n), no
+        float compare. Cross-entropy (nats/bigram) is reported instead
+        of perplexity so no ``exp`` has to agree across engines; the
+        ordering is identical.
+
+        Determinism: each ln p is two 8-decimal-rounded lns of exact
+        integers quantized to int64 at 1e-6, so per-doc sums are exact
+        integers (order-independent); the one division per row is the
+        only float op.
+
+        Scale shape: one bigram explode → two vocabulary-bounded
+        map-side-combinable groupBys (bigram counts, first-word
+        counts); scoring joins the exploded corpus to both count tables
+        ON THE HASH KEY — at 100 TB the bigram vocabulary outgrows any
+        broadcast, so these plan as shuffle hash joins with both sides
+        already partitioned by the key from the preceding groupBy; the
+        per-doc reduce and the 5-row per-lang totals broadcast back.
+        int64 headroom: lang_sum·n ≈ (tokens·1e7)·doc_len — fine
+        through ~1e9-token corpora per language; past that, shard the
+        cross-multiplication or lift it to decimal(38,0).
+        """
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        ex = docs.filter(F.size(words(F.col("text"))) >= 2).select(
+            "doc_id",
+            "lang",
+            F.explode(shingles("text", 2)).alias("bg"),
+        ).select(
+            "doc_id",
+            "lang",
+            md5_mod(F.col("bg")).alias("h12"),
+            md5_mod(F.substring_index(F.col("bg"), " ", 1)).alias("h1"),
+        )
+        c12 = ex.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
+        c1 = ex.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+        vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+        scored = (
+            ex.join(c12, "h12")
+            .join(c1, "h1")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                "lang",
+                F.round(
+                    (_lnq(F.col("c12") + 1) - _lnq(F.col("c1") + F.col("v")))
+                    * _LM_SCALE,
+                    0,
+                )
+                .cast("long")
+                .alias("lnp_q"),
+            )
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.sum("lnp_q").alias("sum_q"),
+            )
+        )
+        lang_tot = scored.groupBy("lang").agg(
+            F.sum("n_bigrams").alias("lang_n"),
+            F.sum("sum_q").alias("lang_sum"),
+        )
+        return scored.join(F.broadcast(lang_tot), "lang").select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            (
+                -F.col("sum_q").cast("double")
+                / (F.col("n_bigrams") * F.lit(_LM_SCALE))
+            ).alias("xent"),
+            (
+                F.col("sum_q") * F.col("lang_n")
+                < F.col("lang_sum") * F.col("n_bigrams")
+            ).alias("below_avg"),
+        )
+
+
+_register_wordlm_xent()
+
+
+def _sql_wordlm_oracle() -> str:
+    lnq = "round(ln(CAST({x} AS DOUBLE)), 8)"
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, lang,
+        ({SQL_MD5_MOD('bg')}) AS h12,
+        ({SQL_MD5_MOD("split_part(bg, ' ', 1)")}) AS h1
+      FROM (SELECT doc_id, lang, unnest({SQL_SHINGLES('text', 2)}) AS bg
+            FROM documents
+            WHERE len({SQL_WORDS('text')}) >= 2)),
+    c12 AS (SELECT h12, count(*) AS c12 FROM ex GROUP BY h12),
+    c1 AS (SELECT h1, count(*) AS c1 FROM ex GROUP BY h1),
+    vocab AS (SELECT count(*) AS v FROM c1),
+    scored AS (
+      SELECT ex.doc_id, ex.lang,
+        CAST(count(*) AS BIGINT) AS n_bigrams,
+        sum(CAST(round((
+            {lnq.format(x='c12.c12 + 1')}
+          - {lnq.format(x='c1.c1 + vocab.v')}
+        ) * {_LM_SCALE}, 0) AS BIGINT)) AS sum_q
+      FROM ex JOIN c12 USING (h12) JOIN c1 USING (h1), vocab
+      GROUP BY ex.doc_id, ex.lang),
+    lt AS (
+      SELECT lang, sum(n_bigrams) AS lang_n, sum(sum_q) AS lang_sum
+      FROM scored GROUP BY lang)
+    SELECT s.doc_id, s.lang, s.n_bigrams,
+      -CAST(s.sum_q AS DOUBLE) / (s.n_bigrams * {_LM_SCALE}) AS xent,
+      s.sum_q * lt.lang_n < lt.lang_sum * s.n_bigrams AS below_avg
+    FROM scored s JOIN lt USING (lang)
+    """
+
+
+_patch_oracle("docs_wordlm_xent", _sql_wordlm_oracle())

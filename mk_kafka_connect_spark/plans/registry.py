@@ -350,6 +350,17 @@ R6_STALE_FILL: tuple[str, ...] = (
 )
 
 
+# Queries ADDED during round 13 — extended as each lands. The r12 driver
+# never ran (no CORRECTNESS_r12.json, like r7), so the r12 front below is
+# still the owed window and stays pinned for the r13 driver run; these
+# queue behind the r12-addition overflow via certification_order().
+R13_ADDITIONS: tuple[str, ...] = (
+    "dq_k_anonymity",
+    "docs_nb_quality_classifier",
+    "docs_wordlm_xent",
+)
+
+
 def _r12_front() -> tuple[str, ...]:
     certified_r10_r11 = set(_r10_front())
     owed = list(R12_ORPHANS) + [
@@ -373,7 +384,7 @@ def certification_order() -> list[str]:
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up = [
         n
-        for n in (*R12_ADDITIONS, *R6_STALE_FILL)
+        for n in (*R12_ADDITIONS, *R6_STALE_FILL, *R13_ADDITIONS)
         if n in QUERIES and n not in front
     ]
     pinned = set(front) | set(next_up)

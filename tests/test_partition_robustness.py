@@ -41,6 +41,9 @@ SENSITIVE = [
     "emb_pca_projection",
     "events_disorder_profile",
     "docs_char_bigram_rarity",
+    "dq_k_anonymity",
+    "docs_nb_quality_classifier",
+    "docs_wordlm_xent",
 ]
 
 SF = "/root/testdata/sf0.01"

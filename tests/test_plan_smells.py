@@ -77,6 +77,10 @@ ALLOWED = {
     "docs_zipf_fit": "1-row corpus-total broadcast (rel_freq/zipf_c "
     "denominator) onto the 100-row TakeOrdered result",
     "docs_dataset_card": "1-row corpus-totals broadcast (share denominators)",
+    "docs_nb_quality_classifier": "1-row broadcasts (train-token totals, "
+    "class prior, unseen-bucket Laplace floor, confusion-matrix total)",
+    "docs_wordlm_xent": "1-row vocabulary-size broadcast (Laplace "
+    "smoothing denominator V)",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

@@ -1,0 +1,174 @@
+"""Semantic contracts for the round-13 governance/quality operators —
+properties the oracle comparison alone can't express (invariants,
+cross-query consistency, independent recomputation in plain Python)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_k_anonymity_classes_partition_the_table(spark):
+    rows = QUERIES["dq_k_anonymity"].fn(spark, SF).collect()
+    assert rows, "k-anonymity report empty"
+    n_customers = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/customer.parquet'"
+    ).fetchone()[0]
+    # Equivalence classes partition the released table exactly.
+    assert sum(r.k_size for r in rows) == n_customers
+    for r in rows:
+        # l-diversity can never exceed the class size, entropy-l is in
+        # [0, ln l] and zero iff one sensitive value covers the class.
+        assert 1 <= r.l_div <= r.k_size
+        # 1e-6 slack: entropy is built from 1e-8-quantized logs.
+        assert -1e-6 <= r.entropy_l <= math.log(r.l_div) + 1e-6
+        if r.l_div == 1:
+            assert abs(r.entropy_l) < 1e-9
+        assert r.k_anonymous == (r.k_size >= 5)
+
+
+def test_k_anonymity_entropy_matches_naive_recompute(spark):
+    rows = QUERIES["dq_k_anonymity"].fn(spark, SF).collect()
+    cells = duckdb.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+          CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band, count(*) AS c
+        FROM '{SF}/customer.parquet' GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    by_class: dict[tuple, list[int]] = {}
+    for seg, nat, _band, c in cells:
+        by_class.setdefault((seg, nat), []).append(c)
+    for r in rows:
+        counts = by_class[(r.c_mktsegment, r.c_nationkey)]
+        k = sum(counts)
+        ent = math.log(k) - sum(c * math.log(c) for c in counts) / k
+        assert abs(r.entropy_l - ent) < 1e-6, (r.c_mktsegment, r.c_nationkey)
+
+
+def test_nb_classifier_confusion_matches_naive_recompute(spark):
+    # The fixture's text is word-soup over a vocabulary SHARED by all
+    # languages (pairwise vocab Jaccard = 1.0), so no bag-of-words
+    # classifier can beat chance here BY CONSTRUCTION — the contract is
+    # therefore an exact independent replay of the whole train/score/
+    # evaluate path in plain Python, cell for cell.
+    import hashlib
+
+    rows = QUERIES["docs_nb_quality_classifier"].fn(spark, SF).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    P, B, S = 1_000_000_007, 256, 1_000_000
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+    def lnq(x: int) -> float:
+        return round(math.log(x), 8)
+
+    train = [(d, l, t) for d, l, t in docs if h(str(d)) % 10 < 8]
+    test = [(d, l, t) for d, l, t in docs if h(str(d)) % 10 >= 8]
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for _d, l, t in train:
+        tgt = ct if l == "en" else cr
+        for w in t.split(" "):
+            b = h(w) % B
+            tgt[b] = tgt.get(b, 0) + 1
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    n_pos = sum(1 for _d, l, _t in train if l == "en")
+    prior_q = round((lnq(n_pos + 1) - lnq(len(train) - n_pos + 1)) * S)
+    floor_q = round((lnq(r_tot + B) - lnq(t_tot + B)) * S)
+
+    def lr_q(b: int) -> int:
+        if b not in ct and b not in cr:
+            return floor_q
+        return round(
+            (
+                lnq(ct.get(b, 0) + 1)
+                - lnq(t_tot + B)
+                - lnq(cr.get(b, 0) + 1)
+                + lnq(r_tot + B)
+            )
+            * S
+        )
+
+    cm: dict[tuple[bool, bool], int] = {}
+    for _d, l, t in test:
+        score = prior_q + sum(lr_q(h(w) % B) for w in t.split(" "))
+        key = (l == "en", score > 0)
+        cm[key] = cm.get(key, 0) + 1
+    got = {(r.actual, r.predicted): r.n_docs for r in rows}
+    assert got == cm, f"confusion drift: spark={got} naive={cm}"
+    total = sum(cm.values())
+    assert total == len(test)
+    for r in rows:
+        assert abs(r.share - r.n_docs / total) < 1e-12
+
+
+def test_wordlm_xent_matches_naive_recompute_on_sample(spark):
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["docs_wordlm_xent"].fn(spark, SF).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    # Corpus-wide hashed bigram/unigram counts, exactly as the query.
+    P = 1_000_000_007
+    def h(s: str) -> int:
+        import hashlib
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+    c12: dict[int, int] = {}
+    c1: dict[int, int] = {}
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, _lang, text in docs:
+        w = text.split(" ")
+        if len(w) < 2:
+            continue
+        pairs = []
+        for a, b in zip(w, w[1:]):
+            k12, k1 = h(f"{a} {b}"), h(a)
+            c12[k12] = c12.get(k12, 0) + 1
+            c1[k1] = c1.get(k1, 0) + 1
+            pairs.append((k12, k1))
+        per_doc[doc_id] = pairs
+    v = len(c1)
+    for doc_id, pairs in list(per_doc.items())[:50]:
+        sum_q = sum(
+            round(
+                (round(math.log(c12[k12] + 1), 8) - round(math.log(c1[k1] + v), 8))
+                * 1_000_000
+            )
+            for k12, k1 in pairs
+        )
+        r = rows[doc_id]
+        assert r.n_bigrams == len(pairs)
+        assert abs(r.xent - (-sum_q / (1_000_000 * len(pairs)))) < 1e-9
+    # Documents with < 2 words are excluded, everything else present.
+    assert set(rows) == set(per_doc)
+
+
+def test_wordlm_below_avg_is_langwise_mean_split(spark):
+    rows = QUERIES["docs_wordlm_xent"].fn(spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        # Weighted mean over the language; below_avg ⇔ doc mean log-prob
+        # strictly worse. Both buckets must be non-empty on real data.
+        lang_n = sum(r.n_bigrams for r in rs)
+        lang_sum = sum(-r.xent * r.n_bigrams * 1_000_000 for r in rs)
+        flagged = [r for r in rs if r.below_avg]
+        assert flagged and len(flagged) < len(rs), lang
+        for r in rs[:200]:
+            doc_sum = -r.xent * r.n_bigrams * 1_000_000
+            lhs = doc_sum * lang_n
+            rhs = lang_sum * r.n_bigrams
+            if abs(lhs - rhs) > 0.5:  # clear of float-reconstruction noise
+                assert r.below_avg == (lhs < rhs), r.doc_id

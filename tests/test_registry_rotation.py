@@ -27,6 +27,7 @@ from mk_kafka_connect_spark.plans.registry import (
     R12_ADDITIONS,
     R12_ORPHANS,
     R12_REWRITTEN,
+    R13_ADDITIONS,
     _r10_front,
     certification_order,
 )
@@ -69,7 +70,11 @@ def test_orphans_match_artifacts():
     # outside the round-12 additions, which are new by definition.
     latest = _latest_green_round()
     orphans = sorted(
-        n for n in QUERIES if n not in latest and n not in R12_ADDITIONS
+        n
+        for n in QUERIES
+        if n not in latest
+        and n not in R12_ADDITIONS
+        and n not in R13_ADDITIONS
     )
     assert orphans == sorted(R12_ORPHANS), (
         f"orphan set drifted from evidence: artifacts say {orphans}"
@@ -121,7 +126,7 @@ def test_front_fills_driver_window_exactly():
     assert not dangling, f"front names not in registry: {dangling}"
     dangling = [
         n
-        for n in (*R12_ORPHANS, *R12_REWRITTEN, *R12_ADDITIONS)
+        for n in (*R12_ORPHANS, *R12_REWRITTEN, *R12_ADDITIONS, *R13_ADDITIONS)
         if n not in QUERIES
     ]
     assert not dangling, f"pinned names not in registry: {dangling}"
