@@ -180,6 +180,8 @@ HEADLINE = [
     "dq_k_anonymity",
     "docs_nb_quality_classifier",
     "docs_wordlm_xent",
+    "dedup_semantic_kmeans",
+    "events_holt_forecast",
 ]
 
 

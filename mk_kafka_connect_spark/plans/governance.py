@@ -455,3 +455,319 @@ def _sql_wordlm_oracle() -> str:
 
 
 _patch_oracle("docs_wordlm_xent", _sql_wordlm_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic_kmeans — SemDeDup: k-means clusters + within-cluster prune
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8  # clusters; production SemDeDup scales k ~ sqrt(n)
+_SEM_ITERS = 2  # Lloyd update rounds before the final assignment
+_SEM_DIMS = 64
+_SEM_TAU = 0.4  # within-cluster cosine prune threshold (see docstring)
+
+
+def _register_semantic_kmeans() -> None:
+    from ..functions.bounded import bounded_window
+    from ..operators.similarity import cosine_expr, quantize
+    from pyspark.sql.window import Window
+
+    def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+        dist = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "q",
+            "j",
+            F.aggregate(
+                F.zip_with("q", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "j")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("vec_id", "q", "j")
+        )
+
+    def _update(assign: DataFrame) -> DataFrame:
+        sums = assign.groupBy("j").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+                for d in range(_SEM_DIMS)
+            ],
+        )
+        return sums.select(
+            "j",
+            F.array(
+                *[
+                    F.floor(
+                        F.col(f"s{d}").cast("double") / F.col("n")
+                    ).cast("long")
+                    for d in range(_SEM_DIMS)
+                ]
+            ).alias("c"),
+        )
+
+    @query(
+        "dedup_semantic_kmeans",
+        oracle=None,  # patched below
+        tags=("dedup", "B15", "embedding", "semdedup", "kmeans"),
+    )
+    def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup (Abbas et al. 2023): deterministic k-means over the
+        embedding space, then near-duplicate pruning WITHIN each
+        cluster only — the trick that turns all-pairs semantic dedup
+        into cluster-bounded work. Seeds are the k=8 vectors with the
+        smallest (md5(vec_id), vec_id); 2 Lloyd rounds with
+        floor-divided integer centroids, one final assignment, then
+        within-cluster pairs with cosine >= 0.4 mark the larger vec_id
+        removed (keep-smallest, the same canonical rule as
+        ``dedup_clusters``). tau is 0.4 here because the synthetic
+        embeddings have no true near-dups (max pairwise cosine 0.51);
+        production SemDeDup uses ~0.95 on real corpora.
+
+        Determinism: vectors and centroids are 1e4-quantized int64
+        arrays; distances are exact integer sums; centroid update is
+        floor(sum/n) — one IEEE divide + floor per dim, bit-equal in
+        DuckDB; argmin breaks ties by cluster id; the final cosine is
+        the certified exact-int-dot / sqrt·sqrt expression.
+
+        Scale shape: each Lloyd round is one k-row broadcast against
+        the corpus (map-side argmin via a vec_id-partitioned rank-1
+        window -> WindowGroupLimit) plus a 64-column map-side-combinable
+        groupBy(j) — the corpus never shuffles by anything finer than
+        the k cluster ids. The prune self-join is keyed by cluster
+        (SemDeDup's documented cost: cluster-size-bounded pairs, with k
+        grown ~sqrt(n) so clusters stay bounded); at 100 TB raise k and
+        the same plan holds. Cites SURVEY.md §2.B15 (dedup family);
+        reference has no semantic dedup — this is LLM-pipeline surface."""
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", quantize(F.col("embedding")).alias("q")
+        )
+        seeds = (
+            emb.select(
+                "vec_id",
+                "q",
+                md5_mod(F.col("vec_id").cast("string")).alias("h"),
+            )
+            .orderBy("h", "vec_id")
+            .limit(_SEM_K)
+        )
+        wseed = bounded_window("vec_id", F.asc("h"), F.asc("vec_id"))
+        cents = seeds.select(
+            (F.row_number().over(wseed) - 1).cast("long").alias("j"),
+            F.col("q").alias("c"),
+        )
+        for _ in range(_SEM_ITERS):
+            cents = _update(_assign(emb, cents))
+        fin = _assign(emb, cents)
+        a, b = fin.alias("a"), fin.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.j") == F.col("b.j"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("b.vec_id").alias("vec_id"),
+                cosine_expr(F.col("a.q"), F.col("b.q")).alias("cos"),
+            )
+            .filter(F.col("cos") >= _SEM_TAU)
+        )
+        removed = pairs.select("vec_id").distinct().withColumn(
+            "rm", F.lit(True)
+        )
+        return fin.join(removed, "vec_id", "left").select(
+            "vec_id",
+            F.col("j").alias("cluster"),
+            F.coalesce(~F.col("rm"), F.lit(True)).alias("keep"),
+        )
+
+
+_register_semantic_kmeans()
+
+
+def _sql_semantic_kmeans_oracle() -> str:
+    from .llm import _SQL_DOT, _SQL_NORM, _SQL_QUANT
+
+    def assign(cent: str, out: str) -> str:
+        return f"""
+    {out}_d AS (
+      SELECT e.vec_id, e.q, c.j,
+        list_sum(list_transform(list_zip(e.q, c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      FROM emb e CROSS JOIN {cent} c),
+    {out} AS (
+      SELECT vec_id, q, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j)
+          AS rn
+        FROM {out}_d) WHERE rn = 1)"""
+
+    def update(assign_t: str, out: str) -> str:
+        return f"""
+    {out} AS (
+      SELECT j,
+        list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY d)
+          AS c
+      FROM (
+        SELECT a.j, t.d, sum(a.q[t.d]) AS s, count(*) AS n
+        FROM {assign_t} a CROSS JOIN (
+          SELECT unnest(range(1, {_SEM_DIMS + 1})) AS d) t
+        GROUP BY a.j, t.d)
+      GROUP BY j)"""
+
+    chain = []
+    cent = "cent0"
+    for i in range(_SEM_ITERS):
+        chain.append(assign(cent, f"as{i}"))
+        cent = f"cent{i + 1}"
+        chain.append(update(f"as{i}", cent))
+    chain.append(assign(cent, "fin"))
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, {_SQL_QUANT.format(e='embedding')} AS q
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id, q, ({SQL_MD5_MOD('CAST(vec_id AS VARCHAR)')}) AS h
+      FROM emb ORDER BY h, vec_id LIMIT {_SEM_K}),
+    cent0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+        AS j, q AS c
+      FROM seeds),
+    {','.join(chain)},
+    pairs AS (
+      SELECT b.vec_id
+      FROM fin a JOIN fin b
+        ON a.j = b.j AND a.vec_id < b.vec_id
+      WHERE {_SQL_DOT.format(a='a.q', b='b.q')}
+            / ({_SQL_NORM.format(v='a.q')} * {_SQL_NORM.format(v='b.q')})
+            >= {_SEM_TAU}),
+    removed AS (SELECT DISTINCT vec_id FROM pairs)
+    SELECT f.vec_id, f.j AS cluster, r.vec_id IS NULL AS keep
+    FROM fin f LEFT JOIN removed r USING (vec_id)
+    """
+
+
+_patch_oracle("dedup_semantic_kmeans", _sql_semantic_kmeans_oracle())
+
+
+# ---------------------------------------------------------------------------
+# events_holt_forecast — Holt double exponential smoothing, exact state
+# ---------------------------------------------------------------------------
+
+_HOLT_SCALE = 1_000_000  # integer state quantization (counts * 1e6)
+_HOLT_H = 7  # forecast horizon in steps
+
+
+def _register_holt() -> None:
+    import pandas as pd
+
+    @query(
+        "events_holt_forecast",
+        oracle=None,  # patched below
+        tags=("timeseries", "B7", "forecast", "stateful"),
+    )
+    def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Holt double exponential smoothing (level + trend, alpha =
+        beta = 1/2) over the daily event-count series of each event
+        type — the adaptive-forecast complement of the one-shot OLS
+        trend (``events_ols_trend``) and the seasonal-naive backtest:
+        l_t = floor((y_t + l + b)/2), b_t = floor((l_t − l + b)/2) on
+        1e6-scaled integer counts, with the one-step absolute forecast
+        error |y_t − (l+b)| accumulated exactly. Returns per type: the
+        final level/trend, the h=7-step-ahead forecast l + 7b, and the
+        exact MAE of the one-step forecasts.
+
+        The recurrence is a sequential scan no window cumsum can
+        express (each step's state feeds the next through a floor) —
+        the same custom-stateful shape as ``docs_greedy_pack_stats``:
+        ONE Arrow ``applyInPandas`` kernel per series, linear in days,
+        embarrassingly parallel across series. Scale shape: the corpus
+        collapses FIRST to a per-(type, day) count (map-side
+        combinable, calendar-bounded output ~types x days), so the
+        kernel sees thousands of rows regardless of input scale; the
+        DuckDB oracle replays the recurrence as a RECURSIVE CTE
+        advancing all series in lockstep.
+
+        Determinism: floor((a)/2.0) on exact int64 state is one IEEE
+        divide + floor, bit-equal across engines (and equal to
+        Python's // for ints); the final divisions back to doubles are
+        shared single expressions."""
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg((F.count(F.lit(1)) * _HOLT_SCALE).alias("y_q"))
+        )
+
+        def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("day").reset_index(drop=True)
+            ys = [int(v) for v in pdf["y_q"]]
+            l, b, err = ys[0], 0, 0
+            for y in ys[1:]:
+                err += abs(y - (l + b))
+                l_new = (y + l + b) // 2
+                b = (l_new - l + b) // 2
+                l = l_new
+            n = len(ys)
+            return pd.DataFrame(
+                {
+                    "event_type": [pdf["event_type"].iloc[0]],
+                    "n_days": [n],
+                    "level": [l / _HOLT_SCALE],
+                    "trend": [b / _HOLT_SCALE],
+                    "forecast_7": [(l + _HOLT_H * b) / _HOLT_SCALE],
+                    "mae": [err / (_HOLT_SCALE * (n - 1))],
+                }
+            )
+
+        return daily.groupBy("event_type").applyInPandas(
+            _holt,
+            schema=(
+                "event_type string, n_days long, level double, "
+                "trend double, forecast_7 double, mae double"
+            ),
+        )
+
+
+_register_holt()
+
+
+def _sql_holt_oracle() -> str:
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        count(*) * {_HOLT_SCALE} AS y_q
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, y_q,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS n
+      FROM daily),
+    steps AS (
+      SELECT event_type, 1 AS n, y_q AS l, CAST(0 AS BIGINT) AS b,
+        CAST(0 AS BIGINT) AS err
+      FROM series WHERE n = 1
+      UNION ALL
+      SELECT s.event_type, s.n + 1,
+        CAST(floor((sn.y_q + s.l + s.b) / 2.0) AS BIGINT),
+        CAST(floor((CAST(floor((sn.y_q + s.l + s.b) / 2.0) AS BIGINT)
+             - s.l + s.b) / 2.0) AS BIGINT),
+        s.err + abs(sn.y_q - (s.l + s.b))
+      FROM steps s JOIN series sn
+        ON sn.event_type = s.event_type AND sn.n = s.n + 1),
+    fin AS (
+      SELECT event_type, n, l, b, err,
+        row_number() OVER (PARTITION BY event_type ORDER BY n DESC)
+          AS rn
+      FROM steps)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      CAST(l AS DOUBLE) / {_HOLT_SCALE} AS level,
+      CAST(b AS DOUBLE) / {_HOLT_SCALE} AS trend,
+      CAST(l + {_HOLT_H} * b AS DOUBLE) / {_HOLT_SCALE} AS forecast_7,
+      CAST(err AS DOUBLE) / ({_HOLT_SCALE} * (n - 1)) AS mae
+    FROM fin WHERE rn = 1
+    """
+
+
+_patch_oracle("events_holt_forecast", _sql_holt_oracle())

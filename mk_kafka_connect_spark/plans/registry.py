@@ -358,6 +358,8 @@ R13_ADDITIONS: tuple[str, ...] = (
     "dq_k_anonymity",
     "docs_nb_quality_classifier",
     "docs_wordlm_xent",
+    "dedup_semantic_kmeans",
+    "events_holt_forecast",
 )
 
 

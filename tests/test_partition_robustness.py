@@ -44,6 +44,8 @@ SENSITIVE = [
     "dq_k_anonymity",
     "docs_nb_quality_classifier",
     "docs_wordlm_xent",
+    "dedup_semantic_kmeans",
+    "events_holt_forecast",
 ]
 
 SF = "/root/testdata/sf0.01"

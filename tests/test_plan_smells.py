@@ -81,6 +81,8 @@ ALLOWED = {
     "class prior, unseen-bucket Laplace floor, confusion-matrix total)",
     "docs_wordlm_xent": "1-row vocabulary-size broadcast (Laplace "
     "smoothing denominator V)",
+    "dedup_semantic_kmeans": "8-row centroid broadcast per Lloyd "
+    "round (SemDeDup assignment; k rows, never data-sized)",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

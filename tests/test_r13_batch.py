@@ -172,3 +172,95 @@ def test_wordlm_below_avg_is_langwise_mean_split(spark):
             rhs = lang_sum * r.n_bigrams
             if abs(lhs - rhs) > 0.5:  # clear of float-reconstruction noise
                 assert r.below_avg == (lhs < rhs), r.doc_id
+
+
+def test_semantic_kmeans_matches_naive_lloyd(spark):
+    import numpy as np
+
+    rows = QUERIES["dedup_semantic_kmeans"].fn(spark, SF).collect()
+    E = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([v for v, _ in E])
+    V = np.array([np.round(np.array(e, dtype=np.float64) * 10000) for _, e in E]).astype(np.int64)
+
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1_000_000_007
+
+    hs = np.array([h(str(int(v))) for v in ids])
+    seed_order = np.lexsort((ids, hs))[:8]
+    C = V[seed_order].astype(np.int64)
+
+    def assign(C):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # ties break to lowest j: argmin does that
+
+    for _ in range(2):
+        a = assign(C)
+        C = np.stack(
+            [
+                np.floor(V[a == j].sum(axis=0) / (a == j).sum()).astype(np.int64)
+                for j in sorted(set(a))
+            ]
+        )
+        # cluster ids must stay dense for the naive replay to align
+        assert sorted(set(a)) == list(range(len(set(a))))
+    a = assign(C)
+    got = {r.vec_id: (r.cluster, r.keep) for r in rows}
+    assert set(got) == set(int(i) for i in ids)
+    for idx, vid in enumerate(ids):
+        assert got[int(vid)][0] == a[idx], f"cluster drift at {vid}"
+    # keep: remove any vector with a same-cluster neighbor of smaller id
+    # at cosine >= 0.4
+    N = V / np.sqrt((V * V).sum(axis=1, keepdims=True))
+    cos = N @ N.T
+    for idx, vid in enumerate(ids):
+        has_smaller = any(
+            a[k] == a[idx] and ids[k] < vid and cos[k, idx] >= 0.4
+            for k in range(len(ids))
+        )
+        assert got[int(vid)][1] == (not has_smaller), f"keep drift at {vid}"
+
+
+def test_semantic_kmeans_prunes_only_within_cluster(spark):
+    rows = QUERIES["dedup_semantic_kmeans"].fn(spark, SF).collect()
+    removed = [r for r in rows if not r.keep]
+    kept = [r for r in rows if r.keep]
+    assert kept, "cannot remove everything"
+    assert removed, "tau=0.4 must remove something on this fixture"
+    # Every cluster retains at least one representative.
+    clusters_all = {r.cluster for r in rows}
+    clusters_kept = {r.cluster for r in kept}
+    assert clusters_all == clusters_kept
+
+
+def test_holt_matches_naive_recurrence(spark):
+    rows = {r.event_type: r for r in QUERIES["events_holt_forecast"].fn(spark, SF).collect()}
+    daily = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+        FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    S = 1_000_000
+    series: dict[str, list[int]] = {}
+    for et, _d, c in daily:
+        series.setdefault(et, []).append(c * S)
+    assert set(rows) == set(series)
+    for et, ys in series.items():
+        l, b, err = ys[0], 0, 0
+        for y in ys[1:]:
+            err += abs(y - (l + b))
+            l_new = (y + l + b) // 2
+            b = (l_new - l + b) // 2
+            l = l_new
+        r = rows[et]
+        assert r.n_days == len(ys)
+        assert abs(r.level - l / S) < 1e-9
+        assert abs(r.trend - b / S) < 1e-9
+        assert abs(r.forecast_7 - (l + 7 * b) / S) < 1e-9
+        assert abs(r.mae - err / (S * (len(ys) - 1))) < 1e-9
+        # smoothing keeps level near the series scale
+        assert 0 < r.level < max(ys) / S * 2
