@@ -182,6 +182,8 @@ HEADLINE = [
     "docs_wordlm_xent",
     "dedup_semantic_kmeans",
     "events_holt_forecast",
+    "docs_weighted_reservoir",
+    "er_fellegi_sunter",
 ]
 
 

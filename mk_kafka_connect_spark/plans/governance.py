@@ -771,3 +771,304 @@ def _sql_holt_oracle() -> str:
 
 
 _patch_oracle("events_holt_forecast", _sql_holt_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_weighted_reservoir — Efraimidis–Spirakis exact-k weighted sample
+# ---------------------------------------------------------------------------
+
+_ARES_K = 100
+_P = 1_000_000_007  # functions/hashing.py MERSENNE_P
+
+
+def _register_weighted_reservoir() -> None:
+    from ..functions.bounded import bounded_window
+
+    @query(
+        "docs_weighted_reservoir",
+        oracle=None,  # patched below
+        tags=("text", "B15", "sampling", "weighted"),
+    )
+    def docs_weighted_reservoir(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Exact-size weighted sampling WITHOUT replacement via the
+        Efraimidis–Spirakis A-ES key (2006): each doc draws the
+        deterministic uniform u = (md5('ares:'||id)+1)/P and is ranked
+        by u^(1/w) — equivalently ln(u)/w — with w = n_chars; the top
+        k=100 keys are the sample. The fixed-size complement of the
+        keep-probability `docs_weighted_sample` and the
+        budgeted-per-stratum `docs_sample_exact_budget`: one global
+        sample, inclusion probability ∝ weight, reproducible on any
+        engine and stable under repartitioning.
+
+        Determinism: ln u = lnq(h+1) − lnq(P) is an exact int64 at
+        1e-8; the sort key l_q/w is ONE IEEE division of exact
+        integers — bit-equal in DuckDB — with doc_id as tie-break.
+
+        Scale shape: a pure map-side key projection followed by
+        ORDER BY + LIMIT k → TakeOrderedAndProject (per-partition
+        top-k then a k-sized driver merge — the certified pattern
+        pinned by tests/test_plans_physical.py); the final rank is a
+        bounded_window over the ≤k-row result."""
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("n_chars") > 0
+        )
+        keyed = d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (
+                (
+                    _lnq_q(
+                        md5_mod(
+                            F.concat_ws(
+                                ":", F.lit("ares"), F.col("doc_id").cast("string")
+                            )
+                        )
+                        + 1
+                    )
+                    - _lnq_q(F.lit(_P))
+                ).cast("double")
+                / F.col("n_chars")
+            ).alias("ares_key"),
+        )
+        top = keyed.orderBy(F.desc("ares_key"), F.asc("doc_id")).limit(
+            _ARES_K
+        )
+        w = bounded_window("doc_id", F.desc("ares_key"), F.asc("doc_id"))
+        return top.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "ares_key",
+            F.row_number().over(w).cast("long").alias("sel_rank"),
+        )
+
+
+_register_weighted_reservoir()
+
+
+def _sql_weighted_reservoir_oracle() -> str:
+    h = SQL_MD5_MOD("'ares:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+        CAST(({_sql_lnq_q(f'({h}) + 1')} - {_sql_lnq_q(str(_P))})
+             AS DOUBLE) / n_chars AS ares_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars, ares_key,
+      CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id)
+           AS BIGINT) AS sel_rank
+    FROM keyed ORDER BY ares_key DESC, doc_id LIMIT {_ARES_K}
+    """
+
+
+_patch_oracle("docs_weighted_reservoir", _sql_weighted_reservoir_oracle())
+
+
+# ---------------------------------------------------------------------------
+# er_fellegi_sunter — probabilistic record linkage quality matrix
+# ---------------------------------------------------------------------------
+
+_FS_T_HI = 2_000_000  # >= 2 nats of evidence -> match
+_FS_T_LO = 0  # (0, 2) nats -> possible; <= 0 -> non-match
+_FS_SCALE = 1_000_000
+
+
+def _register_fellegi_sunter() -> None:
+    @query(
+        "er_fellegi_sunter",
+        oracle=None,  # patched below
+        tags=("er", "B15", "linkage", "dedup"),
+    )
+    def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Fellegi–Sunter probabilistic record linkage (1969) between
+        the customer table and a deterministic DIRTY COPY of itself
+        (every 5th record by md5 gets its acctbal 1000-band shifted —
+        the classic data-entry drift): candidate pairs are generated by
+        BLOCKING on nation, each pair scored by the agreement pattern
+        on (mktsegment, acctbal band) with the canonical log-odds
+        weights — agree_i contributes ln(m_i/u_i), disagree_i
+        contributes ln((1−m_i)/(1−u_i)) — where the m/u probabilities
+        are estimated from the ground truth (same custkey) with
+        Laplace smoothing. Pairs classify as match / possible /
+        non_match at thresholds (2, 0] nats; the output is the linkage
+        quality matrix (classification × true-match, pair counts) —
+        the ER evaluation artifact next to the distance-based
+        `er_fuzzy_join_edit1` and `er_name_neardup`.
+
+        Determinism: every m/u weight is a sum of four 8-decimal lns
+        of exact integers quantized to int64 at 1e-6; per-pair scores
+        are exact integer sums of 1-row-broadcast weights; thresholds
+        are integer compares.
+
+        Scale shape: blocking turns the quadratic linkage into
+        Σ|block|² bounded work (the documented ER device — refine the
+        blocking key to cap block size at scale); the m/u model is a
+        1-row broadcast; both passes over the candidate pairs are
+        map-side projections into bounded aggregates."""
+        c = load_table(spark, sf_dir, "customer")
+        a = c.select(
+            F.col("c_custkey").alias("ka"),
+            "c_nationkey",
+            F.col("c_mktsegment").alias("seg_a"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band_a"),
+        )
+        noise = (
+            md5_mod(
+                F.concat_ws(":", F.lit("fsnoise"), F.col("c_custkey").cast("string"))
+            )
+            % 5
+            == 0
+        ).cast("long")
+        b = c.select(
+            F.col("c_custkey").alias("kb"),
+            "c_nationkey",
+            F.col("c_mktsegment").alias("seg_b"),
+            (F.floor(F.col("c_acctbal") / 1000.0).cast("long") + noise).alias(
+                "band_b"
+            ),
+        )
+        cand = a.join(b, "c_nationkey").select(
+            "ka",
+            "kb",
+            (F.col("seg_a") == F.col("seg_b")).alias("g1"),
+            (F.col("band_a") == F.col("band_b")).alias("g2"),
+            (F.col("ka") == F.col("kb")).alias("tm"),
+        )
+        stats = cand.agg(
+            F.sum(F.when(F.col("tm"), 1).otherwise(0)).alias("md"),
+            F.sum(F.when(F.col("tm") & F.col("g1"), 1).otherwise(0)).alias("mn1"),
+            F.sum(F.when(F.col("tm") & F.col("g2"), 1).otherwise(0)).alias("mn2"),
+            F.sum(F.when(~F.col("tm"), 1).otherwise(0)).alias("ud"),
+            F.sum(F.when(~F.col("tm") & F.col("g1"), 1).otherwise(0)).alias("un1"),
+            F.sum(F.when(~F.col("tm") & F.col("g2"), 1).otherwise(0)).alias("un2"),
+        )
+
+        def agree_w(mn, un):
+            return (
+                F.round(
+                    (
+                        _lnq(F.col(mn) + 1)
+                        - _lnq(F.col("md") + 2)
+                        - _lnq(F.col(un) + 1)
+                        + _lnq(F.col("ud") + 2)
+                    )
+                    * _FS_SCALE,
+                    0,
+                )
+                .cast("long")
+            )
+
+        def disagree_w(mn, un):
+            return (
+                F.round(
+                    (
+                        _lnq(F.col("md") + 1 - F.col(mn))
+                        - _lnq(F.col("md") + 2)
+                        - _lnq(F.col("ud") + 1 - F.col(un))
+                        + _lnq(F.col("ud") + 2)
+                    )
+                    * _FS_SCALE,
+                    0,
+                )
+                .cast("long")
+            )
+
+        weights = stats.select(
+            agree_w("mn1", "un1").alias("w1a"),
+            disagree_w("mn1", "un1").alias("w1d"),
+            agree_w("mn2", "un2").alias("w2a"),
+            disagree_w("mn2", "un2").alias("w2d"),
+        )
+        scored = cand.crossJoin(F.broadcast(weights)).select(
+            "tm",
+            (
+                F.when(F.col("g1"), F.col("w1a")).otherwise(F.col("w1d"))
+                + F.when(F.col("g2"), F.col("w2a")).otherwise(F.col("w2d"))
+            ).alias("score_q"),
+        )
+        classified = scored.select(
+            "tm",
+            F.when(F.col("score_q") >= _FS_T_HI, "match")
+            .when(F.col("score_q") > _FS_T_LO, "possible")
+            .otherwise("non_match")
+            .alias("classification"),
+        )
+        return (
+            classified.groupBy("classification", F.col("tm").alias("is_true_match"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        )
+
+
+_register_fellegi_sunter()
+
+
+def _sql_fellegi_sunter_oracle() -> str:
+    lnq = "round(ln(CAST({x} AS DOUBLE)), 8)"
+    noise = SQL_MD5_MOD("'fsnoise:' || CAST(c_custkey AS VARCHAR)")
+
+    def w(expr: str) -> str:
+        return f"CAST(round(({expr}) * {_FS_SCALE}, 0) AS BIGINT)"
+
+    agree1 = w(
+        f"{lnq.format(x='mn1 + 1')} - {lnq.format(x='md + 2')}"
+        f" - {lnq.format(x='un1 + 1')} + {lnq.format(x='ud + 2')}"
+    )
+    dis1 = w(
+        f"{lnq.format(x='md + 1 - mn1')} - {lnq.format(x='md + 2')}"
+        f" - {lnq.format(x='ud + 1 - un1')} + {lnq.format(x='ud + 2')}"
+    )
+    agree2 = w(
+        f"{lnq.format(x='mn2 + 1')} - {lnq.format(x='md + 2')}"
+        f" - {lnq.format(x='un2 + 1')} + {lnq.format(x='ud + 2')}"
+    )
+    dis2 = w(
+        f"{lnq.format(x='md + 1 - mn2')} - {lnq.format(x='md + 2')}"
+        f" - {lnq.format(x='ud + 1 - un2')} + {lnq.format(x='ud + 2')}"
+    )
+    return f"""
+    WITH a AS (
+      SELECT c_custkey AS ka, c_nationkey, c_mktsegment AS seg_a,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band_a
+      FROM customer),
+    b AS (
+      SELECT c_custkey AS kb, c_nationkey, c_mktsegment AS seg_b,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+          + CASE WHEN ({noise}) % 5 = 0 THEN 1 ELSE 0 END AS band_b
+      FROM customer),
+    cand AS (
+      SELECT ka, kb, seg_a = seg_b AS g1, band_a = band_b AS g2,
+        ka = kb AS tm
+      FROM a JOIN b USING (c_nationkey)),
+    stats AS (
+      SELECT
+        sum(CASE WHEN tm THEN 1 ELSE 0 END) AS md,
+        sum(CASE WHEN tm AND g1 THEN 1 ELSE 0 END) AS mn1,
+        sum(CASE WHEN tm AND g2 THEN 1 ELSE 0 END) AS mn2,
+        sum(CASE WHEN NOT tm THEN 1 ELSE 0 END) AS ud,
+        sum(CASE WHEN NOT tm AND g1 THEN 1 ELSE 0 END) AS un1,
+        sum(CASE WHEN NOT tm AND g2 THEN 1 ELSE 0 END) AS un2
+      FROM cand),
+    weights AS (
+      SELECT {agree1} AS w1a, {dis1} AS w1d, {agree2} AS w2a,
+        {dis2} AS w2d
+      FROM stats),
+    scored AS (
+      SELECT tm,
+        (CASE WHEN g1 THEN w1a ELSE w1d END)
+          + (CASE WHEN g2 THEN w2a ELSE w2d END) AS score_q
+      FROM cand, weights)
+    SELECT
+      CASE WHEN score_q >= {_FS_T_HI} THEN 'match'
+           WHEN score_q > {_FS_T_LO} THEN 'possible'
+           ELSE 'non_match' END AS classification,
+      tm AS is_true_match,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM scored
+    GROUP BY 1, 2
+    """
+
+
+_patch_oracle("er_fellegi_sunter", _sql_fellegi_sunter_oracle())

@@ -360,6 +360,8 @@ R13_ADDITIONS: tuple[str, ...] = (
     "docs_wordlm_xent",
     "dedup_semantic_kmeans",
     "events_holt_forecast",
+    "docs_weighted_reservoir",
+    "er_fellegi_sunter",
 )
 
 

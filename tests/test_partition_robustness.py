@@ -46,6 +46,8 @@ SENSITIVE = [
     "docs_wordlm_xent",
     "dedup_semantic_kmeans",
     "events_holt_forecast",
+    "docs_weighted_reservoir",
+    "er_fellegi_sunter",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -83,6 +83,8 @@ ALLOWED = {
     "smoothing denominator V)",
     "dedup_semantic_kmeans": "8-row centroid broadcast per Lloyd "
     "round (SemDeDup assignment; k rows, never data-sized)",
+    "er_fellegi_sunter": "1-row m/u-weight broadcast (four quantized "
+    "log-odds scalars applied to every candidate pair)",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

@@ -264,3 +264,109 @@ def test_holt_matches_naive_recurrence(spark):
         assert abs(r.mae - err / (S * (len(ys) - 1))) < 1e-9
         # smoothing keeps level near the series scale
         assert 0 < r.level < max(ys) / S * 2
+
+
+def test_weighted_reservoir_is_topk_of_full_recompute(spark):
+    import hashlib
+
+    rows = QUERIES["docs_weighted_reservoir"].fn(spark, SF).collect()
+    assert len(rows) == 100
+    assert [r.sel_rank for r in sorted(rows, key=lambda r: r.sel_rank)] == list(
+        range(1, 101)
+    )
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{SF}/documents.parquet' WHERE n_chars > 0"
+    ).fetchall()
+    P = 1_000_000_007
+
+    def key(doc_id: int, w: int) -> float:
+        h = int(
+            hashlib.md5(f"ares:{doc_id}".encode()).hexdigest()[:15], 16
+        ) % P
+        lq = round((round(math.log(h + 1), 8) - round(math.log(P), 8)) * 1e8)
+        return lq / w
+
+    full = sorted(((key(d, w), -d) for d, w in docs), reverse=True)
+    expect = [-i for _k, i in full[:100]]
+    got = [r.doc_id for r in sorted(rows, key=lambda r: r.sel_rank)]
+    assert got == expect
+    # Keys are monotone along the rank and match the recompute.
+    for r in rows:
+        assert abs(r.ares_key - key(r.doc_id, r.n_chars)) < 1e-12
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark):
+    rows = QUERIES["docs_weighted_reservoir"].fn(spark, SF).collect()
+    mean_sampled = sum(r.n_chars for r in rows) / len(rows)
+    mean_all = duckdb.sql(
+        f"SELECT avg(n_chars) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    # Inclusion probability is ∝ n_chars: the sample must skew heavy.
+    assert mean_sampled > mean_all
+
+
+def test_fellegi_sunter_matches_naive_recompute(spark):
+    import hashlib
+
+    rows = QUERIES["er_fellegi_sunter"].fn(spark, SF).collect()
+    cust = duckdb.sql(
+        f"SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal FROM '{SF}/customer.parquet'"
+    ).fetchall()
+    P, S = 1_000_000_007, 1_000_000
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+    def lnq(x: int) -> float:
+        return round(math.log(x), 8)
+
+    a = [(k, n, seg, math.floor(bal / 1000.0)) for k, n, seg, bal in cust]
+    b = [
+        (
+            k,
+            n,
+            seg,
+            math.floor(bal / 1000.0) + (1 if h(f"fsnoise:{k}") % 5 == 0 else 0),
+        )
+        for k, n, seg, bal in cust
+    ]
+    by_nation: dict[int, list] = {}
+    for rec in b:
+        by_nation.setdefault(rec[1], []).append(rec)
+    cand = []
+    for ka, n, seg_a, band_a in a:
+        for kb, _n, seg_b, band_b in by_nation.get(n, ()):
+            cand.append((seg_a == seg_b, band_a == band_b, ka == kb))
+    md = sum(1 for g1, g2, tm in cand if tm)
+    mn1 = sum(1 for g1, g2, tm in cand if tm and g1)
+    mn2 = sum(1 for g1, g2, tm in cand if tm and g2)
+    ud = sum(1 for g1, g2, tm in cand if not tm)
+    un1 = sum(1 for g1, g2, tm in cand if not tm and g1)
+    un2 = sum(1 for g1, g2, tm in cand if not tm and g2)
+
+    def qw(expr: float) -> int:
+        return round(expr * S)
+
+    w1a = qw(lnq(mn1 + 1) - lnq(md + 2) - lnq(un1 + 1) + lnq(ud + 2))
+    w1d = qw(lnq(md + 1 - mn1) - lnq(md + 2) - lnq(ud + 1 - un1) + lnq(ud + 2))
+    w2a = qw(lnq(mn2 + 1) - lnq(md + 2) - lnq(un2 + 1) + lnq(ud + 2))
+    w2d = qw(lnq(md + 1 - mn2) - lnq(md + 2) - lnq(ud + 1 - un2) + lnq(ud + 2))
+    cm: dict[tuple[str, bool], int] = {}
+    for g1, g2, tm in cand:
+        score = (w1a if g1 else w1d) + (w2a if g2 else w2d)
+        cls = (
+            "match"
+            if score >= 2_000_000
+            else ("possible" if score > 0 else "non_match")
+        )
+        cm[(cls, tm)] = cm.get((cls, tm), 0) + 1
+    got = {(r.classification, r.is_true_match): r.n_pairs for r in rows}
+    assert got == cm, f"linkage matrix drift: spark={got} naive={cm}"
+    # Agreement evidence must order the three classes sensibly: the
+    # true-match recall of 'match'+'possible' beats the false-positive
+    # rate at the same thresholds.
+    tm_total = sum(v for (c, t), v in cm.items() if t)
+    fm = got.get(("match", True), 0) + got.get(("possible", True), 0)
+    non_total = sum(v for (c, t), v in cm.items() if not t)
+    fp = got.get(("match", False), 0) + got.get(("possible", False), 0)
+    assert fm / tm_total > fp / non_total
