@@ -184,6 +184,7 @@ HEADLINE = [
     "events_holt_forecast",
     "docs_weighted_reservoir",
     "er_fellegi_sunter",
+    "events_binseg_changepoints",
 ]
 
 

@@ -1072,3 +1072,199 @@ def _sql_fellegi_sunter_oracle() -> str:
 
 
 _patch_oracle("er_fellegi_sunter", _sql_fellegi_sunter_oracle())
+
+
+# ---------------------------------------------------------------------------
+# events_binseg_changepoints — depth-2 binary segmentation (multi-CP)
+# ---------------------------------------------------------------------------
+
+
+def _register_binseg() -> None:
+    from ..functions.bounded import bounded_window
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    @query(
+        "events_binseg_changepoints",
+        oracle=None,  # patched below
+        tags=("timeseries", "B7", "changepoint"),
+    )
+    def events_binseg_changepoints(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Binary-segmentation change-point detection (Scott & Knott
+        1974) on the global hourly event-volume series — the
+        MULTI-change-point complement of the single-shift CUSUM
+        (``events_cusum_changepoint``): the split maximizing the
+        between-segment sum-of-squares gain f(t) = S_l²/n_l + S_r²/n_r
+        is chosen for the whole series (level 0), then again inside
+        each resulting half (level 1) — up to 3 change points.
+
+        Determinism: with integer counts, f's numerator
+        S_l²·n_r + S_r²·n_l and denominator n_l·n_r are exact int64
+        (counts ≤ ~3·10⁵ per split at any tested SF keep S² ≪ 2⁶³; at
+        extreme scale lift the cross-products to decimal(38,0)); the
+        comparison key is their ONE IEEE division — bit-equal across
+        engines — with the hour index as tie-break.
+
+        Scale shape: the fact table collapses FIRST to the
+        calendar-bounded hourly series (map-side combinable, ~10³ rows
+        per month regardless of input scale); every window below runs
+        over that bounded table (global cumsum via bounded_window —
+        the reviewed pattern — and level-1 windows partitioned by
+        segment side); each argmax is ORDER BY + LIMIT or a rank-1
+        partitioned window, never a self-join."""
+        ev = load_table(spark, sf_dir, "events")
+        hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+            F.count(F.lit(1)).alias("y")
+        )
+        wi = bounded_window("h", F.asc("h"))
+        idx = hourly.select(
+            "h",
+            "y",
+            F.row_number().over(wi).cast("long").alias("i"),
+            F.sum("y").over(
+                bounded_window("h", F.asc("h")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ).alias("sl"),
+        )
+        tot = idx.agg(
+            F.max("i").alias("n"), F.sum("y").alias("s")
+        )
+
+        def gain(sl, nl, s, n):
+            sr = s - sl
+            nr = n - nl
+            return (sl * sl * nr + sr * sr * nl).cast("double") / (
+                nl * nr
+            )
+
+        cand0 = idx.crossJoin(F.broadcast(tot)).filter(
+            F.col("i") < F.col("n")
+        )
+        cp0 = (
+            cand0.select(
+                "h",
+                "i",
+                gain(
+                    F.col("sl"), F.col("i"), F.col("s"), F.col("n")
+                ).alias("gain"),
+            )
+            .orderBy(F.desc("gain"), F.asc("i"))
+            .limit(1)
+        )
+        level0 = cp0.select(
+            F.lit(0).cast("long").alias("level"),
+            F.lit(0).cast("long").alias("segment"),
+            "h",
+            "i",
+            "gain",
+        )
+        sided = idx.crossJoin(
+            F.broadcast(cp0.select(F.col("i").alias("cp_i")))
+        ).select(
+            "h",
+            "y",
+            "i",
+            (F.col("i") > F.col("cp_i")).cast("long").alias("side"),
+        )
+        ws = Window.partitionBy("side").orderBy("i")
+        seg = sided.select(
+            "h",
+            "i",
+            "side",
+            F.row_number().over(ws).cast("long").alias("li"),
+            F.sum("y").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("lsl"),
+        )
+        segtot = seg.groupBy("side").agg(
+            F.max("li").alias("ln"), F.max("lsl").alias("ls")
+        )
+        cand1 = seg.join(F.broadcast(segtot), "side").filter(
+            (F.col("li") < F.col("ln")) & (F.col("ln") >= 2)
+        )
+        wr = Window.partitionBy("side").orderBy(
+            F.desc("gain"), F.asc("li")
+        )
+        level1 = (
+            cand1.select(
+                "side",
+                "h",
+                "i",
+                "li",
+                gain(
+                    F.col("lsl"), F.col("li"), F.col("ls"), F.col("ln")
+                ).alias("gain"),
+            )
+            .withColumn("rn", F.row_number().over(wr))
+            .filter("rn = 1")
+            .select(
+                F.lit(1).cast("long").alias("level"),
+                F.col("side").alias("segment"),
+                "h",
+                "i",
+                "gain",
+            )
+        )
+        return level0.unionByName(level1)
+
+
+_register_binseg()
+
+
+def _sql_binseg_oracle() -> str:
+    return """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS y
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT h, y,
+        CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+        sum(y) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS sl
+      FROM hourly),
+    tot AS (SELECT max(i) AS n, sum(y) AS s FROM idx),
+    cp0 AS (
+      SELECT h, i,
+        CAST(sl * sl * (n - i) + (s - sl) * (s - sl) * i AS DOUBLE)
+          / (i * (n - i)) AS gain
+      FROM idx, tot WHERE i < n
+      ORDER BY gain DESC, i LIMIT 1),
+    level0 AS (
+      SELECT CAST(0 AS BIGINT) AS level, CAST(0 AS BIGINT) AS segment,
+        h, i, gain
+      FROM cp0),
+    sided AS (
+      SELECT idx.h, idx.y, idx.i,
+        CAST(idx.i > cp0.i AS BIGINT) AS side
+      FROM idx, cp0),
+    seg AS (
+      SELECT h, i, side,
+        CAST(row_number() OVER (PARTITION BY side ORDER BY i)
+             AS BIGINT) AS li,
+        sum(y) OVER (PARTITION BY side ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS lsl
+      FROM sided),
+    segtot AS (
+      SELECT side, max(li) AS ln, max(lsl) AS ls FROM seg GROUP BY side),
+    cand1 AS (
+      SELECT seg.side, seg.h, seg.i,
+        CAST(lsl * lsl * (ln - li) + (ls - lsl) * (ls - lsl) * li
+             AS DOUBLE) / (li * (ln - li)) AS gain,
+        row_number() OVER (
+          PARTITION BY seg.side
+          ORDER BY CAST(lsl * lsl * (ln - li) + (ls - lsl) * (ls - lsl)
+                        * li AS DOUBLE) / (li * (ln - li)) DESC, li)
+          AS rn
+      FROM seg JOIN segtot USING (side)
+      WHERE li < ln AND ln >= 2)
+    SELECT level, segment, h, i, gain FROM level0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), side, h, i, gain FROM cand1 WHERE rn = 1
+    """
+
+
+_patch_oracle("events_binseg_changepoints", _sql_binseg_oracle())

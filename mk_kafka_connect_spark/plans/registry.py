@@ -362,6 +362,7 @@ R13_ADDITIONS: tuple[str, ...] = (
     "events_holt_forecast",
     "docs_weighted_reservoir",
     "er_fellegi_sunter",
+    "events_binseg_changepoints",
 )
 
 

@@ -48,6 +48,7 @@ SENSITIVE = [
     "events_holt_forecast",
     "docs_weighted_reservoir",
     "er_fellegi_sunter",
+    "events_binseg_changepoints",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -85,6 +85,9 @@ ALLOWED = {
     "round (SemDeDup assignment; k rows, never data-sized)",
     "er_fellegi_sunter": "1-row m/u-weight broadcast (four quantized "
     "log-odds scalars applied to every candidate pair)",
+    "events_binseg_changepoints": "1-row broadcasts onto the "
+    "calendar-bounded hourly series (series totals and the level-0 "
+    "split index)",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

@@ -370,3 +370,43 @@ def test_fellegi_sunter_matches_naive_recompute(spark):
     non_total = sum(v for (c, t), v in cm.items() if not t)
     fp = got.get(("match", False), 0) + got.get(("possible", False), 0)
     assert fm / tm_total > fp / non_total
+
+
+def test_binseg_matches_naive_recompute(spark):
+    rows = QUERIES["events_binseg_changepoints"].fn(spark, SF).collect()
+    hourly = duckdb.sql(
+        f"""
+        SELECT date_trunc('hour', ts) AS h, count(*) AS y
+        FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    ys = [y for _h, y in hourly]
+    hs = [h for h, _y in hourly]
+
+    def best_split(seg_ys):
+        n = len(seg_ys)
+        s = sum(seg_ys)
+        best = None
+        sl = 0
+        for t in range(1, n):
+            sl += seg_ys[t - 1]
+            sr = s - sl
+            g = (sl * sl * (n - t) + sr * sr * t) / (t * (n - t))
+            if best is None or g > best[1] + 0 or (g == best[1] and t < best[0]):
+                if best is None or g > best[1]:
+                    best = (t, g)
+        return best
+
+    t0, g0 = best_split(ys)
+    got = {(r.level, r.segment): r for r in rows}
+    assert got[(0, 0)].i == t0
+    assert abs(got[(0, 0)].gain - g0) < 1e-6
+    assert got[(0, 0)].h == hs[t0 - 1]
+    # level-1 splits inside each half, indices reported on the global axis
+    tl, gl = best_split(ys[:t0])
+    tr, gr = best_split(ys[t0:])
+    assert got[(1, 0)].i == tl
+    assert abs(got[(1, 0)].gain - gl) < 1e-6
+    assert got[(1, 1)].i == t0 + tr
+    assert abs(got[(1, 1)].gain - gr) < 1e-6
+    assert len(rows) == 3
