@@ -185,6 +185,7 @@ HEADLINE = [
     "docs_weighted_reservoir",
     "er_fellegi_sunter",
     "events_binseg_changepoints",
+    "docs_wordpiece_fertility",
 ]
 
 

@@ -1268,3 +1268,181 @@ def _sql_binseg_oracle() -> str:
 
 
 _patch_oracle("events_binseg_changepoints", _sql_binseg_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_wordpiece_fertility — greedy longest-match tokenizer (WordPiece)
+# ---------------------------------------------------------------------------
+
+_WP_MAXLEN = 4  # longest piece considered
+_WP_TOPV = 100  # vocab budget per role (word-initial / continuation)
+
+
+def _register_wordpiece() -> None:
+    import pandas as pd
+
+    @query(
+        "docs_wordpiece_fertility",
+        oracle=None,  # patched below
+        tags=("text", "B15", "tokenizer", "wordpiece"),
+    )
+    def docs_wordpiece_fertility(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """WordPiece-style tokenizer (Wu et al. 2016): fit a vocabulary
+        of the top-100 word-INITIAL and top-100 CONTINUATION character
+        pieces (length <= 4, counted over word occurrences, ties by
+        piece), then tokenize by greedy longest-match — at each
+        position take the longest in-vocab piece for the position's
+        role, single-character fallback — and report per-document
+        token counts and fertility (tokens/word), the
+        longest-match-inference complement of the merge-based BPE
+        family (``bpe_merges`` / ``docs_bpe_token_counts``).
+
+        The pivotal scale move: segmentation runs over DISTINCT words
+        only (the word vocabulary — corpus-size-independent), as one
+        Arrow kernel with the piece sets broadcast; per-doc stats are
+        then an explode + vocabulary join + integer groupBy(doc_id),
+        so the corpus itself never meets Python. The piece-set collect
+        is model-parameter extraction (<= 200 rows + singles), the
+        same bounded pattern as the IVF centroid seeds
+        (operators/similarity.py). Fertility is one exact division of
+        exact integer counts; the DuckDB oracle replays the greedy
+        scan as a recursive CTE stepping every distinct word in
+        lockstep with CASE'd longest-match lookups."""
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        occ = docs.select(
+            "doc_id", F.explode(words(F.col("text"))).alias("w")
+        ).filter(F.length("w") > 0)
+        dw = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        pieces = dw.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, length(w)), s ->
+                    transform(sequence(1, least({_WP_MAXLEN},
+                                                length(w) - s + 1)),
+                              l -> struct(s AS s,
+                                          substr(w, s, l) AS piece))))"""
+                )
+            ).alias("pc"),
+        ).select(
+            (F.col("pc.s") == 1).alias("initial"),
+            F.col("pc.piece").alias("piece"),
+            "cnt",
+        )
+        by_role = pieces.groupBy("initial", "piece").agg(
+            F.sum("cnt").alias("n")
+        )
+        vinit = (
+            by_role.filter("initial")
+            .orderBy(F.desc("n"), F.asc("piece"))
+            .limit(_WP_TOPV)
+        )
+        vcont = (
+            by_role.filter("NOT initial")
+            .orderBy(F.desc("n"), F.asc("piece"))
+            .limit(_WP_TOPV)
+        )
+        init_set = frozenset(r.piece for r in vinit.collect())
+        cont_set = frozenset(r.piece for r in vcont.collect())
+
+        def _segment(batches):
+            for pdf in batches:
+                out = []
+                for w in pdf["w"]:
+                    pos, ntok = 0, 0
+                    while pos < len(w):
+                        role = init_set if pos == 0 else cont_set
+                        for ln in range(
+                            min(_WP_MAXLEN, len(w) - pos), 0, -1
+                        ):
+                            if ln == 1 or w[pos : pos + ln] in role:
+                                pos += ln
+                                ntok += 1
+                                break
+                    out.append(ntok)
+                yield pd.DataFrame(
+                    {
+                        "w": pdf["w"],
+                        "n_pieces": pd.Series(out, dtype="int64"),
+                    }
+                )
+
+        seg = dw.select("w").mapInPandas(
+            _segment, schema="w string, n_pieces long"
+        )
+        return (
+            occ.join(F.broadcast(seg), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("n_pieces").cast("long").alias("n_tokens"),
+            )
+            .select(
+                "doc_id",
+                "n_words",
+                "n_tokens",
+                (
+                    F.col("n_tokens").cast("double") / F.col("n_words")
+                ).alias("fertility"),
+            )
+        )
+
+
+_register_wordpiece()
+
+
+def _sql_wordpiece_oracle() -> str:
+    def match_case(role_cte: str) -> str:
+        arms = []
+        for ln in range(_WP_MAXLEN, 1, -1):
+            arms.append(
+                f"WHEN length(w) - pos + 1 >= {ln} AND substr(w, pos, {ln})"
+                f" IN (SELECT piece FROM {role_cte}) THEN {ln}"
+            )
+        return "CASE " + " ".join(arms) + " ELSE 1 END"
+
+    return f"""
+    WITH RECURSIVE occ AS (
+      SELECT doc_id, unnest({SQL_WORDS('text')}) AS w FROM documents),
+    occ2 AS (SELECT doc_id, w FROM occ WHERE length(w) > 0),
+    dw AS (SELECT w, count(*) AS cnt FROM occ2 GROUP BY w),
+    pieces AS (
+      SELECT s = 1 AS initial, substr(w, s, l) AS piece, cnt
+      FROM dw,
+        LATERAL (SELECT unnest(range(1, length(w) + 1)) AS s),
+        LATERAL (SELECT unnest(range(1, least({_WP_MAXLEN},
+                 length(w) - s + 1) + 1)) AS l)),
+    by_role AS (
+      SELECT initial, piece, sum(cnt) AS n FROM pieces
+      GROUP BY initial, piece),
+    vinit AS (
+      SELECT piece FROM by_role WHERE initial
+      ORDER BY n DESC, piece LIMIT {_WP_TOPV}),
+    vcont AS (
+      SELECT piece FROM by_role WHERE NOT initial
+      ORDER BY n DESC, piece LIMIT {_WP_TOPV}),
+    walk AS (
+      SELECT w, 1 AS pos, 0 AS ntok FROM dw
+      UNION ALL
+      SELECT w,
+        pos + (CASE WHEN pos = 1 THEN {match_case('vinit')}
+               ELSE {match_case('vcont')} END),
+        ntok + 1
+      FROM walk WHERE pos <= length(w)),
+    seg AS (
+      SELECT w, max(ntok) AS n_pieces FROM walk
+      WHERE pos > length(w) GROUP BY w)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+      CAST(sum(n_pieces) AS DOUBLE) / count(*) AS fertility
+    FROM occ2 JOIN seg USING (w)
+    GROUP BY doc_id
+    """
+
+
+_patch_oracle("docs_wordpiece_fertility", _sql_wordpiece_oracle())

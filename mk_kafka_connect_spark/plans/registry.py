@@ -363,6 +363,7 @@ R13_ADDITIONS: tuple[str, ...] = (
     "docs_weighted_reservoir",
     "er_fellegi_sunter",
     "events_binseg_changepoints",
+    "docs_wordpiece_fertility",
 )
 
 

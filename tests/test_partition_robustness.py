@@ -49,6 +49,7 @@ SENSITIVE = [
     "docs_weighted_reservoir",
     "er_fellegi_sunter",
     "events_binseg_changepoints",
+    "docs_wordpiece_fertility",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -410,3 +410,59 @@ def test_binseg_matches_naive_recompute(spark):
     assert got[(1, 1)].i == t0 + tr
     assert abs(got[(1, 1)].gain - gr) < 1e-6
     assert len(rows) == 3
+
+
+def test_wordpiece_matches_naive_greedy(spark):
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["docs_wordpiece_fertility"].fn(spark, SF).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    # Fit the two role vocabularies exactly as the query does.
+    from collections import Counter
+
+    wcnt: Counter = Counter()
+    for _d, t in docs:
+        for w in t.split(" "):
+            if w:
+                wcnt[w] += 1
+    init_c: Counter = Counter()
+    cont_c: Counter = Counter()
+    for w, c in wcnt.items():
+        for s in range(len(w)):
+            for ln in range(1, min(4, len(w) - s) + 1):
+                (init_c if s == 0 else cont_c)[w[s : s + ln]] += c
+    top = lambda cnt: frozenset(
+        p
+        for p, _n in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    vinit, vcont = top(init_c), top(cont_c)
+
+    def pieces(w: str) -> int:
+        pos, n = 0, 0
+        while pos < len(w):
+            role = vinit if pos == 0 else vcont
+            for ln in range(min(4, len(w) - pos), 0, -1):
+                if ln == 1 or w[pos : pos + ln] in role:
+                    pos += ln
+                    n += 1
+                    break
+        return n
+
+    seg = {w: pieces(w) for w in wcnt}
+    for doc_id, t in docs:
+        ws = [w for w in t.split(" ") if w]
+        if not ws:
+            assert doc_id not in rows
+            continue
+        r = rows[doc_id]
+        assert r.n_words == len(ws)
+        ntok = sum(seg[w] for w in ws)
+        assert r.n_tokens == ntok, doc_id
+        assert abs(r.fertility - ntok / len(ws)) < 1e-12
+    # Greedy longest-match can never exceed character count nor go
+    # below the word count.
+    for r in rows.values():
+        assert r.n_tokens >= r.n_words
