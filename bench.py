@@ -186,6 +186,8 @@ HEADLINE = [
     "er_fellegi_sunter",
     "events_binseg_changepoints",
     "docs_wordpiece_fertility",
+    "orders_survival_km",
+    "scalar_hof_funcs",
 ]
 
 

@@ -1446,3 +1446,231 @@ def _sql_wordpiece_oracle() -> str:
 
 
 _patch_oracle("docs_wordpiece_fertility", _sql_wordpiece_oracle())
+
+
+# ---------------------------------------------------------------------------
+# orders_survival_km — Kaplan–Meier with right-censoring (exact log-S)
+# ---------------------------------------------------------------------------
+
+
+def _register_km() -> None:
+    from ..functions.bounded import bounded_window
+    from pyspark.sql import Window as W
+
+    @query(
+        "orders_survival_km",
+        oracle=None,  # patched below
+        tags=("timeseries", "B7", "survival", "retention"),
+    )
+    def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Kaplan–Meier product-limit survival of inter-purchase time
+        WITH right-censoring — the estimator the hazard life-table
+        (``orders_interpurchase_hazard``) deliberately stops short of:
+        every consecutive-order gap is an observed return at duration
+        k, and each customer's time from their LAST order to the
+        dataset end is a CENSORED duration (they have not returned
+        yet). Censoring is what makes KM non-trivial — without it the
+        product telescopes to the empirical suffix ratio. Per duration
+        k: returns d_k, censored c_k, at-risk n_k, and the EXACT
+        log-survival ln S(k) = Σ_{j≤k, d_j>0} [ln(n_j−d_j) − ln(n_j)]
+        as a cumulative sum of 1e-8-quantized integer logs (the
+        cross-row float PRODUCT the hazard docstring rules out is
+        order-dependent; this log-sum is not). S itself is e^lnS — a
+        monotone display transform left to the client, so no
+        cross-engine transcendental is needed. ``hit_zero`` marks the
+        tail where n_k = d_k (S drops to exactly 0; the guarded log
+        term is frozen there).
+
+        Scale shape: one distinct reduction + one lag window per
+        customer (single hash exchange), a 1-row dataset-end
+        broadcast, then everything collapses to the date-domain-
+        bounded k table; the suffix/cumulative sums run under
+        bounded_window — same reviewed class as the hazard table."""
+        o = load_table(spark, sf_dir, "orders")
+        od = o.select("o_custkey", "o_orderdate").distinct()
+        wl = W.partitionBy("o_custkey").orderBy("o_orderdate")
+        gaps = od.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(wl)
+            ).alias("gap"),
+        )
+        observed = gaps.where(F.col("gap").isNotNull()).select(
+            F.col("gap").cast("long").alias("k"),
+            F.lit(1).alias("d"),
+            F.lit(0).alias("c"),
+        )
+        dataset_end = od.agg(F.max("o_orderdate").alias("end_date"))
+        censored = (
+            od.groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("last_order"))
+            .crossJoin(F.broadcast(dataset_end))
+            .select(
+                F.datediff(F.col("end_date"), F.col("last_order"))
+                .cast("long")
+                .alias("k"),
+                F.lit(0).alias("d"),
+                F.lit(1).alias("c"),
+            )
+            .where(F.col("k") > 0)
+        )
+        table = (
+            observed.unionByName(censored)
+            .groupBy("k")
+            .agg(F.sum("d").alias("n_events"), F.sum("c").alias("n_censored"))
+        )
+        wk_desc = bounded_window("k", F.desc("k")).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        wk_asc = bounded_window("k", F.asc("k")).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        at_risk = table.select(
+            "k",
+            "n_events",
+            "n_censored",
+            F.sum(F.col("n_events") + F.col("n_censored"))
+            .over(wk_desc)
+            .alias("n_at_risk"),
+        )
+        term = F.when(
+            (F.col("n_events") > 0)
+            & (F.col("n_at_risk") > F.col("n_events")),
+            _lnq_q(F.col("n_at_risk") - F.col("n_events"))
+            - _lnq_q(F.col("n_at_risk")),
+        ).otherwise(F.lit(0).cast("long"))
+        return at_risk.select(
+            "k",
+            "n_events",
+            "n_censored",
+            "n_at_risk",
+            (
+                F.sum(term).over(wk_asc).cast("double") / _LNQ_SCALE
+            ).alias("ln_survival"),
+            (
+                F.max(
+                    (
+                        (F.col("n_events") > 0)
+                        & (F.col("n_at_risk") == F.col("n_events"))
+                    ).cast("int")
+                ).over(wk_asc)
+                == 1
+            ).alias("hit_zero"),
+        )
+
+
+_register_km()
+
+
+def _sql_km_oracle() -> str:
+    return f"""
+    WITH od AS (
+      SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    gaps AS (
+      SELECT o_custkey,
+        date_diff('day',
+          lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate),
+          o_orderdate) AS gap
+      FROM od),
+    observed AS (
+      SELECT CAST(gap AS BIGINT) AS k, 1 AS d, 0 AS c
+      FROM gaps WHERE gap IS NOT NULL),
+    dend AS (SELECT max(o_orderdate) AS end_date FROM od),
+    censored AS (
+      SELECT CAST(date_diff('day', last_order, end_date) AS BIGINT)
+        AS k, 0 AS d, 1 AS c
+      FROM (SELECT o_custkey, max(o_orderdate) AS last_order
+            FROM od GROUP BY o_custkey), dend
+      WHERE date_diff('day', last_order, end_date) > 0),
+    t AS (
+      SELECT k, sum(d) AS n_events, sum(c) AS n_censored
+      FROM (SELECT * FROM observed UNION ALL SELECT * FROM censored)
+      GROUP BY k),
+    ar AS (
+      SELECT k, n_events, n_censored,
+        sum(n_events + n_censored) OVER (
+          ORDER BY k DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS n_at_risk
+      FROM t)
+    SELECT k,
+      CAST(n_events AS BIGINT) AS n_events,
+      CAST(n_censored AS BIGINT) AS n_censored,
+      CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      CAST(sum(CASE WHEN n_events > 0 AND n_at_risk > n_events
+        THEN {_sql_lnq_q('n_at_risk - n_events')}
+             - {_sql_lnq_q('n_at_risk')}
+        ELSE 0 END) OVER (
+          ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DOUBLE) / {_LNQ_SCALE} AS ln_survival,
+      max(CASE WHEN n_events > 0 AND n_at_risk = n_events
+          THEN 1 ELSE 0 END) OVER (
+        ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        = 1 AS hit_zero
+    FROM ar
+    """
+
+
+_patch_oracle("orders_survival_km", _sql_km_oracle())
+
+
+# ---------------------------------------------------------------------------
+# scalar_hof_funcs — higher-order array function battery (B12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_hof_funcs",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+        range(1, (o_orderkey % 5) + 3) AS arr
+      FROM orders WHERE o_orderkey <= 500)
+    SELECT o_orderkey,
+      array_to_string(list_transform(arr, x -> x * 2), ',') AS doubled,
+      array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
+      list_contains(arr, 3) AS has_three,
+      len(list_filter(arr, x -> x <= 0)) = 0 AS all_pos,
+      CAST(list_sum(arr) AS BIGINT) AS total,
+      array_to_string(list_transform(list_zip(arr, list_reverse(arr)),
+                     p -> p[1] + p[2]), ',') AS sym_sums,
+      array_to_string((list_sort(arr, 'DESC'))[1:2], ',') AS top2
+    FROM src
+    """,
+    tags=("scalar", "B12", "hof"),
+)
+def scalar_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery — the lambda-expression
+    corner of the B12 scalar surface the array/map batteries
+    (``scalar_array_funcs``/``scalar_map_funcs``) don't touch:
+    ``transform``, ``filter``, ``exists``, ``forall``, ``aggregate``
+    (fold), ``zip_with`` (against the reversed array), and
+    sort+slice — all whole-stage-codegen'd JVM expressions (no UDF),
+    evaluated per row over a sequence derived from the key. Pure
+    map-side projection: no shuffle, no join, scan-bounded at any
+    scale. Array results are CSV-serialized because the driver's
+    canonicalizer hashes scalar cells only."""
+
+    def _csv(col):
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey <= 500")
+    arr = F.sequence(F.lit(1).cast("long"), (F.col("o_orderkey") % 5) + 2)
+    return o.select(
+        "o_orderkey",
+        arr.alias("_arr"),
+    ).select(
+        "o_orderkey",
+        _csv(F.transform("_arr", lambda x: x * 2)).alias("doubled"),
+        _csv(F.filter("_arr", lambda x: x % 2 == 0)).alias("evens"),
+        F.exists("_arr", lambda x: x == 3).alias("has_three"),
+        F.forall("_arr", lambda x: x > 0).alias("all_pos"),
+        F.aggregate(
+            "_arr", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total"),
+        _csv(
+            F.zip_with("_arr", F.reverse("_arr"), lambda a, b: a + b)
+        ).alias("sym_sums"),
+        _csv(F.slice(F.sort_array("_arr", asc=False), 1, 2)).alias("top2"),
+    )

@@ -364,6 +364,8 @@ R13_ADDITIONS: tuple[str, ...] = (
     "er_fellegi_sunter",
     "events_binseg_changepoints",
     "docs_wordpiece_fertility",
+    "orders_survival_km",
+    "scalar_hof_funcs",
 )
 
 

@@ -50,6 +50,7 @@ SENSITIVE = [
     "er_fellegi_sunter",
     "events_binseg_changepoints",
     "docs_wordpiece_fertility",
+    "orders_survival_km",
 ]
 
 SF = "/root/testdata/sf0.01"

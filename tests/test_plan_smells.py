@@ -88,6 +88,8 @@ ALLOWED = {
     "events_binseg_changepoints": "1-row broadcasts onto the "
     "calendar-bounded hourly series (series totals and the level-0 "
     "split index)",
+    "orders_survival_km": "1-row dataset-end-date broadcast (censoring "
+    "horizon applied per customer)",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

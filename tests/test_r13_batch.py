@@ -466,3 +466,71 @@ def test_wordpiece_matches_naive_greedy(spark):
     # below the word count.
     for r in rows.values():
         assert r.n_tokens >= r.n_words
+
+
+def test_km_matches_naive_product_limit(spark):
+    rows = sorted(
+        QUERIES["orders_survival_km"].fn(spark, SF).collect(),
+        key=lambda r: r.k,
+    )
+    od = duckdb.sql(
+        f"SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) FROM '{SF}/orders.parquet' ORDER BY 1, 2"
+    ).fetchall()
+    from collections import defaultdict
+
+    by_cust = defaultdict(list)
+    for c, d in od:
+        by_cust[c].append(d)
+    end = max(d for _c, d in od)
+    durations = []  # (k, censored?)
+    for c, ds in by_cust.items():
+        for a, b in zip(ds, ds[1:]):
+            durations.append(((b - a).days, False))
+        if (end - ds[-1]).days > 0:
+            durations.append(((end - ds[-1]).days, True))
+    table = defaultdict(lambda: [0, 0])
+    for k, cen in durations:
+        table[k][1 if cen else 0] += 1
+    ks = sorted(table)
+    assert [r.k for r in rows] == ks
+    # at-risk = suffix sums; log-survival via quantized logs
+    suffix = 0
+    at_risk = {}
+    for k in reversed(ks):
+        suffix += table[k][0] + table[k][1]
+        at_risk[k] = suffix
+    lnS_q = 0
+    got = {r.k: r for r in rows}
+    hit = False
+    for k in ks:
+        d, _c = table[k]
+        n = at_risk[k]
+        if d > 0 and n > d:
+            lnS_q += round(round(math.log(n - d), 8) * 1e8) - round(
+                round(math.log(n), 8) * 1e8
+            )
+        if d > 0 and n == d:
+            hit = True
+        r = got[k]
+        assert r.n_events == d and r.n_censored == _c and r.n_at_risk == n
+        assert abs(r.ln_survival - lnS_q / 1e8) < 1e-9, k
+        assert r.hit_zero == hit
+    # survival must be non-increasing and censoring must be present
+    lns = [r.ln_survival for r in rows]
+    assert all(a >= b for a, b in zip(lns, lns[1:]))
+    assert any(r.n_censored > 0 for r in rows)
+
+
+def test_hof_funcs_semantics(spark):
+    rows = QUERIES["scalar_hof_funcs"].fn(spark, SF).collect()
+    assert rows
+    for r in rows[:100]:
+        n = (r.o_orderkey % 5) + 2
+        arr = list(range(1, n + 1))
+        assert r.doubled == ",".join(str(x * 2) for x in arr)
+        assert r.evens == ",".join(str(x) for x in arr if x % 2 == 0)
+        assert r.has_three == (3 in arr)
+        assert r.all_pos is True
+        assert r.total == sum(arr)
+        assert r.sym_sums == ",".join(str(n + 1) for _ in arr)
+        assert r.top2 == f"{n},{n - 1}"
