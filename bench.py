@@ -188,6 +188,7 @@ HEADLINE = [
     "docs_wordpiece_fertility",
     "orders_survival_km",
     "scalar_hof_funcs",
+    "dq_dp_noise_calibration",
 ]
 
 

@@ -1674,3 +1674,89 @@ def scalar_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sym_sums"),
         _csv(F.slice(F.sort_array("_arr", asc=False), 1, 2)).alias("top2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_dp_noise_calibration — seeded-Laplace DP mechanics + error audit
+# ---------------------------------------------------------------------------
+
+_DP_EPS_SCALE = 1  # b = sensitivity/epsilon = 1/1 for a count query
+
+
+def _register_dp_calibration() -> None:
+    @query(
+        "dq_dp_noise_calibration",
+        oracle=None,  # patched below
+        tags=("dq", "B7", "privacy", "differential-privacy"),
+    )
+    def dq_dp_noise_calibration(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Differential-privacy release mechanics as a CALIBRATION
+        AUDIT: the market-segment histogram of customers with
+        Laplace(b = Δf/ε = 1/1) noise drawn by inverse-CDF from the
+        DETERMINISTIC md5-uniform u = h/P — x = −b·sgn(2u−1)·ln(1−|2u−1|)
+        — so the run is reproducible and the realized |noise| can sit
+        next to the true count (a production release would use a real
+        RNG and drop the true column; this row reports the mechanism's
+        error so an operator can size ε before releasing). The privacy
+        sibling of ``dq_k_anonymity``: that audits the DATA's
+        re-identifiability, this audits the RELEASE mechanism.
+
+        Determinism: 1−|2u−1| = (P − |2h − P|)/P with an integer
+        numerator (floored at 1 to dodge ln 0 at h = 0), so the noise
+        is a difference of 1e-8-quantized integer logs; noisy_n =
+        (n·1e8 ± noise_q)/1e8 is one shared division of exact ints.
+
+        Scale shape: one map-side-combinable groupBy to the |segments|
+        histogram; the noise is a per-row projection on that bounded
+        table. Cost identical to the plain histogram at any scale."""
+        c = load_table(spark, sf_dir, "customer")
+        hist = c.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("long").alias("n_true")
+        )
+        h = md5_mod(F.concat_ws(":", F.lit("dp"), F.col("c_mktsegment")))
+        t = 2 * h - _P  # sign of (2u - 1), integer-exact
+        num = F.greatest(_P - F.abs(t), F.lit(1))
+        mag_q = _lnq_q(F.lit(_P)) - _lnq_q(num)  # −ln(1−|t|) ≥ 0, quantized
+        noise_q = F.when(t < 0, -mag_q).otherwise(mag_q) * _DP_EPS_SCALE
+        return hist.select(
+            "c_mktsegment",
+            "n_true",
+            (
+                (F.col("n_true") * _LNQ_SCALE + noise_q).cast("double")
+                / _LNQ_SCALE
+            ).alias("noisy_n"),
+            (F.abs(noise_q).cast("double") / _LNQ_SCALE).alias("abs_err"),
+            F.lit(1.0).alias("epsilon"),
+        )
+
+
+_register_dp_calibration()
+
+
+def _sql_dp_calibration_oracle() -> str:
+    h = SQL_MD5_MOD("'dp:' || c_mktsegment")
+    return f"""
+    WITH hist AS (
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY c_mktsegment),
+    seeded AS (
+      SELECT c_mktsegment, n_true, ({h}) AS hh FROM hist),
+    noise AS (
+      SELECT c_mktsegment, n_true,
+        CASE WHEN 2 * hh - {_P} < 0 THEN -1 ELSE 1 END
+          * ({_sql_lnq_q(str(_P))}
+             - {_sql_lnq_q(f'greatest({_P} - abs(2 * hh - {_P}), 1)')})
+          * {_DP_EPS_SCALE} AS noise_q
+      FROM seeded)
+    SELECT c_mktsegment, n_true,
+      CAST(n_true * {_LNQ_SCALE} + noise_q AS DOUBLE) / {_LNQ_SCALE}
+        AS noisy_n,
+      CAST(abs(noise_q) AS DOUBLE) / {_LNQ_SCALE} AS abs_err,
+      CAST(1.0 AS DOUBLE) AS epsilon
+    FROM noise
+    """
+
+
+_patch_oracle("dq_dp_noise_calibration", _sql_dp_calibration_oracle())

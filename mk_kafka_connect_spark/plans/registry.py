@@ -366,6 +366,7 @@ R13_ADDITIONS: tuple[str, ...] = (
     "docs_wordpiece_fertility",
     "orders_survival_km",
     "scalar_hof_funcs",
+    "dq_dp_noise_calibration",
 )
 
 

@@ -51,6 +51,7 @@ SENSITIVE = [
     "events_binseg_changepoints",
     "docs_wordpiece_fertility",
     "orders_survival_km",
+    "dq_dp_noise_calibration",
 ]
 
 SF = "/root/testdata/sf0.01"

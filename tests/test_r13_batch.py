@@ -534,3 +534,32 @@ def test_hof_funcs_semantics(spark):
         assert r.total == sum(arr)
         assert r.sym_sums == ",".join(str(n + 1) for _ in arr)
         assert r.top2 == f"{n},{n - 1}"
+
+
+def test_dp_calibration_matches_inverse_cdf(spark):
+    import hashlib
+
+    rows = QUERIES["dq_dp_noise_calibration"].fn(spark, SF).collect()
+    hist = dict(
+        duckdb.sql(
+            f"SELECT c_mktsegment, count(*) FROM '{SF}/customer.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    P = 1_000_000_007
+    assert {r.c_mktsegment for r in rows} == set(hist)
+    for r in rows:
+        assert r.n_true == hist[r.c_mktsegment]
+        h = int(
+            hashlib.md5(f"dp:{r.c_mktsegment}".encode()).hexdigest()[:15], 16
+        ) % P
+        t = 2 * h - P
+        num = max(P - abs(t), 1)
+        mag_q = round(round(math.log(P), 8) * 1e8) - round(
+            round(math.log(num), 8) * 1e8
+        )
+        noise_q = -mag_q if t < 0 else mag_q
+        assert abs(r.noisy_n - (r.n_true * 10**8 + noise_q) / 10**8) < 1e-12
+        assert abs(r.abs_err - abs(noise_q) / 10**8) < 1e-12
+        # Laplace noise at b=1 should be modest but non-zero.
+        assert 0 < r.abs_err < 25
+        assert r.epsilon == 1.0
