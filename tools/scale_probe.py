@@ -52,6 +52,13 @@ PROBE_SET = [
     "agg_countmin_estimates",
     "agg_kmv_set_sketch",
     "multimodal_phash_dct",
+    # r13 governance/quality family.
+    "dq_k_anonymity",
+    "docs_wordlm_xent",
+    "dedup_semantic_kmeans",
+    "docs_wordpiece_fertility",
+    "er_fellegi_sunter",
+    "orders_survival_km",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
