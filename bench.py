@@ -189,6 +189,7 @@ HEADLINE = [
     "orders_survival_km",
     "scalar_hof_funcs",
     "dq_dp_noise_calibration",
+    "docs_unigram_mdl",
 ]
 
 

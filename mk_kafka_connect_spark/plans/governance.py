@@ -1760,3 +1760,229 @@ def _sql_dp_calibration_oracle() -> str:
 
 
 _patch_oracle("dq_dp_noise_calibration", _sql_dp_calibration_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_unigram_mdl — SentencePiece-style Viterbi minimum description length
+# ---------------------------------------------------------------------------
+
+_MDL_MAXLEN = 4
+_MDL_TOPV = 200
+_MDL_BIG = 10**15  # "infinity": non-vocab multi-char pieces are unusable
+
+
+def _register_unigram_mdl() -> None:
+    import pandas as pd
+
+    @query(
+        "docs_unigram_mdl",
+        oracle=None,  # patched below
+        tags=("text", "B15", "tokenizer", "mdl", "quality"),
+    )
+    def docs_unigram_mdl(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SentencePiece-style unigram-LM scoring (Kudo 2018) as exact
+        MINIMUM DESCRIPTION LENGTH: fit a piece unigram model (top-200
+        substrings of length <= 4 by occurrence-weighted count, Laplace
+        floor for single-char fallback), then Viterbi each word for the
+        CHEAPEST segmentation — cost = Σ −ln p(piece) — and report each
+        document's total and per-word description length. Unlike a
+        best-PATH output, the min-COST is a pure min of exact integer
+        sums, so the DP needs no tie-break to be deterministic. MDL is
+        the compression-based quality signal (incompressible gibberish
+        scores high, repetitive boilerplate low) and completes the
+        tokenizer family: BPE (merges), WordPiece (greedy longest
+        match), unigram-LM (global-optimum Viterbi).
+
+        Scale shape: identical to ``docs_wordpiece_fertility`` — the
+        model fit is a vocabulary-bounded TakeOrdered, Viterbi runs
+        over DISTINCT WORDS ONLY in one Arrow kernel with the <= 200
+        piece scores broadcast, and doc stats are an explode +
+        vocabulary join + integer groupBy. The DuckDB oracle replays
+        the Viterbi as a STATE-CARRYING recursive CTE (each row
+        carries best[j−1..j−4], so min over the 4 predecessors is
+        expressible without self-referencing the recursion twice).
+
+        Determinism: piece costs are 1e-8-quantized integer logs;
+        per-word best costs are exact int mins; per-doc sums exact
+        ints; the two divisions (per-word, per-char) are shared single
+        expressions."""
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        occ = docs.select(
+            "doc_id", F.explode(words(F.col("text"))).alias("w")
+        ).filter(F.length("w") > 0)
+        dw = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        pieces = dw.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, length(w)), s ->
+                    transform(sequence(1, least({_MDL_MAXLEN},
+                                                length(w) - s + 1)),
+                              l -> substr(w, s, l))))"""
+                )
+            ).alias("piece"),
+        )
+        vocab = (
+            pieces.groupBy("piece")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("piece"))
+            .limit(_MDL_TOPV)
+        )
+        tot = vocab.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
+        scored_vocab = vocab.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            (
+                _lnq_q(F.col("t") + F.col("v") + 1)
+                - _lnq_q(F.col("n") + 1)
+            ).alias("cost_q"),
+        )
+        model = {r.piece: r.cost_q for r in scored_vocab.collect()}
+        t_row = tot.collect()[0]
+        floor_q = (
+            scored_vocab.sparkSession.range(1)
+            .select(
+                (
+                    _lnq_q(F.lit(int(t_row.t) + int(t_row.v) + 1))
+                    - _lnq_q(F.lit(1))
+                ).alias("f")
+            )
+            .collect()[0]
+            .f
+        )
+
+        def _viterbi(batches):
+            for pdf in batches:
+                out = []
+                for w in pdf["w"]:
+                    n = len(w)
+                    best = [0] + [None] * n
+                    for j in range(1, n + 1):
+                        b = None
+                        for ln in range(1, min(_MDL_MAXLEN, j) + 1):
+                            prev = best[j - ln]
+                            if prev is None:
+                                continue
+                            piece = w[j - ln : j]
+                            c = model.get(piece)
+                            if c is None:
+                                if ln > 1:
+                                    continue
+                                c = floor_q
+                            cand = prev + c
+                            if b is None or cand < b:
+                                b = cand
+                        best[j] = b
+                    out.append(int(best[n]))
+                yield pd.DataFrame(
+                    {
+                        "w": pdf["w"],
+                        "dl_q": pd.Series(out, dtype="int64"),
+                    }
+                )
+
+        seg = dw.select("w").mapInPandas(
+            _viterbi, schema="w string, dl_q long"
+        )
+        return (
+            occ.join(F.broadcast(seg), "w")
+            .join(
+                docs.select("doc_id", F.length("text").alias("n_chars")),
+                "doc_id",
+            )
+            .groupBy("doc_id", "n_chars")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("dl_q").alias("dl_sum_q"),
+            )
+            .select(
+                "doc_id",
+                "n_words",
+                (F.col("dl_sum_q").cast("double") / _LNQ_SCALE).alias(
+                    "description_len"
+                ),
+                (
+                    F.col("dl_sum_q").cast("double")
+                    / (F.col("n_words") * _LNQ_SCALE)
+                ).alias("dl_per_word"),
+                (
+                    F.col("dl_sum_q").cast("double")
+                    / (F.col("n_chars").cast("long") * _LNQ_SCALE)
+                ).alias("dl_per_char"),
+            )
+        )
+
+
+_register_unigram_mdl()
+
+
+def _sql_unigram_mdl_oracle() -> str:
+    # State-carrying Viterbi: the row for position j holds
+    # (b1, b2, b3, b4) = best[j], best[j-1], best[j-2], best[j-3].
+    # Transition to nj = j+1: best[nj] = min over L of
+    # best[nj-L] + cost(substr(w, nj-L+1, L)), prev(L) = bL.
+    arms = []
+    for L in range(1, _MDL_MAXLEN + 1):
+        fb = "(SELECT f FROM floorc)" if L == 1 else str(_MDL_BIG)
+        cost = (
+            f"coalesce((SELECT cost_q FROM scored_vocab sv"
+            f" WHERE sv.piece = substr(wk.w, wk.j + 2 - {L}, {L})),"
+            f" {fb})"
+        )
+        arms.append(
+            f"CASE WHEN wk.j + 1 >= {L} AND wk.b{L} < {_MDL_BIG}"
+            f" THEN wk.b{L} + {cost}"
+            f" ELSE {2 * _MDL_BIG} END"
+        )
+    step_min = "least(" + ", ".join(arms) + ")"
+    return f"""
+    WITH RECURSIVE occ AS (
+      SELECT doc_id, unnest({SQL_WORDS('text')}) AS w FROM documents),
+    occ2 AS (SELECT doc_id, w FROM occ WHERE length(w) > 0),
+    dw AS (SELECT w, count(*) AS cnt FROM occ2 GROUP BY w),
+    pieces AS (
+      SELECT substr(w, s, l) AS piece, cnt
+      FROM dw,
+        LATERAL (SELECT unnest(range(1, length(w) + 1)) AS s),
+        LATERAL (SELECT unnest(range(1, least({_MDL_MAXLEN},
+                 length(w) - s + 1) + 1)) AS l)),
+    vocab AS (
+      SELECT piece, sum(cnt) AS n FROM pieces GROUP BY piece
+      ORDER BY n DESC, piece LIMIT {_MDL_TOPV}),
+    tot AS (SELECT sum(n) AS t, count(*) AS v FROM vocab),
+    scored_vocab AS (
+      SELECT piece,
+        {_sql_lnq_q('t + v + 1')} - {_sql_lnq_q('n + 1')} AS cost_q
+      FROM vocab, tot),
+    floorc AS (
+      SELECT {_sql_lnq_q('t + v + 1')} - {_sql_lnq_q('1')} AS f
+      FROM tot),
+    walk AS (
+      SELECT w, 0 AS j,
+        CAST(0 AS BIGINT) AS b1, CAST({_MDL_BIG} AS BIGINT) AS b2,
+        CAST({_MDL_BIG} AS BIGINT) AS b3,
+        CAST({_MDL_BIG} AS BIGINT) AS b4
+      FROM dw
+      UNION ALL
+      SELECT wk.w, wk.j + 1,
+        CAST({step_min} AS BIGINT), wk.b1, wk.b2, wk.b3
+      FROM walk wk WHERE wk.j < length(wk.w)),
+    seg AS (
+      SELECT w, b1 AS dl_q FROM walk WHERE j = length(w))
+    SELECT o.doc_id,
+      CAST(count(*) AS BIGINT) AS n_words,
+      CAST(sum(s.dl_q) AS DOUBLE) / {_LNQ_SCALE} AS description_len,
+      CAST(sum(s.dl_q) AS DOUBLE) / (count(*) * {_LNQ_SCALE})
+        AS dl_per_word,
+      CAST(sum(s.dl_q) AS DOUBLE)
+        / (any_value(d.n_chars) * {_LNQ_SCALE}) AS dl_per_char
+    FROM occ2 o
+    JOIN seg s USING (w)
+    JOIN (SELECT doc_id, length(text) AS n_chars FROM documents) d
+      USING (doc_id)
+    GROUP BY o.doc_id
+    """
+
+
+_patch_oracle("docs_unigram_mdl", _sql_unigram_mdl_oracle())

@@ -367,6 +367,7 @@ R13_ADDITIONS: tuple[str, ...] = (
     "orders_survival_km",
     "scalar_hof_funcs",
     "dq_dp_noise_calibration",
+    "docs_unigram_mdl",
 )
 
 

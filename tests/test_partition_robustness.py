@@ -52,6 +52,7 @@ SENSITIVE = [
     "docs_wordpiece_fertility",
     "orders_survival_km",
     "dq_dp_noise_calibration",
+    "docs_unigram_mdl",
 ]
 
 SF = "/root/testdata/sf0.01"
