@@ -190,6 +190,7 @@ HEADLINE = [
     "scalar_hof_funcs",
     "dq_dp_noise_calibration",
     "docs_unigram_mdl",
+    "docs_textrank_keywords",
 ]
 
 

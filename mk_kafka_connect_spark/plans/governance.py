@@ -1986,3 +1986,133 @@ def _sql_unigram_mdl_oracle() -> str:
 
 
 _patch_oracle("docs_unigram_mdl", _sql_unigram_mdl_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_textrank_keywords — PageRank over the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TR_ITER = 3
+_TR_TOPK = 20
+
+
+def _register_textrank() -> None:
+    from ..functions.bounded import bounded_window
+    from ..operators.graph import pagerank
+
+    @query(
+        "docs_textrank_keywords",
+        oracle=None,  # patched below
+        tags=("text", "B15", "graph", "keywords", "iterative"),
+    )
+    def docs_textrank_keywords(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+        over the word CO-OCCURRENCE graph — one edge per adjacent word
+        pair, fed in both directions, so edge multiplicity acts as the
+        co-occurrence weight — reusing the certified integer-exact
+        PageRank kernel (operators/graph.py, 3 iterations, damping
+        0.85, 1e12 integer mass) on word-hash nodes; the corpus's
+        top-20 keywords by stationary rank. The graph-centrality
+        keyword scorer beside the frequency-based TF-IDF top terms —
+        and a showcase that the iterative graph kernel composes onto a
+        derived linguistic graph unchanged.
+
+        Scale shape: one bigram explode into an edge list (data-sized,
+        localCheckpointed once inside the kernel), then every
+        iteration is an edge join + VOCABULARY-bounded rank
+        aggregation; selection is ORDER BY + LIMIT onto the bounded
+        rank table; the word↔hash mapping joins back by hash.
+
+        Determinism: integer floor-division PageRank replays exactly;
+        the final order ties break on the word string."""
+        docs = load_table(spark, sf_dir, "documents").select("text")
+        bg = docs.filter(F.size(words(F.col("text"))) >= 2).select(
+            F.explode(shingles("text", 2)).alias("bg")
+        ).select(
+            md5_mod(F.substring_index(F.col("bg"), " ", 1)).alias("h1"),
+            md5_mod(F.substring_index(F.col("bg"), " ", -1)).alias("h2"),
+        ).filter(F.col("h1") != F.col("h2"))
+        edges = bg.select(
+            F.col("h1").alias("src"), F.col("h2").alias("dst")
+        ).unionAll(
+            bg.select(F.col("h2").alias("src"), F.col("h1").alias("dst"))
+        )
+        pr = pagerank(edges, iterations=_TR_ITER)
+        wmap = (
+            docs.select(F.explode(words(F.col("text"))).alias("w"))
+            .filter(F.length("w") > 0)
+            .distinct()
+            .select("w", md5_mod(F.col("w")).alias("node"))
+        )
+        ranked = (
+            pr.join(F.broadcast(wmap), "node")
+            .orderBy(F.desc("pr"), F.asc("w"))
+            .limit(_TR_TOPK)
+        )
+        wr = bounded_window("w", F.desc("pr"), F.asc("w"))
+        return ranked.select(
+            F.col("w").alias("word"),
+            "pr",
+            F.row_number().over(wr).cast("long").alias("kw_rank"),
+        )
+
+
+_register_textrank()
+
+
+def _sql_textrank_oracle() -> str:
+    from ..operators.graph import SCALE
+
+    it = """
+    pr{k} AS (
+      SELECT b.node, b.base + (85 * coalesce(s.s, 0)) // 100 AS pr
+      FROM base b LEFT JOIN (
+        SELECT e.dst AS node, sum(p.pr // d.deg) AS s
+        FROM edges e JOIN pr{j} p ON e.src = p.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+      ) s ON b.node = s.node
+    )"""
+    iters = ",".join(it.format(k=k, j=k - 1) for k in range(1, _TR_ITER + 1))
+    h1 = SQL_MD5_MOD("split_part(bg, ' ', 1)")
+    h2 = SQL_MD5_MOD("split_part(bg, ' ', 2)")
+    hw = SQL_MD5_MOD("w")
+    return f"""
+    WITH ex AS (
+      SELECT unnest({SQL_SHINGLES('text', 2)}) AS bg
+      FROM documents WHERE len({SQL_WORDS('text')}) >= 2),
+    bgh AS (
+      SELECT ({h1}) AS h1, ({h2}) AS h2 FROM ex),
+    bgf AS (SELECT h1, h2 FROM bgh WHERE h1 <> h2),
+    edges AS (
+      SELECT h1 AS src, h2 AS dst FROM bgf
+      UNION ALL
+      SELECT h2 AS src, h1 AS dst FROM bgf
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM edges GROUP BY src
+    ), n AS (
+      SELECT count(*) AS n FROM deg
+    ), pr0 AS (
+      SELECT d.src AS node, CAST({SCALE} AS BIGINT) // n.n AS pr
+      FROM deg d, n
+    ), base AS (
+      SELECT d.src AS node,
+        (15 * (CAST({SCALE} AS BIGINT) // n.n)) // 100 AS base
+      FROM deg d, n
+    ),{iters},
+    wmap AS (
+      SELECT w, ({hw}) AS node
+      FROM (SELECT DISTINCT unnest({SQL_WORDS('text')}) AS w
+            FROM documents)
+      WHERE length(w) > 0)
+    SELECT m.w AS word, CAST(p.pr AS BIGINT) AS pr,
+      CAST(row_number() OVER (ORDER BY p.pr DESC, m.w) AS BIGINT)
+        AS kw_rank
+    FROM pr{_TR_ITER} p JOIN wmap m USING (node)
+    ORDER BY p.pr DESC, m.w LIMIT {_TR_TOPK}
+    """
+
+
+_patch_oracle("docs_textrank_keywords", _sql_textrank_oracle())

@@ -368,6 +368,7 @@ R13_ADDITIONS: tuple[str, ...] = (
     "scalar_hof_funcs",
     "dq_dp_noise_calibration",
     "docs_unigram_mdl",
+    "docs_textrank_keywords",
 )
 
 

@@ -53,6 +53,7 @@ SENSITIVE = [
     "orders_survival_km",
     "dq_dp_noise_calibration",
     "docs_unigram_mdl",
+    "docs_textrank_keywords",
 ]
 
 SF = "/root/testdata/sf0.01"

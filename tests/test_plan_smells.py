@@ -90,6 +90,9 @@ ALLOWED = {
     "split index)",
     "orders_survival_km": "1-row dataset-end-date broadcast (censoring "
     "horizon applied per customer)",
+    "docs_textrank_keywords": "1-row node-count broadcast inside the "
+    "PageRank kernel (init/base damping constants, same as "
+    "graph_pagerank)",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

@@ -639,3 +639,50 @@ def test_unigram_mdl_beats_singlechar_baseline(spark):
     # Viterbi can only improve: sanity-check the distribution spread.
     per_char = sorted(r.dl_per_char for r in rows)
     assert per_char[0] < per_char[-1]
+
+
+def test_textrank_matches_naive_pagerank(spark):
+    import hashlib
+
+    rows = QUERIES["docs_textrank_keywords"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    docs = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    P = 1_000_000_007
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+    from collections import defaultdict
+
+    edges = defaultdict(int)  # (src, dst) -> multiplicity
+    word_of = {}
+    for (t,) in docs:
+        ws = t.split(" ")
+        for w in ws:
+            if w:
+                word_of[h(w)] = w
+        for a, b in zip(ws, ws[1:]):
+            ha, hb = h(a), h(b)
+            if ha != hb:
+                edges[(ha, hb)] += 1
+                edges[(hb, ha)] += 1
+    deg = defaultdict(int)
+    for (s, _d), m in edges.items():
+        deg[s] += m
+    nodes = sorted(deg)
+    SCALE = 10**12
+    n = len(nodes)
+    pr = {v: SCALE // n for v in nodes}
+    base = {v: (15 * (SCALE // n)) // 100 for v in nodes}
+    for _ in range(3):
+        s = defaultdict(int)
+        for (u, v), m in edges.items():
+            s[v] += m * (pr[u] // deg[u])
+        pr = {v: base[v] + (85 * s.get(v, 0)) // 100 for v in nodes}
+    top = sorted(
+        ((p, word_of[v]) for v, p in pr.items()), key=lambda t: (-t[0], t[1])
+    )[:20]
+    got = [(r.pr, r.word) for r in sorted(rows, key=lambda r: r.kw_rank)]
+    assert got == top, f"textrank drift: {got[:3]} vs {top[:3]}"
