@@ -191,6 +191,7 @@ HEADLINE = [
     "dq_dp_noise_calibration",
     "docs_unigram_mdl",
     "docs_textrank_keywords",
+    "sim_knn_loo_eval",
 ]
 
 

@@ -2116,3 +2116,139 @@ def _sql_textrank_oracle() -> str:
 
 
 _patch_oracle("docs_textrank_keywords", _sql_textrank_oracle())
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_loo_eval — k-NN leave-one-out label eval over the ANN family
+# ---------------------------------------------------------------------------
+
+_KNN_NQ = 200  # eval slice (vec_id < 200)
+_KNN_K = 10
+
+
+def _register_knn_loo() -> None:
+    from ..operators.similarity import cosine_topk_bruteforce
+    from pyspark.sql import Window as W
+
+    @query(
+        "sim_knn_loo_eval",
+        oracle=None,  # patched below
+        tags=("similarity", "B15", "evaluation", "knn"),
+    )
+    def sim_knn_loo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """k-NN leave-one-out classification accuracy — the
+        label-quality evaluation of the embedding space itself, beside
+        the retrieval-quality gates (``sim_recall_ivf_vs_exact``,
+        ``emb_matryoshka_recall``) and the centroid classifier
+        (``sim_nearest_centroid``): for each of the 200 eval vectors,
+        the exact cosine top-10 neighbors (self excluded) vote by
+        majority (ties to the smaller label), and the verdicts roll up
+        per true label into (n_eval, n_correct, accuracy). Declared
+        exact-evaluation tier: the |Q|x|C| ranking is the point, same
+        posture as ``sim_topk_bruteforce``; the production-scale path
+        runs the identical vote on LSH/IVF candidates.
+
+        Determinism: the certified exact-int cosine ordering with
+        neighbor-id tie-break fixes the top-k set; votes are integer
+        counts with (count desc, label asc) argmax; accuracy is one
+        shared division."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        topk = cosine_topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") < _KNN_NQ), k=_KNN_K
+        )
+        labels = emb.select("vec_id", "label")
+        votes = (
+            topk.join(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlabel"),
+                ),
+                "neighbor_id",
+            )
+            .groupBy("query_id", "nlabel")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        wv = W.partitionBy("query_id").orderBy(
+            F.desc("n_votes"), F.asc("nlabel")
+        )
+        pred = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter("rn = 1")
+            .select("query_id", F.col("nlabel").alias("pred"))
+        )
+        evald = pred.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label")
+            ),
+            "query_id",
+        )
+        return (
+            evald.groupBy("label")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_eval"),
+                F.sum(
+                    F.when(F.col("pred") == F.col("label"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_correct"),
+            )
+            .select(
+                "label",
+                "n_eval",
+                "n_correct",
+                (
+                    F.col("n_correct").cast("double") / F.col("n_eval")
+                ).alias("accuracy"),
+            )
+        )
+
+
+_register_knn_loo()
+
+
+def _sql_knn_loo_oracle() -> str:
+    from .llm import _SQL_DOT, _SQL_NORM, _SQL_QUANT
+
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_SQL_QUANT.format(e='embedding')} AS qv
+      FROM embeddings WHERE vec_id < {_KNN_NQ}),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+        {_SQL_QUANT.format(e='embedding')} AS cv, label AS nlabel
+      FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, nlabel,
+        {_SQL_DOT.format(a='qv', b='cv')} /
+        ({_SQL_NORM.format(v='qv')} * {_SQL_NORM.format(v='cv')})
+          AS cosine
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    topk AS (
+      SELECT query_id, nlabel FROM (
+        SELECT query_id, nlabel,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored) WHERE rnk <= {_KNN_K}),
+    votes AS (
+      SELECT query_id, nlabel, count(*) AS n_votes
+      FROM topk GROUP BY query_id, nlabel),
+    pred AS (
+      SELECT query_id, nlabel AS pred FROM (
+        SELECT query_id, nlabel,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY n_votes DESC, nlabel) AS rn
+        FROM votes) WHERE rn = 1),
+    evald AS (
+      SELECT p.query_id, p.pred, e.label
+      FROM pred p JOIN embeddings e ON p.query_id = e.vec_id)
+    SELECT label,
+      CAST(count(*) AS BIGINT) AS n_eval,
+      CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) AS accuracy
+    FROM evald GROUP BY label
+    """
+
+
+_patch_oracle("sim_knn_loo_eval", _sql_knn_loo_oracle())

@@ -369,6 +369,7 @@ R13_ADDITIONS: tuple[str, ...] = (
     "dq_dp_noise_calibration",
     "docs_unigram_mdl",
     "docs_textrank_keywords",
+    "sim_knn_loo_eval",
 )
 
 

@@ -54,6 +54,7 @@ SENSITIVE = [
     "dq_dp_noise_calibration",
     "docs_unigram_mdl",
     "docs_textrank_keywords",
+    "sim_knn_loo_eval",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -93,6 +93,8 @@ ALLOWED = {
     "docs_textrank_keywords": "1-row node-count broadcast inside the "
     "PageRank kernel (init/base damping constants, same as "
     "graph_pagerank)",
+    "sim_knn_loo_eval": "200-row eval-slice broadcast; the exact "
+    "|Q|x|C| evaluation tier (same posture as sim_topk_bruteforce)",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

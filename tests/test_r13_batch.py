@@ -686,3 +686,38 @@ def test_textrank_matches_naive_pagerank(spark):
     )[:20]
     got = [(r.pr, r.word) for r in sorted(rows, key=lambda r: r.kw_rank)]
     assert got == top, f"textrank drift: {got[:3]} vs {top[:3]}"
+
+
+def test_knn_loo_matches_naive_vote(spark):
+    import numpy as np
+
+    rows = {r.label: r for r in QUERIES["sim_knn_loo_eval"].fn(spark, SF).collect()}
+    E = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([v for v, _e, _l in E])
+    labels = {v: l for v, _e, l in E}
+    V = np.array(
+        [np.round(np.array(e, dtype=np.float64) * 10000) for _v, e, _l in E]
+    )
+    N = V / np.sqrt((V * V).sum(axis=1, keepdims=True))
+    cos = N @ N.T
+    from collections import Counter, defaultdict
+
+    per_label = defaultdict(lambda: [0, 0])
+    for qi, qid in enumerate(ids):
+        if qid >= 200:
+            continue
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-cos[qi, j], ids[j]),
+        )[:10]
+        votes = Counter(labels[ids[j]] for j in order)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        per_label[labels[qid]][0] += 1
+        per_label[labels[qid]][1] += pred == labels[qid]
+    assert set(rows) == set(per_label)
+    for l, (n, c) in per_label.items():
+        r = rows[l]
+        assert (r.n_eval, r.n_correct) == (n, c), l
+        assert abs(r.accuracy - c / n) < 1e-12
