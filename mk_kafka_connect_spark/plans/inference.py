@@ -1,0 +1,602 @@
+"""Round-13 statistical-inference query surface: corpus-scaling law
+fits, classical nonparametric rank tests, smoothed frequency
+estimators, and finite-sample (conformal) prediction intervals — the
+measurement companions to the drift/quality gates in
+``plans/curation.py`` and ``plans/governance.py``.
+
+Same oracle discipline as the rest of the registry: exact integer
+arithmetic (counts, cross-multiplied ranks, cents) until a single
+shared final IEEE expression, and every global cumulative uses the
+two-phase block-prefix device (per-band partials, exclusive prefix
+over the tiny band table, band-partitioned within-window) so no
+operator ever sorts the full relation in one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.bounded import bounded_window
+from ..functions.hashing import SQL_SHINGLES, SQL_WORDS, md5_mod, shingles, words
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# docs_good_turing — frequency-of-frequencies and Good-Turing smoothing
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 10  # report the smoothed head of the count-of-counts table
+
+
+@query(
+    "docs_good_turing",
+    oracle=f"""
+    WITH ex AS (
+      SELECT unnest({SQL_SHINGLES('text', 3)}) AS word FROM documents),
+    wc AS (SELECT word, count(*) AS r FROM ex GROUP BY word),
+    fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM wc GROUP BY r),
+    tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(sum(n_r) AS BIGINT) AS vocab_size
+      FROM fof)
+    SELECT f.r, f.n_r,
+      CAST(coalesce(g.n_r, 0) AS BIGINT) AS n_r_next,
+      CAST((f.r + 1) * coalesce(g.n_r, 0) AS DOUBLE) / f.n_r AS r_star,
+      t.n_tokens, t.vocab_size,
+      CAST((SELECT n_r FROM fof WHERE r = 1) AS DOUBLE) / t.n_tokens
+        AS p0_unseen
+    FROM fof f LEFT JOIN fof g ON g.r = f.r + 1 CROSS JOIN tot t
+    WHERE f.r <= {_GT_MAX_R}
+    """,
+    tags=("text", "B15", "stats", "language-model"),
+)
+def docs_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953; the
+    Katz-backoff building block) over word-trigram events: for each
+    trigram count r <= 10, the number of distinct trigrams N_r seen
+    exactly r times, the smoothed count r* = (r+1) N_{r+1} / N_r, and
+    the leave-one-out unseen-mass estimate p0 = N_1 / N — the standard
+    answer to "how much of the language has this corpus NOT seen yet",
+    which is the quantity a training-data curator watches while
+    deciding whether more crawl is still adding novel text. (Trigrams,
+    not unigrams: the fixture's unigram vocabulary is closed — every
+    word repeats 26+ times — so the singleton head the estimator feeds
+    on only exists at the n-gram level, exactly as in real corpora
+    where unigram mass saturates long before n-gram mass.)
+
+    All counts are exact integers from two keyed aggregates
+    (trigram-count, then count-of-counts); r* and p0 are each one
+    final division. Scale shape: explode -> groupBy(trigram) ->
+    groupBy(r); the count-of-counts table has O(max count) rows, so
+    the self-join for N_{r+1} broadcasts a vanishingly small relation.
+    No window, no sort, no collect at any size."""
+    ex = load_table(spark, sf_dir, "documents").select(
+        F.explode(shingles("text", 3)).alias("word")
+    )
+    wc = ex.groupBy("word").agg(F.count("*").alias("r"))
+    fof = wc.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab_size"),
+    )
+    n1 = fof.filter(F.col("r") == 1).select(F.col("n_r").alias("_n1"))
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_nr_next")
+    )
+    return (
+        fof.filter(F.col("r") <= _GT_MAX_R)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("_nr_next"), F.lit(0)).cast("long").alias("n_r_next"),
+            (
+                ((F.col("r") + 1) * F.coalesce(F.col("_nr_next"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_r")
+            ).alias("r_star"),
+            "n_tokens",
+            "vocab_size",
+            (F.col("_n1").cast("double") / F.col("n_tokens")).alias("p0_unseen"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# docs_heaps_law — vocabulary-growth (Heaps' law) fit V(N) = k * N^beta
+# ---------------------------------------------------------------------------
+
+_HEAPS_BLK = 64  # doc_ids per band in the prefix decomposition
+_LN_SCALE = 10_000  # 1e-4 quantization of ln keeps sum-of-products in int64
+
+
+def _ln_q(col):
+    """round(round(ln(x), 8) * 1e4) as an exact int64 (x >= 1 everywhere
+    here, so the value is non-negative and half-up/half-away agree)."""
+    return F.round(F.round(F.log(col.cast("double")), 8) * _LN_SCALE, 0).cast(
+        "long"
+    )
+
+
+def _sql_ln_q(expr: str) -> str:
+    return (
+        f"CAST(round(round(ln(CAST({expr} AS DOUBLE)), 8) * {_LN_SCALE}, 0)"
+        f" AS BIGINT)"
+    )
+
+
+@query(
+    "docs_heaps_law",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {SQL_WORDS('text')} AS w FROM documents),
+    tc AS (SELECT doc_id, len(w) AS n_tok FROM d),
+    ex AS (SELECT doc_id, unnest(w) AS word FROM d),
+    fd AS (SELECT word, min(doc_id) AS fdoc FROM ex GROUP BY word),
+    nw AS (SELECT fdoc AS doc_id, count(*) AS nv FROM fd GROUP BY fdoc),
+    pd AS (
+      SELECT tc.doc_id, tc.n_tok, coalesce(nw.nv, 0) AS nv
+      FROM tc LEFT JOIN nw USING (doc_id)),
+    cum AS (
+      SELECT sum(n_tok) OVER (ORDER BY doc_id) AS cn,
+             sum(nv) OVER (ORDER BY doc_id) AS cv
+      FROM pd),
+    q AS (SELECT {_sql_ln_q('cn')} AS xq, {_sql_ln_q('cv')} AS yq FROM cum),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+        CAST(sum(xq * xq) AS BIGINT) AS sxx,
+        CAST(sum(xq * yq) AS BIGINT) AS sxy,
+        CAST(sum(yq * yq) AS BIGINT) AS syy
+      FROM q),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM fd) AS vocab_size
+      FROM pd),
+    fit AS (
+      SELECT n_docs, n_tokens, vocab_size,
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta,
+        CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS covn,
+        CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx,
+        CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary,
+        CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+        CAST(n AS DOUBLE) AS nd
+      FROM s CROSS JOIN t)
+    SELECT n_docs, n_tokens, vocab_size,
+      beta AS heaps_beta,
+      (syd - beta * sxd) / (nd * {_LN_SCALE}) AS heaps_lnk,
+      (covn * covn) / (varx * vary) AS fit_r2
+    FROM fit
+    """,
+    tags=("text", "B15", "stats", "scaling-law"),
+)
+def docs_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ~ k * N^beta (Heaps 1978)
+    over the corpus in doc_id order: the scaling-law diagnostic a
+    curator fits to decide how much NEW vocabulary each additional
+    terabyte of crawl buys (beta well below 1 = vocabulary saturating).
+
+    The cumulative (tokens N, vocabulary V) curve is computed WITHOUT
+    re-scanning prefixes via the first-appearance decomposition: V(d)
+    = #{words whose min(doc_id) <= d}, so one groupBy(word) -> min,
+    one groupBy(first doc) -> count, and a single cumulative sum give
+    every checkpoint in one pass. The global cumsum over doc_id is the
+    two-phase block-prefix device (64-doc bands, exclusive prefix over
+    the tiny band table, band-partitioned within-window) — no
+    single-partition sort at any size. The log-log OLS runs on
+    1e-4-quantized 8-decimal-rounded logs of exact integers, so every
+    moment (sx, sy, sxx, sxy, syy) is an order-independent int64 sum
+    (exact to ~1e8 documents); beta / ln k / r^2 are then single
+    shared IEEE expressions — bit-equal cross-engine."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words(F.col("text")).alias("w")
+    )
+    tc = d.select("doc_id", F.size("w").alias("n_tok"))
+    ex = d.select("doc_id", F.explode("w").alias("word"))
+    fd = ex.groupBy("word").agg(F.min("doc_id").alias("fdoc"))
+    nw = fd.groupBy(F.col("fdoc").alias("doc_id")).agg(
+        F.count("*").alias("nv")
+    )
+    pd_ = tc.join(nw, "doc_id", "left").select(
+        "doc_id", "n_tok", F.coalesce(F.col("nv"), F.lit(0)).alias("nv")
+    )
+    b = pd_.withColumn("_blk", (F.col("doc_id") / _HEAPS_BLK).cast("long"))
+    blocks = b.groupBy("_blk").agg(
+        F.sum("n_tok").alias("_bn"), F.sum("nv").alias("_bv")
+    )
+    wb = bounded_window("_blk", "_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = blocks.select(
+        "_blk",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_pn"),
+        F.coalesce(F.sum("_bv").over(wb), F.lit(0)).alias("_pv"),
+    )
+    ww = (
+        Window.partitionBy("_blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(prior), "_blk").select(
+        (F.col("_pn") + F.sum("n_tok").over(ww)).alias("cn"),
+        (F.col("_pv") + F.sum("nv").over(ww)).alias("cv"),
+    )
+    q = cum.select(_ln_q(F.col("cn")).alias("xq"), _ln_q(F.col("cv")).alias("yq"))
+    s = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+        F.sum(F.col("yq") * F.col("yq")).cast("long").alias("syy"),
+    )
+    tot = pd_.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    ).crossJoin(
+        F.broadcast(fd.agg(F.count("*").cast("long").alias("vocab_size")))
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    covn = nd * F.col("sxy").cast("double") - sxd * syd
+    varx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vary = nd * F.col("syy").cast("double") - syd * syd
+    beta = covn / varx
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            beta.alias("heaps_beta"),
+            ((syd - beta * sxd) / (nd * _LN_SCALE)).alias("heaps_lnk"),
+            ((covn * covn) / (varx * vary)).alias("fit_r2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_mannwhitney_value — exact tie-corrected Mann-Whitney U rank test
+# ---------------------------------------------------------------------------
+
+_MW_A = "view"
+_MW_B = "click"
+_MW_BLK = 8.0  # value-band width for the prefix decomposition
+_MW_Z95 = 1.96
+
+
+@query(
+    "events_mannwhitney_value",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, value AS v FROM events
+      WHERE event_type IN ('{_MW_A}', '{_MW_B}')),
+    counts AS (
+      SELECT v,
+        CAST(sum(CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS ca,
+        CAST(sum(CASE WHEN event_type = '{_MW_B}' THEN 1 ELSE 0 END)
+             AS BIGINT) AS cb
+      FROM v GROUP BY v),
+    cum AS (
+      SELECT ca, cb, ca + cb AS t,
+        sum(ca + cb) OVER (ORDER BY v) - (ca + cb) AS below
+      FROM counts),
+    s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        CAST(sum(ca * (2 * below + t + 1)) AS BIGINT) AS ra2,
+        CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM cum),
+    z AS (
+      SELECT n_a, n_b, ra2 - n_a * (n_a + 1) AS u2, tie_sum,
+        n_a + n_b AS n,
+        CAST(n_a AS DOUBLE) * n_b / 12.0
+          * ((n_a + n_b + 1)
+             - CAST(tie_sum AS DOUBLE)
+               / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1))) AS var_u
+      FROM s)
+    SELECT n_a, n_b,
+      CAST(u2 AS DOUBLE) / 2 AS u_stat,
+      tie_sum,
+      CAST(u2 - CAST(n_a AS BIGINT) * n_b AS DOUBLE)
+        / (2 * sqrt(var_u)) AS z_score,
+      abs(CAST(u2 - CAST(n_a AS BIGINT) * n_b AS DOUBLE)
+          / (2 * sqrt(var_u))) > {_MW_Z95} AS shift_detected
+    FROM z
+    """,
+    tags=("events", "B7", "stats", "drift"),
+)
+def events_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-corrected Mann-Whitney U test (Mann & Whitney 1947)
+    between the 'view' and 'click' event-value distributions — the
+    rank-based (outlier-robust) complement of docs_ks_drift_by_source's
+    CDF-supremum test: KS asks "do the distributions differ anywhere",
+    MWU asks "is one stochastically larger".
+
+    Integer-exact throughout: per distinct value the doubled average
+    midrank is 2*below + t + 1 (an integer — no /2 per row), so the
+    rank-sum 2*R_a, U-numerator 2U - 2*mean = u2 - n_a*n_b, and the
+    tie-correction sum(t^3 - t) are all order-independent int64 sums;
+    the normal-approximation z with tie-corrected variance is one
+    shared IEEE expression at the end (sqrt is correctly rounded in
+    both engines).
+
+    Scale shape: one keyed aggregate over distinct values, then the
+    global below-count cumsum is the two-phase block-prefix device
+    (8.0-wide value bands, exclusive prefix over the tiny band table,
+    band-partitioned within-window) — no single-partition sort; the
+    final test statistic is a plain aggregate."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_MW_A, _MW_B))
+        .select("event_type", F.col("value").alias("v"))
+    )
+    counts = v.groupBy("v").agg(
+        F.sum(F.when(F.col("event_type") == _MW_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == _MW_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    b = counts.withColumn("_blk", F.floor(F.col("v") / _MW_BLK).cast("long"))
+    blocks = b.groupBy("_blk").agg(F.sum(F.col("ca") + F.col("cb")).alias("_bt"))
+    wb = bounded_window("_blk", "_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = blocks.select(
+        "_blk", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_pt")
+    )
+    ww = (
+        Window.partitionBy("_blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.col("ca") + F.col("cb")
+    cum = b.join(F.broadcast(prior), "_blk").select(
+        "ca",
+        "cb",
+        t.alias("t"),
+        (F.col("_pt") + F.sum(t).over(ww) - t).alias("below"),
+    )
+    s = cum.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(F.col("ca") * (2 * F.col("below") + F.col("t") + 1))
+        .cast("long")
+        .alias("ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    u2 = F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)
+    n_ab = F.col("n_a") + F.col("n_b")
+    var_u = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * (
+            (n_ab + 1)
+            - F.col("tie_sum").cast("double")
+            / (n_ab.cast("double") * (n_ab - 1))
+        )
+    )
+    z = (u2 - F.col("n_a") * F.col("n_b")).cast("double") / (
+        2 * F.sqrt(var_u)
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (u2.cast("double") / 2).alias("u_stat"),
+        "tie_sum",
+        z.alias("z_score"),
+        (F.abs(z) > _MW_Z95).alias("shift_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_conformal_interval — Mondrian split-conformal prediction intervals
+# ---------------------------------------------------------------------------
+
+_CF_ALPHA_NUM = 9  # 1 - alpha = 9/10 target coverage
+_CF_BLK = 1 << 30  # scaled-residual band width for the prefix device
+
+
+def _register_conformal() -> None:
+    from ..functions.exact import dec2
+    from ..functions.hashing import SQL_MD5_MOD
+
+    split_sql = f"({SQL_MD5_MOD('CAST(o_orderkey AS VARCHAR)')}) % 10"
+
+    @query(
+        "orders_conformal_interval",
+        oracle=f"""
+        WITH o AS (
+          SELECT o_orderpriority,
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS cents,
+            {split_sql} AS sp
+          FROM orders),
+        tr AS (
+          SELECT o_orderpriority,
+            CAST(count(*) AS BIGINT) AS n_tr,
+            CAST(sum(cents) AS BIGINT) AS s_tr
+          FROM o WHERE sp < 6 GROUP BY o_orderpriority),
+        cal AS (
+          SELECT o.o_orderpriority,
+            abs(o.cents * tr.n_tr - tr.s_tr) AS r
+          FROM o JOIN tr USING (o_orderpriority) WHERE sp IN (6, 7)),
+        nc AS (
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_cal,
+            CAST(ceil({_CF_ALPHA_NUM} * (count(*) + 1) / 10.0) AS BIGINT)
+              AS k_rank
+          FROM cal GROUP BY o_orderpriority),
+        rc AS (
+          SELECT o_orderpriority, r, count(*) AS cnt FROM cal
+          GROUP BY o_orderpriority, r),
+        cum AS (
+          SELECT o_orderpriority, r,
+            sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY r) AS cr
+          FROM rc),
+        qh AS (
+          SELECT cum.o_orderpriority, min(r) AS qhat
+          FROM cum JOIN nc USING (o_orderpriority)
+          WHERE cr >= k_rank GROUP BY cum.o_orderpriority),
+        te AS (
+          SELECT o.o_orderpriority,
+            CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN abs(o.cents * tr.n_tr - tr.s_tr) <= qh.qhat
+                     THEN 1 ELSE 0 END) AS BIGINT) AS covered
+          FROM o JOIN tr USING (o_orderpriority)
+               JOIN qh ON qh.o_orderpriority = o.o_orderpriority
+          WHERE sp >= 8 GROUP BY o.o_orderpriority)
+        SELECT te.o_orderpriority, tr.n_tr AS n_train, nc.n_cal, nc.k_rank,
+          te.n_test, te.covered,
+          CAST(qh.qhat AS DOUBLE) / (100 * tr.n_tr) AS qhat_dollars,
+          CAST(te.covered AS DOUBLE) / te.n_test AS coverage,
+          CAST(nc.k_rank AS DOUBLE) / (nc.n_cal + 1) AS guarantee_level
+        FROM te JOIN tr USING (o_orderpriority)
+          JOIN nc USING (o_orderpriority) JOIN qh USING (o_orderpriority)
+        """,
+        tags=("orders", "B7", "stats", "ml-eval", "conformal"),
+    )
+    def orders_conformal_interval(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Mondrian (per-group) split-conformal prediction intervals
+        (Vovk 2005; Lei et al. 2018) for order totals: a deterministic
+        60/20/20 md5 hash split trains a per-priority mean model,
+        calibrates the absolute-residual quantile q-hat at the exact
+        finite-sample rank k = ceil(0.9 (n_cal + 1)), and reports
+        held-out empirical coverage of [pred - q, pred + q] — the
+        distribution-free interval whose >= 90% coverage guarantee
+        holds for ANY model, which is how a pipeline certifies its
+        anomaly thresholds without normality assumptions.
+
+        Integer-exact trick: residuals are kept scaled by n_train —
+        |cents * n_tr - s_tr| — so the model mean never becomes a
+        float; the k-th order statistic, the coverage comparison, and
+        every count are pure int64 (exact while cents * n_train <
+        2^63, i.e. past 10^10 rows per group); the reported dollars /
+        coverage / guarantee are single final divisions.
+
+        Scale shape: split and residuals are map-side; the per-priority
+        k-th-smallest residual uses the two-phase block-prefix device
+        over 2^30-wide scaled-residual bands (exclusive prefix over the
+        tiny (priority, band) table, band-partitioned within-window),
+        so the calibration set is never sorted in one partition; the
+        5-row model/q-hat tables broadcast to the test scan."""
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority",
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+            (md5_mod(F.col("o_orderkey").cast("string")) % 10).alias("sp"),
+        )
+        tr = (
+            o.filter(F.col("sp") < 6)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_tr"),
+                F.sum("cents").cast("long").alias("s_tr"),
+            )
+        )
+        cal = (
+            o.filter(F.col("sp").isin(6, 7))
+            .join(F.broadcast(tr), "o_orderpriority")
+            .select(
+                "o_orderpriority",
+                F.abs(F.col("cents") * F.col("n_tr") - F.col("s_tr")).alias(
+                    "r"
+                ),
+            )
+        )
+        nc = cal.groupBy("o_orderpriority").agg(
+            F.count("*").cast("long").alias("n_cal"),
+            F.ceil(_CF_ALPHA_NUM * (F.count("*") + 1) / 10.0)
+            .cast("long")
+            .alias("k_rank"),
+        )
+        rc = cal.groupBy("o_orderpriority", "r").agg(
+            F.count("*").alias("cnt")
+        )
+        b = rc.withColumn("_blk", (F.col("r") / _CF_BLK).cast("long"))
+        blocks = b.groupBy("o_orderpriority", "_blk").agg(
+            F.sum("cnt").alias("_bc")
+        )
+        wb = (
+            Window.partitionBy("o_orderpriority")
+            .orderBy("_blk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prior = blocks.select(
+            "o_orderpriority",
+            "_blk",
+            F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_pc"),
+        )
+        ww = (
+            Window.partitionBy("o_orderpriority", "_blk")
+            .orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = b.join(F.broadcast(prior), ["o_orderpriority", "_blk"]).select(
+            "o_orderpriority",
+            "r",
+            (F.col("_pc") + F.sum("cnt").over(ww)).alias("cr"),
+        )
+        qh = (
+            cum.join(F.broadcast(nc), "o_orderpriority")
+            .filter(F.col("cr") >= F.col("k_rank"))
+            .groupBy("o_orderpriority")
+            .agg(F.min("r").alias("qhat"))
+        )
+        te = (
+            o.filter(F.col("sp") >= 8)
+            .join(F.broadcast(tr), "o_orderpriority")
+            .join(F.broadcast(qh), "o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("long").alias("n_test"),
+                F.sum(
+                    F.when(
+                        F.abs(
+                            F.col("cents") * F.col("n_tr") - F.col("s_tr")
+                        )
+                        <= F.col("qhat"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("covered"),
+            )
+        )
+        return (
+            te.join(F.broadcast(tr), "o_orderpriority")
+            .join(F.broadcast(nc), "o_orderpriority")
+            .join(F.broadcast(qh), "o_orderpriority")
+            .select(
+                "o_orderpriority",
+                F.col("n_tr").alias("n_train"),
+                "n_cal",
+                "k_rank",
+                "n_test",
+                "covered",
+                (F.col("qhat").cast("double") / (100 * F.col("n_tr"))).alias(
+                    "qhat_dollars"
+                ),
+                (F.col("covered").cast("double") / F.col("n_test")).alias(
+                    "coverage"
+                ),
+                (
+                    F.col("k_rank").cast("double") / (F.col("n_cal") + 1)
+                ).alias("guarantee_level"),
+            )
+        )
+
+
+_register_conformal()

@@ -370,6 +370,10 @@ R13_ADDITIONS: tuple[str, ...] = (
     "docs_unigram_mdl",
     "docs_textrank_keywords",
     "sim_knn_loo_eval",
+    "docs_good_turing",
+    "docs_heaps_law",
+    "events_mannwhitney_value",
+    "orders_conformal_interval",
 )
 
 

@@ -40,6 +40,10 @@ ALLOWED = {
     "docs_balance_strata": "1-row min-stratum-cap broadcast",
     "docs_tfidf_topterms": "1-row corpus-doc-count broadcast",
     "docs_weighted_sample": "1-row max-weight broadcast",
+    "docs_good_turing": "1-row corpus-total + 1-row N1 broadcasts over the "
+    "O(max word count)-row count-of-counts table",
+    "docs_heaps_law": "1-row moment-vector x 1-row totals broadcast (the "
+    "regression runs on two single-row aggregates)",
     "orders_rfm_segments": "1-row snapshot-date broadcast",
     "events_decayed_leaderboard": "1-row reference-date broadcast (decay origin)",
     "events_seasonal_backtest": "1-row reference-date broadcast (train/test split)",
