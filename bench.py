@@ -196,6 +196,9 @@ HEADLINE = [
     "docs_heaps_law",
     "events_mannwhitney_value",
     "orders_conformal_interval",
+    "graph_assortativity",
+    "events_permutation_test",
+    "orders_theil_sen",
 ]
 
 

@@ -468,3 +468,104 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_node",
         "max_node",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — Newman degree-assortativity coefficient
+# ---------------------------------------------------------------------------
+
+
+def _register_assortativity() -> None:
+    @query(
+        "graph_assortativity",
+        oracle=f"""
+        WITH {_SQL_KNN_EDGES},
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT s AS node FROM edges UNION ALL SELECT t FROM edges)
+          GROUP BY node),
+        half AS (
+          SELECT ds.deg - 1 AS x, dt.deg - 1 AS y
+          FROM edges e
+            JOIN deg ds ON ds.node = e.s
+            JOIN deg dt ON dt.node = e.t),
+        stubs AS (
+          SELECT x, y FROM half UNION ALL SELECT y, x FROM half),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM stubs)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+          CAST(m // 2 AS BIGINT) AS n_edges,
+          (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+            / (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            AS assortativity
+        FROM s
+        """,
+        tags=("graph", "B15", "stats"),
+    )
+    def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Newman degree-assortativity coefficient (Newman 2002) of the
+        kNN-sparsified supplier co-purchase graph (the shared substrate
+        of graph_linkpred / graph_bfs_levels — the raw co-purchase
+        graph is degree-regular on this fixture, so the correlation is
+        only defined on the sparsified one): the Pearson correlation
+        of remaining degrees (deg - 1) across edge endpoints, each
+        edge contributing both orientations — positive r = hubs link
+        to hubs (social shape), negative r = hub-and-spoke
+        (technological shape). The one-number summary a pipeline reads
+        to pick a skew-mitigation strategy before the heavier
+        triangle/k-core passes.
+
+        By stub symmetry sum(x) = sum(y) and sum(x^2) = sum(y^2), so
+        r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2) over int64 moment sums of
+        exact integer degrees — NO quantization anywhere, one final
+        shared IEEE division. Scale shape: degree table joins back to
+        edges by node key (shuffle hash joins), moments are one plain
+        aggregate; no global window, no sort, no collect."""
+        edges = _knn_edges(spark, sf_dir)
+        deg = (
+            edges.select(F.col("s").alias("node"))
+            .unionAll(edges.select(F.col("t").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        half = (
+            edges.join(deg.withColumnRenamed("node", "s"), "s")
+            .withColumnRenamed("deg", "ds")
+            .join(
+                deg.withColumnRenamed("node", "t").withColumnRenamed(
+                    "deg", "dt"
+                ),
+                "t",
+            )
+            .select(
+                (F.col("ds") - 1).alias("x"), (F.col("dt") - 1).alias("y")
+            )
+        )
+        stubs = half.unionAll(
+            half.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        s = stubs.agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        md = F.col("m").cast("double")
+        sxd = F.col("sx").cast("double")
+        return s.crossJoin(F.broadcast(n_nodes)).select(
+            "n_nodes",
+            (F.col("m") / 2).cast("long").alias("n_edges"),
+            (
+                (md * F.col("sxy").cast("double") - sxd * sxd)
+                / (md * F.col("sxx").cast("double") - sxd * sxd)
+            ).alias("assortativity"),
+        )
+
+
+_register_assortativity()

@@ -600,3 +600,326 @@ def _register_conformal() -> None:
 
 
 _register_conformal()
+
+
+# ---------------------------------------------------------------------------
+# events_permutation_test — deterministic hash-relabel permutation test
+# ---------------------------------------------------------------------------
+
+_PT_A = "view"
+_PT_B = "click"
+_PT_B_PERMS = 99  # p-value resolution 1/(B+1) = 0.01
+
+
+def _register_permutation_test() -> None:
+    from ..functions.exact import dec2
+    from ..functions.hashing import SQL_MD5_MOD
+
+    asn_sql = SQL_MD5_MOD("CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+
+    @query(
+        "events_permutation_test",
+        oracle=f"""
+        WITH ev AS (
+          SELECT event_id, event_type,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('{_PT_A}', '{_PT_B}')),
+        obs AS (
+          SELECT
+            CAST(sum(CASE WHEN event_type = '{_PT_A}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN event_type = '{_PT_B}' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN event_type = '{_PT_A}' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s_a,
+            CAST(sum(CASE WHEN event_type = '{_PT_B}' THEN cents ELSE 0 END)
+                 AS BIGINT) AS s_b
+          FROM ev),
+        perms AS (
+          SELECT b, ({asn_sql}) % 2 AS asn, cents
+          FROM ev CROSS JOIN (SELECT unnest(range(1, {_PT_B_PERMS} + 1)) AS b)),
+        per_b AS (
+          SELECT b,
+            CAST(sum(CASE WHEN asn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+            CAST(sum(CASE WHEN asn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+            CAST(sum(CASE WHEN asn = 0 THEN cents ELSE 0 END) AS BIGINT)
+              AS sa,
+            CAST(sum(CASE WHEN asn = 1 THEN cents ELSE 0 END) AS BIGINT)
+              AS sb
+          FROM perms GROUP BY b),
+        cmp AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_ge
+          FROM per_b, obs
+          WHERE abs(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+            >= abs(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b))
+        SELECT o.n_a, o.n_b,
+          (CAST(o.s_a AS DOUBLE) / o.n_a - CAST(o.s_b AS DOUBLE) / o.n_b)
+            / 100 AS obs_diff_dollars,
+          CAST({_PT_B_PERMS} AS BIGINT) AS n_perms, c.n_ge,
+          CAST(1 + c.n_ge AS DOUBLE) / (1 + {_PT_B_PERMS}) AS p_value
+        FROM obs o CROSS JOIN cmp c
+        """,
+        tags=("events", "B7", "stats", "drift"),
+    )
+    def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic two-sample permutation test (Fisher 1935) on
+        the 'view' vs 'click' mean event value: the distribution-free
+        companion to events_mannwhitney_value's rank test — MWU asks
+        about stochastic ordering, this asks about the MEAN difference
+        under the exact null that labels are exchangeable. Instead of
+        RNG permutations (irreproducible across engines), each of the
+        99 relabelings assigns every event by md5(event_id:b) % 2 —
+        a fixed, seedless family both engines replay bit-for-bit, the
+        same device as the registry's hash train/test splits; p =
+        (1 + #{|perm diff| >= |observed|}) / (B+1), Monte-Carlo-valid
+        by the usual add-one correction.
+
+        Exactness: all sums/counts are int64 (cents); each permutation
+        statistic is the shared two-division IEEE expression, and the
+        >= comparison feeds an integer count — no accumulation of
+        floats anywhere. Scale shape: explode x99 is map-side CPU;
+        the per-permutation aggregate has map-side partial combine so
+        the shuffle carries at most 99 rows per partition; the final
+        comparison joins two 1-row broadcasts. No window, no sort."""
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin(_PT_A, _PT_B))
+            .select(
+                "event_id",
+                "event_type",
+                (dec2("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        obs = ev.agg(
+            F.sum(F.when(F.col("event_type") == _PT_A, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("event_type") == _PT_B, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.sum(
+                F.when(F.col("event_type") == _PT_A, F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_a"),
+            F.sum(
+                F.when(F.col("event_type") == _PT_B, F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_b"),
+        )
+        perms = ev.select(
+            "event_id",
+            "cents",
+            F.explode(F.sequence(F.lit(1), F.lit(_PT_B_PERMS))).alias("b"),
+        ).select(
+            "b",
+            "cents",
+            (
+                md5_mod(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                )
+                % 2
+            ).alias("asn"),
+        )
+        per_b = perms.groupBy("b").agg(
+            F.sum(F.when(F.col("asn") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("asn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+            F.sum(F.when(F.col("asn") == 0, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sa"),
+            F.sum(F.when(F.col("asn") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sb"),
+        )
+        obs_diff = F.col("s_a").cast("double") / F.col("n_a") - F.col(
+            "s_b"
+        ).cast("double") / F.col("n_b")
+        perm_diff = F.col("sa").cast("double") / F.col("na") - F.col(
+            "sb"
+        ).cast("double") / F.col("nb")
+        cmp = (
+            per_b.crossJoin(F.broadcast(obs))
+            .filter(F.abs(perm_diff) >= F.abs(obs_diff))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ge"))
+        )
+        return obs.crossJoin(F.broadcast(cmp)).select(
+            "n_a",
+            "n_b",
+            (obs_diff / 100).alias("obs_diff_dollars"),
+            F.lit(_PT_B_PERMS).cast("long").alias("n_perms"),
+            "n_ge",
+            ((1 + F.col("n_ge")).cast("double") / (1 + _PT_B_PERMS)).alias(
+                "p_value"
+            ),
+        )
+
+
+_register_permutation_test()
+
+
+# ---------------------------------------------------------------------------
+# orders_theil_sen — robust pairwise-median trend of daily revenue
+# ---------------------------------------------------------------------------
+
+_TS_EPOCH = "1995-01-01"  # fixture's first order day
+_TS_BLK = 256.0  # cents-per-day band width for the prefix device
+
+
+def _register_theil_sen() -> None:
+    from ..functions.exact import dec2
+
+    @query(
+        "orders_theil_sen",
+        oracle=f"""
+        WITH day AS (
+          SELECT date_diff('day', DATE '{_TS_EPOCH}',
+                           CAST(o_orderdate AS DATE)) AS d,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+              AS c
+          FROM orders GROUP BY 1),
+        pairs AS (
+          SELECT (b.c - a.c) / CAST(b.d - a.d AS DOUBLE) AS slope
+          FROM day a JOIN day b ON a.d < b.d),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST((count(*) + 1) // 2 AS BIGINT) AS k1,
+            CAST(count(*) // 2 + 1 AS BIGINT) AS k2
+          FROM pairs),
+        sc AS (SELECT slope, count(*) AS cnt FROM pairs GROUP BY slope),
+        cum AS (
+          SELECT slope, sum(cnt) OVER (ORDER BY slope) AS cr FROM sc),
+        med AS (
+          SELECT min(CASE WHEN cr >= k1 THEN slope END) AS v1,
+                 min(CASE WHEN cr >= k2 THEN slope END) AS v2
+          FROM cum, m),
+        ols AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+            CAST(sum(d) AS BIGINT) AS sd, CAST(sum(c) AS BIGINT) AS sc_,
+            CAST(sum(d * d) AS BIGINT) AS sdd,
+            CAST(sum(d * c) AS BIGINT) AS sdc
+          FROM day)
+        SELECT ols.n_days, m.n_pairs,
+          (med.v1 + med.v2) / 2 / 100 AS theil_sen_dollars_per_day,
+          (CAST(ols.n_days AS DOUBLE) * sdc - CAST(sd AS DOUBLE) * sc_)
+            / (CAST(ols.n_days AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)
+            / 100 AS ols_dollars_per_day
+        FROM med CROSS JOIN m CROSS JOIN ols
+        """,
+        tags=("orders", "B7", "stats", "timeseries"),
+    )
+    def orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Theil-Sen robust trend estimator (Theil 1950; Sen 1968) of
+        daily order revenue: the exact median over ALL pairwise
+        day-to-day slopes, reported next to the OLS slope — the
+        estimator of choice when a handful of anomalous days (flash
+        sales, outages) would drag a least-squares trend, since its
+        breakdown point is ~29% vs OLS's 0%.
+
+        Exactness: day revenues are exact cents; each pairwise slope
+        is ONE IEEE division of exact integers (bit-equal
+        cross-engine, and a valid group-by key for the same reason);
+        the median is the exact two-middle-order-statistics selection
+        via cumulative counts — (v1 + v2) / 2 is the single shared
+        final expression; the OLS contrast comes from int64 moment
+        sums. Scale shape: the day table is CALENDAR-bounded (~2.4k
+        rows for the fixture's 6.6-year span at ANY data scale — 100
+        TB of orders still has the same days), so the O(days^2) pair
+        enumeration is a bounded ~3M-row broadcast self-join, not a
+        data-scale blowup; the slope-median cumsum runs the block-
+        prefix device over 256-cents/day bands; everything upstream
+        (the per-day aggregate) is one keyed shuffle of the orders
+        table with map-side combine."""
+        day = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(
+                F.datediff(
+                    F.to_date("o_orderdate"), F.lit(_TS_EPOCH).cast("date")
+                ).alias("d")
+            )
+            .agg(F.sum(dec2("o_totalprice") * 100).cast("long").alias("c"))
+        )
+        a = day.select(F.col("d").alias("du"), F.col("c").alias("cu"))
+        b = day.select(F.col("d").alias("dv"), F.col("c").alias("cv"))
+        # try_divide, not /: the optimizer may push this projection into
+        # the nested-loop join's row iterator ahead of the du < dv
+        # condition check, and ANSI division-by-zero aborts the task on
+        # the du = dv pairs the condition is about to drop anyway.
+        pairs = (
+            a.join(F.broadcast(b), F.col("du") < F.col("dv"))
+            .select(
+                F.try_divide(
+                    F.col("cv") - F.col("cu"),
+                    (F.col("dv") - F.col("du")).cast("double"),
+                ).alias("slope")
+            )
+        )
+        m = pairs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.floor((F.count(F.lit(1)) + 1) / 2).cast("long").alias("k1"),
+            (F.floor(F.count(F.lit(1)) / 2) + 1).cast("long").alias("k2"),
+        )
+        sc = pairs.groupBy("slope").agg(F.count(F.lit(1)).alias("cnt"))
+        blk = sc.withColumn(
+            "_blk", F.floor(F.col("slope") / _TS_BLK).cast("long")
+        )
+        blocks = blk.groupBy("_blk").agg(F.sum("cnt").alias("_bc"))
+        wb = bounded_window("_blk", "_blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prior = blocks.select(
+            "_blk", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_pc")
+        )
+        ww = (
+            Window.partitionBy("_blk")
+            .orderBy("slope")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = blk.join(F.broadcast(prior), "_blk").select(
+            "slope", (F.col("_pc") + F.sum("cnt").over(ww)).alias("cr")
+        )
+        med = cum.crossJoin(F.broadcast(m)).agg(
+            F.min(
+                F.when(F.col("cr") >= F.col("k1"), F.col("slope"))
+            ).alias("v1"),
+            F.min(
+                F.when(F.col("cr") >= F.col("k2"), F.col("slope"))
+            ).alias("v2"),
+        )
+        ols = day.agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("d").cast("long").alias("sd"),
+            F.sum("c").cast("long").alias("sc_"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+            F.sum(F.col("d") * F.col("c")).cast("long").alias("sdc"),
+        )
+        nd = F.col("n_days").cast("double")
+        sdd_ = F.col("sdd").cast("double")
+        sdc_ = F.col("sdc").cast("double")
+        sd_ = F.col("sd").cast("double")
+        sc2 = F.col("sc_").cast("double")
+        return (
+            med.crossJoin(F.broadcast(m))
+            .crossJoin(F.broadcast(ols))
+            .select(
+                "n_days",
+                "n_pairs",
+                ((F.col("v1") + F.col("v2")) / 2 / 100).alias(
+                    "theil_sen_dollars_per_day"
+                ),
+                (
+                    (nd * sdc_ - sd_ * sc2) / (nd * sdd_ - sd_ * sd_) / 100
+                ).alias("ols_dollars_per_day"),
+            )
+        )
+
+
+_register_theil_sen()

@@ -59,6 +59,9 @@ SENSITIVE = [
     "docs_heaps_law",
     "events_mannwhitney_value",
     "orders_conformal_interval",
+    "graph_assortativity",
+    "events_permutation_test",
+    "orders_theil_sen",
 ]
 
 SF = "/root/testdata/sf0.01"

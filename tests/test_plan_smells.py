@@ -44,6 +44,12 @@ ALLOWED = {
     "O(max word count)-row count-of-counts table",
     "docs_heaps_law": "1-row moment-vector x 1-row totals broadcast (the "
     "regression runs on two single-row aggregates)",
+    "graph_assortativity": "1-row moment-vector x 1-row node-count broadcast",
+    "events_permutation_test": "1-row observed-statistic + 1-row exceedance-"
+    "count broadcasts (the 99 permutation rows join two scalars)",
+    "orders_theil_sen": "calendar-bounded day-table self-join (~2.4k rows at "
+    "ANY data scale — the pair enumeration is bounded by the date span, not "
+    "row count) + 1-row median/moment broadcasts",
     "orders_rfm_segments": "1-row snapshot-date broadcast",
     "events_decayed_leaderboard": "1-row reference-date broadcast (decay origin)",
     "events_seasonal_backtest": "1-row reference-date broadcast (train/test split)",

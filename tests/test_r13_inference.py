@@ -162,3 +162,111 @@ def test_heaps_and_good_turing_totals_agree(spark):
     [h] = QUERIES["docs_heaps_law"].fn(spark, SF).collect()
     gt = QUERIES["docs_good_turing"].fn(spark, SF).collect()[0]
     assert gt.n_tokens == h.n_tokens - 2 * h.n_docs
+
+
+def test_assortativity_matches_naive_recompute(spark):
+    [row] = QUERIES["graph_assortativity"].fn(spark, SF).collect()
+    edges = duckdb.sql(
+        f"""
+        WITH os AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM '{SF}/lineitem.parquet'),
+        pairs AS (
+          SELECT a.l_suppkey AS s, b.l_suppkey AS t, count(*) AS w
+          FROM os a JOIN os b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+          GROUP BY 1, 2),
+        directed AS (
+          SELECT s AS z, t AS n, w FROM pairs
+          UNION ALL SELECT t, s, w FROM pairs),
+        knn AS (
+          SELECT z, n FROM (
+            SELECT z, n, row_number() OVER (
+              PARTITION BY z ORDER BY w DESC, n) AS rk FROM directed)
+          WHERE rk <= 3)
+        SELECT DISTINCT least(z, n), greatest(z, n) FROM knn
+        """
+    ).fetchall()
+    deg: dict[int, int] = {}
+    for s, t in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[t] = deg.get(t, 0) + 1
+    xs, ys = [], []
+    for s, t in edges:
+        xs += [deg[s] - 1, deg[t] - 1]
+        ys += [deg[t] - 1, deg[s] - 1]
+    m = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    r = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert row.n_nodes == len(deg) and row.n_edges == len(edges)
+    assert abs(row.assortativity - r) < 1e-12
+    # A correlation coefficient, exactly.
+    assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_permutation_test_matches_naive_recompute(spark):
+    [row] = QUERIES["events_permutation_test"].fn(spark, SF).collect()
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type, "
+        f"CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        f"FROM '{SF}/events.parquet' "
+        f"WHERE event_type IN ('view', 'click')"
+    ).fetchall()
+    s = {"view": 0, "click": 0}
+    n = {"view": 0, "click": 0}
+    for _eid, t, c in ev:
+        s[t] += c
+        n[t] += 1
+    obs = s["view"] / n["view"] - s["click"] / n["click"]
+    assert row.n_a == n["view"] and row.n_b == n["click"]
+    assert abs(row.obs_diff_dollars - obs / 100) < 1e-9
+    n_ge = 0
+    for b in range(1, 100):
+        sa = na = sb = nb = 0
+        for eid, _t, c in ev:
+            if _md5_mod(f"{eid}:{b}") % 2 == 0:
+                sa += c
+                na += 1
+            else:
+                sb += c
+                nb += 1
+        if abs(sa / na - sb / nb) >= abs(obs):
+            n_ge += 1
+    assert row.n_ge == n_ge
+    assert abs(row.p_value - (1 + n_ge) / 100) < 1e-12
+    # p is a valid Monte-Carlo p-value: in (0, 1].
+    assert 0 < row.p_value <= 1
+
+
+def test_theil_sen_matches_naive_recompute(spark):
+    [row] = QUERIES["orders_theil_sen"].fn(spark, SF).collect()
+    days = duckdb.sql(
+        f"""
+        SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)),
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        FROM '{SF}/orders.parquet' GROUP BY 1
+        """
+    ).fetchall()
+    assert row.n_days == len(days)
+    slopes = sorted(
+        (cv - cu) / (dv - du)
+        for du, cu in days
+        for dv, cv in days
+        if du < dv
+    )
+    m = len(slopes)
+    assert row.n_pairs == m
+    med = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) / 2
+    assert abs(row.theil_sen_dollars_per_day - med / 100) < 1e-9
+    nd = len(days)
+    sd = sum(d for d, _ in days)
+    sc = sum(c for _, c in days)
+    sdd = sum(d * d for d, _ in days)
+    sdc = sum(d * c for d, c in days)
+    ols = (nd * sdc - sd * sc) / (nd * sdd - sd * sd)
+    assert abs(row.ols_dollars_per_day - ols / 100) < 1e-6
+    # Robust and OLS trends agree on direction for this well-behaved
+    # fixture (no adversarial outlier days are injected).
+    assert (row.theil_sen_dollars_per_day > 0) == (
+        row.ols_dollars_per_day > 0
+    )
