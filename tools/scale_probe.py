@@ -59,6 +59,11 @@ PROBE_SET = [
     "docs_wordpiece_fertility",
     "er_fellegi_sunter",
     "orders_survival_km",
+    # r13 statistical-inference family.
+    "docs_heaps_law",
+    "events_mannwhitney_value",
+    "orders_conformal_interval",
+    "events_permutation_test",
 ]
 
 REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "2"))
