@@ -199,6 +199,7 @@ HEADLINE = [
     "graph_assortativity",
     "events_permutation_test",
     "orders_theil_sen",
+    "events_kruskal_wallis",
 ]
 
 

@@ -923,3 +923,151 @@ def _register_theil_sen() -> None:
 
 
 _register_theil_sen()
+
+
+# ---------------------------------------------------------------------------
+# events_kruskal_wallis — exact tie-corrected k-sample rank test
+# ---------------------------------------------------------------------------
+
+# chi-square 95th percentile at dof = 4 (the fixture's 5 event types).
+_KW_CHI2_95 = 9.487729036781154
+_KW_BLK = 8.0
+
+
+@query(
+    "events_kruskal_wallis",
+    oracle=f"""
+    WITH counts AS (
+      SELECT value AS v, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    vtot AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY v),
+    cum AS (
+      SELECT v, t, sum(t) OVER (ORDER BY v) - t AS below FROM vtot),
+    ranked AS (
+      SELECT c.event_type,
+        CAST(sum(c.c) AS BIGINT) AS n_j,
+        CAST(sum(c.c * (2 * m.below + m.t + 1)) AS BIGINT) AS r2
+      FROM counts c JOIN cum m ON c.v = m.v
+      GROUP BY c.event_type),
+    tot AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n,
+        CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+      FROM vtot),
+    terms AS (
+      SELECT CAST(sum(CAST(round(
+          CAST(r2 AS DOUBLE) * r2 / n_j, 0) AS BIGINT)) AS BIGINT) AS s,
+        CAST(count(*) AS BIGINT) AS k
+      FROM ranked),
+    h AS (
+      SELECT n, tie_sum, k,
+        3.0 * s / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1) AS h_stat,
+        1 - CAST(tie_sum AS DOUBLE)
+          / (CAST(n AS DOUBLE) * n * n - n) AS c_tie
+      FROM terms CROSS JOIN tot)
+    SELECT r.event_type, r.n_j,
+      CAST(r.r2 AS DOUBLE) / (2 * r.n_j) AS mean_rank,
+      h.n AS n_total, h.k - 1 AS dof, h.h_stat,
+      h.h_stat / h.c_tie AS h_tie_corrected,
+      h.h_stat / h.c_tie > {_KW_CHI2_95} AS groups_differ_95
+    FROM ranked r CROSS JOIN h
+    """,
+    tags=("events", "B7", "stats", "drift"),
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT tie-corrected Kruskal-Wallis H test (Kruskal & Wallis
+    1952) across ALL five event types' value distributions — the
+    k-sample generalization of events_mannwhitney_value: one omnibus
+    rank test answering "do ANY of the k segments differ" before
+    pairwise drill-down, against the chi-square(dof=4) 95% critical
+    value.
+
+    Integer-exact rank machinery as in the MWU query: per distinct
+    value the doubled midrank is 2*below + t + 1 (no per-row /2), so
+    each group's doubled rank-sum R2_j and the tie sum(t^3 - t) are
+    order-independent int64 sums. The cross-group sum of R2_j^2/n_j
+    would be an order-dependent 5-double sum, so each term is rounded
+    to the nearest integer first (error <= 0.5/term on a statistic of
+    scale n^2 — far below any decision threshold) making the sum exact
+    int64 again; H, the tie correction 1 - sum(t^3-t)/(n^3-n), and the
+    critical-value comparison are single shared IEEE expressions.
+
+    Scale shape: one (value, type) keyed aggregate, the global
+    below-count cumsum via the two-phase block-prefix device (8.0-wide
+    value bands), one k-row aggregate, and a k-row x 1-row broadcast —
+    no single-partition sort, no collect at any size."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("value").alias("v"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    vtot = counts.groupBy("v").agg(F.sum("c").cast("long").alias("t"))
+    b = vtot.withColumn("_blk", F.floor(F.col("v") / _KW_BLK).cast("long"))
+    blocks = b.groupBy("_blk").agg(F.sum("t").alias("_bt"))
+    wb = bounded_window("_blk", "_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = blocks.select(
+        "_blk", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_pt")
+    )
+    ww = (
+        Window.partitionBy("_blk")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = b.join(F.broadcast(prior), "_blk").select(
+        "v", "t", (F.col("_pt") + F.sum("t").over(ww) - F.col("t")).alias("below")
+    )
+    ranked = (
+        counts.join(cum, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_j"),
+            F.sum(F.col("c") * (2 * F.col("below") + F.col("t") + 1))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    tot = vtot.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    terms = ranked.agg(
+        F.sum(
+            F.round(
+                F.col("r2").cast("double") * F.col("r2") / F.col("n_j"), 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    h = terms.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "k",
+        (
+            3.0 * F.col("s") / (F.col("n").cast("double") * (F.col("n") + 1))
+            - 3.0 * (F.col("n") + 1)
+        ).alias("h_stat"),
+        (
+            1
+            - F.col("tie_sum").cast("double")
+            / (
+                F.col("n").cast("double") * F.col("n") * F.col("n")
+                - F.col("n")
+            )
+        ).alias("c_tie"),
+    )
+    return ranked.crossJoin(F.broadcast(h)).select(
+        "event_type",
+        "n_j",
+        (F.col("r2").cast("double") / (2 * F.col("n_j"))).alias("mean_rank"),
+        F.col("n").alias("n_total"),
+        (F.col("k") - 1).alias("dof"),
+        "h_stat",
+        (F.col("h_stat") / F.col("c_tie")).alias("h_tie_corrected"),
+        (F.col("h_stat") / F.col("c_tie") > _KW_CHI2_95).alias(
+            "groups_differ_95"
+        ),
+    )

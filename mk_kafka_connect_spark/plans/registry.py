@@ -377,6 +377,7 @@ R13_ADDITIONS: tuple[str, ...] = (
     "graph_assortativity",
     "events_permutation_test",
     "orders_theil_sen",
+    "events_kruskal_wallis",
 )
 
 

@@ -62,6 +62,7 @@ SENSITIVE = [
     "graph_assortativity",
     "events_permutation_test",
     "orders_theil_sen",
+    "events_kruskal_wallis",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -47,6 +47,8 @@ ALLOWED = {
     "graph_assortativity": "1-row moment-vector x 1-row node-count broadcast",
     "events_permutation_test": "1-row observed-statistic + 1-row exceedance-"
     "count broadcasts (the 99 permutation rows join two scalars)",
+    "events_kruskal_wallis": "k-row group table x 1-row H-statistic broadcast "
+    "(k = |event types|)",
     "orders_theil_sen": "calendar-bounded day-table self-join (~2.4k rows at "
     "ANY data scale — the pair enumeration is bounded by the date span, not "
     "row count) + 1-row median/moment broadcasts",

@@ -270,3 +270,45 @@ def test_theil_sen_matches_naive_recompute(spark):
     assert (row.theil_sen_dollars_per_day > 0) == (
         row.ols_dollars_per_day > 0
     )
+
+
+def test_kruskal_wallis_matches_naive_recompute(spark):
+    rows = QUERIES["events_kruskal_wallis"].fn(spark, SF).collect()
+    vals = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF}/events.parquet'"
+    ).fetchall()
+    groups: dict[str, list[float]] = {}
+    for t, v in vals:
+        groups.setdefault(t, []).append(v)
+    allv = sorted(v for _t, v in vals)
+    # midranks with ties
+    ranks: dict[float, float] = {}
+    i = 0
+    tie_sum = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        t = j - i
+        ranks[allv[i]] = (i + 1 + j) / 2
+        tie_sum += t * t * t - t
+        i = j
+    n = len(allv)
+    s = 0
+    for g in groups.values():
+        rj = sum(ranks[v] for v in g)
+        s += round((2 * rj) ** 2 / len(g))
+    h = 3 * s / (n * (n + 1)) - 3 * (n + 1)
+    c = 1 - tie_sum / (n**3 - n)
+    assert len(rows) == len(groups)
+    for r in rows:
+        g = groups[r.event_type]
+        assert r.n_j == len(g)
+        assert abs(r.mean_rank - sum(ranks[v] for v in g) / len(g)) < 1e-9
+        assert r.n_total == n and r.dof == len(groups) - 1
+        assert abs(r.h_stat - h) < 1e-9
+        assert abs(r.h_tie_corrected - h / c) < 1e-9
+        assert r.groups_differ_95 == (h / c > 9.487729036781154)
+    # Mean ranks average to the grand mean rank (n+1)/2, weighted by n_j.
+    wsum = sum(r.mean_rank * r.n_j for r in rows)
+    assert abs(wsum / n - (n + 1) / 2) < 1e-6
