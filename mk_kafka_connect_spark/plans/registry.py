@@ -31,6 +31,8 @@ __all__ = [
     "R12_ORPHANS",
     "R12_ADDITIONS",
     "R6_STALE_FILL",
+    "R13_ADDITIONS",
+    "R14_ADDITIONS",
     "certification_order",
 ]
 
@@ -392,19 +394,43 @@ def _r12_front() -> tuple[str, ...]:
     return tuple((head + fill)[:DRIVER_WINDOW])
 
 
-CERTIFICATION_FRONT: tuple[str, ...] = _r12_front()
+# Queries ADDED during round 14 — extended as each lands; they queue
+# directly behind the r14 window via certification_order().
+R14_ADDITIONS: tuple[str, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# Round-14 rotation (VERDICT r13 "Next round" #1). CORRECTNESS_r13 certified
+# exactly _r12_front() 50/50 green, which leaves 34 registry entries with NO
+# driver row ever: the 11 r12 additions past the r13 window
+# (docs_greedy_pack_stats .. events_acf_hourly) plus all 23 r13 additions.
+# Those 34 take the head; the 16 free slots re-certify the stalest surviving
+# evidence (newest green row = round 6, registration order). Derivations are
+# recomputed from CORRECTNESS_r01–r13 by tests/test_registry_rotation.py.
+# ---------------------------------------------------------------------------
+def _r14_front() -> tuple[str, ...]:
+    certified_r13 = set(_r12_front())
+    head = [n for n in R12_ADDITIONS if n not in certified_r13]
+    head += [n for n in R13_ADDITIONS if n not in head]
+    fill = [n for n in R6_STALE_FILL if n not in head]
+    return tuple((head + fill)[:DRIVER_WINDOW])
+
+
+CERTIFICATION_FRONT: tuple[str, ...] = _r14_front()
 
 
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
 
     Re-cert overflow (stale queries that did not fit the window) queues
-    directly behind it; everything else follows in registration order.
+    directly behind it — the r6-evidence pool left over after the r14
+    fill, then round-14 additions — so the r15 window head is already
+    staged; everything else follows in registration order.
     """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up = [
         n
-        for n in (*R12_ADDITIONS, *R6_STALE_FILL, *R13_ADDITIONS)
+        for n in (*R6_STALE_FILL, *R14_ADDITIONS)
         if n in QUERIES and n not in front
     ]
     pinned = set(front) | set(next_up)
