@@ -8,6 +8,9 @@ allowlist with a reason, or the test fails."""
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
 import pytest
 
 from mk_kafka_connect_spark.plans import QUERIES
@@ -121,6 +124,63 @@ ALLOWED = {
 # bounded input in bounded_window with the argument in the docstring.
 WINDOW_ALLOWED: dict[str, str] = {}
 
+# Duplicate-subtree guard (the dq_fd_discovery class, VERDICT r13 item 4):
+# a query whose physical plan scans ONE source table more than this many
+# times is re-executing a shared subtree — Spark shares no subtrees across
+# union branches, so a "derive N outputs from one aggregate via N selects"
+# shape re-runs the aggregate N times (dq_fd_discovery did 30 scans for a
+# 30-row result before its single-pass rewrite). Legitimate exceptions are
+# bounded multi-pass designs (model fit → score → evaluate) and derived-
+# relation re-references that runtime exchange reuse deduplicates — those
+# go on the allowlist with the argument.
+SCAN_ALLOWANCE = 6
+
+SCAN_ALLOWED = {
+    # Bounded multi-pass model pipelines: each extra pass is a fit /
+    # score / evaluate stage over the SAME relation — passes ∝ pipeline
+    # stages (a constant), never ∝ data or output size.
+    "agg_kmv_set_sketch": "7 passes: per-type sketch fit + union stats + "
+    "exact ground-truth legs composed into one report",
+    "dedup_ngram_containment": "8 passes: shingle legs for both sides of "
+    "the containment join + totals (constant pipeline stages)",
+    "dedup_ngram_jaccard": "8 passes: declared exact oracle tier — shingle "
+    "legs both sides + union/intersection totals",
+    "docs_nb_quality_classifier": "10 passes: train/test split legs × "
+    "(token fit, class priors, score, confusion) — constant stages",
+    "docs_wordlm_xent": "8 passes: LM fit legs (unigram/bigram + totals) "
+    "then the scoring pass — constant stages",
+    "events_binseg_changepoints": "8 passes: level-0/1 segment-moment legs "
+    "over the calendar-bounded hourly series (bounded rows at any scale)",
+    "events_kruskal_wallis": "7 passes: rank legs + per-group moments + "
+    "tie-correction totals — constant stages",
+    "orders_theil_sen": "9 passes: calendar-bounded day-table legs "
+    "(~2.4k rows at any scale) + median/moment scalars",
+    "pipeline_stage_funnel": "10 passes: one leg per declared pipeline "
+    "stage (gate→dedup→decontaminate→split→pack→stats) — the funnel "
+    "measures each stage's survivors, stages are a constant",
+    "emb_matryoshka_recall": "10 passes: one exact-ranking leg per "
+    "truncation width — the declared exact evaluation tier",
+    "dedup_lsh_recall_report": "10 passes: LSH candidate leg + exact "
+    "ground-truth leg + per-band diagnostics — the declared eval tier",
+    # Derived-relation re-references: the repeated scans sit beneath
+    # IDENTICAL deterministic exchange subtrees, which Spark's runtime
+    # exchange reuse (spark.sql.exchange.reuse, default on; verified as
+    # ReusedExchange nodes in the final adaptive plans) executes once —
+    # the static count overstates executed scans.
+    "graph_triangles": "edges/oriented/deg re-referenced through 3 "
+    "equi-joins; ReusedExchange=21 verified in the final plan",
+    "layout_zorder_pruning_stats": "per-layout pruning legs over the same "
+    "file stats; exchange-reused",
+    "orders_conformal_interval": "calibration/score legs re-reference the "
+    "same residual relation; exchange-reused",
+    "sim_mutual_knn": "both kNN directions re-reference the same scored "
+    "pair relation; exchange-reused",
+    "dedup_semantic_kmeans": "one assignment leg per Lloyd round over the "
+    "same embedding relation (k-round constant); exchange-reused",
+}
+
+_SCAN_LOC = re.compile(r"Location: [A-Za-z]+\(\d+ paths?\)\[([^\],]+)")
+
 _BATCH = [
     (n, s)
     for n, s in QUERIES.items()
@@ -191,4 +251,18 @@ def test_no_unexpected_scale_smells(spark, name):
             f"(TakeOrderedAndProject) for top-k, the block-prefix device "
             f"(plans/layout.py grouped rank) for global rank/cumsum, or "
             f"allowlist with a boundedness argument in WINDOW_ALLOWED."
+        )
+    over = {
+        path.rsplit("/", 1)[-1]: c
+        for path, c in Counter(_SCAN_LOC.findall(plan)).items()
+        if c > SCAN_ALLOWANCE
+    }
+    if over and name not in SCAN_ALLOWED:
+        raise AssertionError(
+            f"{name}: scans one table more than {SCAN_ALLOWANCE} times "
+            f"({over}) — a shared subtree is being re-executed (Spark "
+            f"shares no subtrees across union branches). Compute the "
+            f"shared aggregate once and unpivot with stack(), or allowlist "
+            f"with a bounded-passes / exchange-reuse argument in "
+            f"SCAN_ALLOWED."
         )
