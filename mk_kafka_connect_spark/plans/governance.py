@@ -711,6 +711,9 @@ def _register_holt() -> None:
                 b = (l_new - l + b) // 2
                 l = l_new
             n = len(ys)
+            # A 1-day series has no one-step forecasts: mae is NULL
+            # (matching the oracle's CASE guard), not a ZeroDivision.
+            mae = err / (_HOLT_SCALE * (n - 1)) if n > 1 else None
             return pd.DataFrame(
                 {
                     "event_type": [pdf["event_type"].iloc[0]],
@@ -718,7 +721,7 @@ def _register_holt() -> None:
                     "level": [l / _HOLT_SCALE],
                     "trend": [b / _HOLT_SCALE],
                     "forecast_7": [(l + _HOLT_H * b) / _HOLT_SCALE],
-                    "mae": [err / (_HOLT_SCALE * (n - 1))],
+                    "mae": [mae],
                 }
             )
 
@@ -765,7 +768,9 @@ def _sql_holt_oracle() -> str:
       CAST(l AS DOUBLE) / {_HOLT_SCALE} AS level,
       CAST(b AS DOUBLE) / {_HOLT_SCALE} AS trend,
       CAST(l + {_HOLT_H} * b AS DOUBLE) / {_HOLT_SCALE} AS forecast_7,
-      CAST(err AS DOUBLE) / ({_HOLT_SCALE} * (n - 1)) AS mae
+      CASE WHEN n > 1
+        THEN CAST(err AS DOUBLE) / ({_HOLT_SCALE} * (n - 1))
+      END AS mae
     FROM fin WHERE rn = 1
     """
 

@@ -68,10 +68,15 @@ def docs_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All counts are exact integers from two keyed aggregates
     (trigram-count, then count-of-counts); r* and p0 are each one
-    final division. Scale shape: explode -> groupBy(trigram) ->
-    groupBy(r); the count-of-counts table has O(max count) rows, so
-    the self-join for N_{r+1} broadcasts a vanishingly small relation.
-    No window, no sort, no collect at any size."""
+    final division. N_1 folds into the SAME 1-row totals aggregate
+    (sum of n_r where r = 1) rather than a separate filtered frame —
+    a corpus with no singleton trigrams then yields NULL p0_unseen on
+    every row, matching the oracle's scalar subquery, instead of an
+    empty crossJoin silently dropping the whole result set. Scale
+    shape: explode -> groupBy(trigram) -> groupBy(r); the
+    count-of-counts table has O(max count) rows, so the self-join for
+    N_{r+1} broadcasts a vanishingly small relation. No window, no
+    sort, no collect at any size."""
     ex = load_table(spark, sf_dir, "documents").select(
         F.explode(shingles("text", 3)).alias("word")
     )
@@ -80,8 +85,10 @@ def docs_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = fof.agg(
         F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
         F.sum("n_r").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r")))
+        .cast("long")
+        .alias("_n1"),
     )
-    n1 = fof.filter(F.col("r") == 1).select(F.col("n_r").alias("_n1"))
     nxt = fof.select(
         (F.col("r") - 1).alias("r"), F.col("n_r").alias("_nr_next")
     )
@@ -89,7 +96,6 @@ def docs_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         fof.filter(F.col("r") <= _GT_MAX_R)
         .join(F.broadcast(nxt), "r", "left")
         .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(n1))
         .select(
             "r",
             "n_r",

@@ -43,8 +43,8 @@ ALLOWED = {
     "docs_balance_strata": "1-row min-stratum-cap broadcast",
     "docs_tfidf_topterms": "1-row corpus-doc-count broadcast",
     "docs_weighted_sample": "1-row max-weight broadcast",
-    "docs_good_turing": "1-row corpus-total + 1-row N1 broadcasts over the "
-    "O(max word count)-row count-of-counts table",
+    "docs_good_turing": "1-row corpus-totals broadcast (n_tokens, vocab, "
+    "N1) over the O(max word count)-row count-of-counts table",
     "docs_heaps_law": "1-row moment-vector x 1-row totals broadcast (the "
     "regression runs on two single-row aggregates)",
     "graph_assortativity": "1-row moment-vector x 1-row node-count broadcast",

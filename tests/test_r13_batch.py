@@ -721,3 +721,53 @@ def test_knn_loo_matches_naive_vote(spark):
         r = rows[l]
         assert (r.n_eval, r.n_correct) == (n, c), l
         assert abs(r.accuracy - c / n) < 1e-12
+
+
+def test_holt_single_day_series_null_mae(spark, tmp_path):
+    # An event type whose daily series has exactly one day has no
+    # one-step forecasts: mae must be NULL in both engines (ADVICE r13),
+    # not a worker-side ZeroDivisionError that fails the whole query.
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [
+        dt.datetime(2024, 1, 1, 10),  # "lonely": one day only
+        dt.datetime(2024, 1, 1, 9),
+        dt.datetime(2024, 1, 2, 9),
+        dt.datetime(2024, 1, 3, 9),  # "steady": three days
+    ]
+    tbl = pa.table(
+        {
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "event_type": ["lonely", "steady", "steady", "steady"],
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_holt_forecast"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows["lonely"].n_days == 1
+    assert rows["lonely"].mae is None
+    assert rows["lonely"].forecast_7 == rows["lonely"].level == 1.0
+    assert rows["steady"].n_days == 3
+    assert rows["steady"].mae is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    orc = {
+        r[0]: r
+        for r in con.execute(QUERIES["events_holt_forecast"].oracle).fetchall()
+    }
+    for et, srow in rows.items():
+        assert (
+            srow.n_days,
+            srow.level,
+            srow.trend,
+            srow.forecast_7,
+            srow.mae,
+        ) == tuple(orc[et])[1:]

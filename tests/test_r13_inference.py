@@ -312,3 +312,41 @@ def test_kruskal_wallis_matches_naive_recompute(spark):
     # Mean ranks average to the grand mean rank (n+1)/2, weighted by n_j.
     wsum = sum(r.mean_rank * r.n_j for r in rows)
     assert abs(wsum / n - (n + 1) / 2) < 1e-6
+
+
+def test_good_turing_no_singleton_corpus_keeps_rows(spark, tmp_path):
+    # A corpus where every trigram appears >= 2 times has an empty N_1
+    # class: the result table must keep its rows with NULL p0_unseen
+    # (the oracle's scalar subquery returns NULL), not collapse to zero
+    # rows through an empty broadcast (ADVICE r13).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text = "alpha beta gamma delta epsilon zeta"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [text, text]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = QUERIES["docs_good_turing"].fn(spark, str(tmp_path)).collect()
+    assert rows, "no-singleton corpus dropped the whole result set"
+    assert all(r.p0_unseen is None for r in rows)
+    assert {r.r for r in rows} == {2}
+    assert rows[0].n_r == 4  # 4 distinct trigrams, each seen twice
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    orc = con.execute(QUERIES["docs_good_turing"].oracle).fetchall()
+    assert len(orc) == len(rows)
+    srow, orow = rows[0], orc[0]
+    assert (
+        srow.r,
+        srow.n_r,
+        srow.n_r_next,
+        srow.r_star,
+        srow.n_tokens,
+        srow.vocab_size,
+        srow.p0_unseen,
+    ) == tuple(orow)
