@@ -268,7 +268,12 @@ def register(spark) -> None:
     for BY-VALUE cloudpickle serialization (the upstream-recommended
     pattern for Python data sources outside a packaged deploy). Without
     both, an externally created session (the round driver, spark-submit
-    sans --py-files) dies with a worker-side ModuleNotFoundError."""
+    sans --py-files) dies with a worker-side ModuleNotFoundError.
+
+    Idempotent per session: every rest_* query calls this, but
+    re-registering the same name makes DataSourceManager log a noisy
+    'replaced a previously registered data source' warning per call, so
+    repeat calls on an already-registered session are a no-op."""
     import sys
 
     from pyspark import cloudpickle
@@ -277,8 +282,12 @@ def register(spark) -> None:
     from . import rest_client as _rest_client
     from ..session import ship_package
 
+    registered = getattr(spark, "_mkkc_rest_source_registered", False)
+
     ship_package(spark)  # task workers unpickle the reader by reference
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     cloudpickle.register_pickle_by_value(_config)
     cloudpickle.register_pickle_by_value(_rest_client)
-    spark.dataSource.register(PaginatedRestDataSource)
+    if not registered:
+        spark.dataSource.register(PaginatedRestDataSource)
+        spark._mkkc_rest_source_registered = True

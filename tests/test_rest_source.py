@@ -293,3 +293,23 @@ def test_datasource_works_without_pythonpath():
         cwd="/tmp",
     )
     assert "CLEAN_ENV_OK" in out.stdout, (out.stdout[-500:], out.stderr[-1500:])
+
+
+def test_register_is_idempotent_per_session(spark):
+    # Every rest_* query calls register(); re-registering the same name
+    # makes DataSourceManager log a 'replaced a previously registered
+    # data source' warning per call, so repeats must skip the JVM call.
+    from mk_kafka_connect_spark.sources import rest_source
+
+    calls = []
+    orig = spark.dataSource.register
+    spark.dataSource.register = lambda cls: calls.append(cls) or orig(cls)
+    try:
+        rest_source.register(spark)
+        first = len(calls)
+        rest_source.register(spark)
+        rest_source.register(spark)
+        assert len(calls) == first  # no re-registration after the first
+        assert first <= 1  # at most one real registration in this session
+    finally:
+        spark.dataSource.register = orig
