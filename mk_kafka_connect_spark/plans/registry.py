@@ -396,7 +396,9 @@ def _r12_front() -> tuple[str, ...]:
 
 # Queries ADDED during round 14 — extended as each lands; they queue
 # directly behind the r14 window via certification_order().
-R14_ADDITIONS: tuple[str, ...] = ()
+R14_ADDITIONS: tuple[str, ...] = (
+    "streaming_topic_fanout",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -412,6 +414,7 @@ def _r14_front() -> tuple[str, ...]:
     certified_r13 = set(_r12_front())
     head = [n for n in R12_ADDITIONS if n not in certified_r13]
     head += [n for n in R13_ADDITIONS if n not in head]
+    head += [n for n in R14_ADDITIONS if n not in head]
     fill = [n for n in R6_STALE_FILL if n not in head]
     return tuple((head + fill)[:DRIVER_WINDOW])
 

@@ -543,3 +543,143 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_topic_fanout — multi-entity exactly-once topic fan-out (A7-A10)
+# ---------------------------------------------------------------------------
+
+
+def _run_topic_fanout(
+    spark: SparkSession, sf_dir: str, epoch_log: list[int] | None = None
+) -> DataFrame:
+    """Build, drain, crash-replay, and read back the fan-out pipeline.
+
+    Factored out of the registered query so the contract test can pass an
+    ``epoch_log`` and assert the replayed epoch really ran twice."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.cdc import keyed_records, route_topics, to_kafka_shape
+    from ..streaming.sinks import run_foreach_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="fanout_run_")
+    try:
+        src = f"{root}/src"
+        out = f"{root}/out"
+        ckpt = f"{root}/ckpt"
+        ev.repartition(4, "event_id").write.mode("overwrite").parquet(src)
+
+        def stream():
+            return (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string,"
+                    " value double, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        def apply(batch_df: DataFrame, epoch_id: int) -> None:
+            if epoch_log is not None:
+                epoch_log.append(epoch_id)
+            shaped = to_kafka_shape(
+                route_topics(
+                    keyed_records(batch_df, "user_id").withColumn(
+                        "_entity_type", F.col("event_type")
+                    ),
+                    "events",
+                )
+            )
+            (
+                shaped.withColumn("_epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch", "topic")
+                .parquet(out)
+            )
+
+        run_foreach_batch(stream(), apply, ckpt)
+        # Crash-replay: drop the LAST batch's commit marker — exactly the
+        # crash window between the sink write and the checkpoint commit —
+        # and restart. Structured Streaming replays that epoch through
+        # apply with the SAME epoch id; dynamic partition overwrite makes
+        # the rewrite land on the same files instead of duplicating.
+        commits = sorted(
+            f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+        )
+        os.remove(f"{ckpt}/commits/{commits[-1]}")
+        # The local Hadoop FS shadows every metadata file with a checksum
+        # (.N.crc); leave it behind and the replay's commit rename dies on
+        # FileAlreadyExistsException, surfacing as a bogus "multiple
+        # streaming queries" error.
+        crc = f"{ckpt}/commits/.{commits[-1]}.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+        run_foreach_batch(stream(), apply, ckpt)
+
+        final = (
+            spark.read.parquet(out)
+            .groupBy("topic")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.countDistinct("key").alias("n_keys"),
+                F.sum(F.get_json_object("value", "$.event_id")).alias(
+                    "id_checksum"
+                ),
+            )
+            .select(
+                "topic",
+                "n_records",
+                "n_keys",
+                F.col("id_checksum").cast("long").alias("id_checksum"),
+            )
+        )
+        return spark.createDataFrame(final.collect(), schema=final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_topic_fanout",
+    # Exactly-once is what the oracle equality PROVES: if the replayed
+    # epoch had appended instead of overwriting, every count and checksum
+    # for that epoch's topics would double and the hash would mismatch.
+    oracle="""
+    SELECT 'events.' || event_type AS topic,
+      CAST(count(*) AS BIGINT) AS n_records,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+      CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("streaming", "B13", "A9", "A10", "cdc", "exactly-once"),
+)
+def streaming_topic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-entity exactly-once topic fan-out — the reference's record
+    pipeline (A7 keyed records, null ids dropped, Task.java:394-401; A8
+    per-row entity tag; A9 topic routing ``{prefix}.{entity}``,
+    Task.java:418-419; A10 Kafka sink shape topic/key/value,
+    Task.java:434-443, CO-README:275-287) composed at REGISTRY level and
+    driven through real checkpointed micro-batches (4 hash-split files,
+    maxFilesPerTrigger=1, AvailableNow) into a per-topic partitioned
+    sink, with the crash-replay window exercised for real: after the
+    drain, the last epoch's checkpoint commit marker is deleted and the
+    stream restarted, so Structured Streaming REPLAYS that micro-batch
+    through the sink (the reference's at-least-once redelivery,
+    CO-README:512-525). The sink is idempotent — each epoch dynamically
+    overwrites its own (epoch, topic) partitions — so at-least-once
+    delivery × idempotent apply = exactly-once: the per-topic counts,
+    distinct keys, and id checksums must equal the batch group-by
+    oracle despite one batch running twice.
+
+    Scale shape: the fan-out is a single narrow whole-stage-codegen'd
+    projection per micro-batch (no shuffle until the final verification
+    aggregate, which is not part of the production sink); partitioning
+    by (epoch, topic) is exactly how a parquet landing zone for a
+    multi-topic Kafka feed stays replay-safe at any volume."""
+    return _run_topic_fanout(spark, sf_dir)

@@ -82,3 +82,28 @@ def test_session_replay_equals_batch_session_window(spark):
         )
     )
     _assert_same(stream, batch, "session")
+
+
+def test_topic_fanout_replays_last_epoch_exactly_once(spark):
+    # The registered query deletes the last epoch's commit marker and
+    # restarts the stream. This pins that the crash-replay REALLY runs:
+    # the sink must see the last epoch twice (at-least-once delivery),
+    # and the final per-topic state must still equal the batch group-by
+    # (idempotent apply => exactly-once).
+    import duckdb
+
+    from mk_kafka_connect_spark.plans.streaming import _run_topic_fanout
+
+    log: list[int] = []
+    out = _run_topic_fanout(spark, SF_DIR, epoch_log=log)
+    assert log == [0, 1, 2, 3, 3], f"epoch sequence {log}"
+    rows = {r.topic: r for r in out.collect()}
+    orc = duckdb.sql(
+        f"""SELECT 'events.' || event_type AS topic,
+          count(*) AS n, count(DISTINCT user_id) AS k, sum(event_id) AS s
+        FROM '{SF_DIR}/events.parquet' WHERE user_id IS NOT NULL GROUP BY 1"""
+    ).fetchall()
+    assert len(rows) == len(orc)
+    for topic, n, k, s in orc:
+        r = rows[topic]
+        assert (r.n_records, r.n_keys, r.id_checksum) == (n, k, s)
