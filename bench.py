@@ -114,6 +114,7 @@ HEADLINE = [
     "sim_mmr_rerank",
     "bpe_merges",
     "layout_zorder_pruning_stats",
+    "scan_schema_evolution",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

@@ -297,3 +297,86 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_schema_evolution — merged-schema scan over a drifted landing zone
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_CUTOFF = "1997-01-01"
+
+
+@query(
+    "scan_schema_evolution",
+    oracle=f"""
+    SELECT
+      CASE WHEN o_orderdate < DATE '{_EVOLUTION_CUTOFF}' THEN 1 ELSE 2 END
+        AS ingest_batch,
+      CASE WHEN o_orderdate < DATE '{_EVOLUTION_CUTOFF}' THEN NULL
+           ELSE o_orderpriority END AS o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("layout", "B1", "schema-evolution", "scan"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-schema scan over a schema-drifted parquet landing zone —
+    the B1 maintenance capability every long-lived 100 TB dataset needs:
+    early ingest batches were written BEFORE a column existed (here
+    ``o_orderpriority``, absent from the batch-1 files), later batches
+    carry it, and one scan must read the whole history. The staging step
+    writes the two eras into partition directories
+    (``ingest_batch=1/2`` — the landing-zone layout the reference's
+    per-entity topics map to), and the scan composes the two
+    Spark-native mechanisms: partition-column discovery (the batch id is
+    a directory, not data) and ``mergeSchema`` footer-union (batch-1
+    rows surface NULL for the late column — the same late-binding
+    posture as the reference's schemaless records, SURVEY.md §1.2-1.3).
+    The aggregate then groups straight over the merged relation, proving
+    the evolved scan feeds normal relational ops.
+
+    Scale: mergeSchema unions footers only (no data read at planning);
+    partition discovery prunes by directory, so a predicate on
+    ingest_batch never touches old files; exact decimal revenue via the
+    shared dsum device. The staged directory is fixture-derived
+    (deterministic), so the DuckDB oracle recomputes the identical table
+    from ``orders`` with the cutoff CASE."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import dec2, dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        cutoff = F.lit(_EVOLUTION_CUTOFF).cast("date")
+        (
+            o.filter(F.col("o_orderdate") < cutoff)
+            .drop("o_orderpriority")  # the column did not exist yet
+            .write.mode("overwrite")
+            .parquet(f"{root}/ingest_batch=1")
+        )
+        (
+            o.filter(F.col("o_orderdate") >= cutoff)
+            .write.mode("overwrite")
+            .parquet(f"{root}/ingest_batch=2")
+        )
+        merged = spark.read.option("mergeSchema", "true").parquet(root)
+        out = (
+            merged.groupBy(
+                F.col("ingest_batch").cast("int").alias("ingest_batch"),
+                "o_orderpriority",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum(dec2("o_totalprice")).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -398,6 +398,7 @@ def _r12_front() -> tuple[str, ...]:
 # directly behind the r14 window via certification_order().
 R14_ADDITIONS: tuple[str, ...] = (
     "streaming_topic_fanout",
+    "scan_schema_evolution",
 )
 
 

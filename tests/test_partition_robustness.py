@@ -63,6 +63,7 @@ SENSITIVE = [
     "events_permutation_test",
     "orders_theil_sen",
     "events_kruskal_wallis",
+    "scan_schema_evolution",
 ]
 
 SF = "/root/testdata/sf0.01"
