@@ -115,6 +115,7 @@ HEADLINE = [
     "bpe_merges",
     "layout_zorder_pruning_stats",
     "scan_schema_evolution",
+    "dq_corrupt_record_quarantine",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

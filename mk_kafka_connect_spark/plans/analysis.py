@@ -1775,3 +1775,77 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         nsum.alias("neighbor_sum"),
         (F.col("c").cast("double") * 4 / nsum).alias("prominence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dq_corrupt_record_quarantine — PERMISSIVE typed parse with bad-record audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_corrupt_record_quarantine",
+    oracle="""
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_valid,
+      CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_quarantined,
+      CAST(sum(CASE WHEN event_id % 10 <> 0
+               THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("data-quality", "B12", "B15", "json", "quarantine"),
+)
+def dq_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed parse of a schemaless JSON column with PERMISSIVE
+    corrupt-record quarantine — the late-binding contract the reference's
+    schemaless records imply (SURVEY.md §1.2-1.3: unknown/odd payloads
+    must survive, not kill the pipeline), and the capability any 100 TB
+    ingest needs on day one: some fraction of landed JSON is always
+    malformed, and the engine must (a) parse the good rows to typed
+    columns, (b) quarantine the bad ones WITH their original payload for
+    replay, (c) account for both — never silently drop.
+
+    The corruption is staged deterministically (every event_id % 10 = 0
+    row gets a leading junk byte, making the JSON invalid — trailing
+    junk would NOT do: Spark's parser stops at the end of the first
+    object and tolerates it). The parse is one ``from_json`` with
+    ``mode=PERMISSIVE`` + ``columnNameOfCorruptRecord``: invalid rows
+    yield NULL fields and carry the raw payload in the corrupt column
+    (the quarantine), valid rows parse to a typed struct. Everything is
+    a JVM JsonToStructs expression inside whole-stage codegen — one
+    narrow map, one keyed aggregate, no Python in the path.
+
+    Exactness: all counts and the k-sum are integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    staged = ev.withColumn(
+        "raw",
+        F.when(
+            F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    parsed = staged.withColumn(
+        "p",
+        F.from_json(
+            "raw",
+            "k bigint, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("p._corrupt").isNull(), 1).otherwise(0)
+        ).alias("n_valid"),
+        F.sum(
+            F.when(F.col("p._corrupt").isNotNull(), 1).otherwise(0)
+        ).alias("n_quarantined"),
+        F.sum(F.when(F.col("p._corrupt").isNull(), F.col("p.k"))).alias(
+            "sum_k"
+        ),
+    )

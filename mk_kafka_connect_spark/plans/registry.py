@@ -399,6 +399,7 @@ def _r12_front() -> tuple[str, ...]:
 R14_ADDITIONS: tuple[str, ...] = (
     "streaming_topic_fanout",
     "scan_schema_evolution",
+    "dq_corrupt_record_quarantine",
 )
 
 

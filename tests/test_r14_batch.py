@@ -1,0 +1,68 @@
+"""Semantic contracts for the round-14 additions — properties the oracle
+comparison alone can't express (quarantine payload fidelity, independent
+recomputation in plain Python)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_quarantine_counts_match_corruption_rule(spark):
+    rows = {
+        r.event_type: r
+        for r in QUERIES["dq_corrupt_record_quarantine"].fn(spark, SF).collect()
+    }
+    orc = duckdb.sql(
+        f"""SELECT event_type, count(*) AS n,
+          sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS bad,
+          sum(CASE WHEN event_id % 10 <> 0
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS s
+        FROM '{SF}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    assert len(rows) == len(orc)
+    for et, n, bad, s in orc:
+        r = rows[et]
+        assert r.n_rows == n
+        assert r.n_quarantined == bad
+        assert r.n_valid == n - bad
+        assert r.sum_k == s
+        assert r.n_quarantined > 0  # the corruption rule really fired
+
+
+def test_quarantine_preserves_original_payload_for_replay(spark):
+    # The point of PERMISSIVE quarantine: a bad record's RAW payload
+    # survives in the corrupt column, so it can be repaired and
+    # replayed. Rebuild the parse step and check payload fidelity.
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select("event_id", "props")
+    staged = ev.withColumn(
+        "raw",
+        F.when(
+            F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
+        ).otherwise(F.col("props")),
+    )
+    parsed = staged.withColumn(
+        "p",
+        F.from_json(
+            "raw",
+            "k bigint, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    bad = parsed.filter(F.col("p._corrupt").isNotNull()).limit(20).collect()
+    assert bad, "no quarantined rows"
+    for r in bad:
+        assert r.event_id % 10 == 0
+        assert r.p._corrupt == r.raw  # full original payload, repairable
+        assert r.p._corrupt == "x" + r.props
+        assert r.p.k is None
+    good = parsed.filter(F.col("p._corrupt").isNull()).limit(20).collect()
+    for r in good:
+        assert r.p.k is not None or '"k": null' in r.props
