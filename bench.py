@@ -116,6 +116,7 @@ HEADLINE = [
     "layout_zorder_pruning_stats",
     "scan_schema_evolution",
     "dq_corrupt_record_quarantine",
+    "join_dpp_partitioned",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

@@ -380,3 +380,82 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# join_dpp_partitioned — dynamic partition pruning through a dim filter
+# ---------------------------------------------------------------------------
+
+_DPP_CUTOFF = "1999-01-01"
+
+
+@query(
+    "join_dpp_partitioned",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT year(o_orderdate) AS ship_year
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_DPP_CUTOFF}')
+    SELECT l.ship_year,
+      CAST(count(*) AS BIGINT) AS n_items,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue
+    FROM (SELECT year(l_shipdate) AS ship_year, l_extendedprice
+          FROM lineitem) l
+    JOIN dim USING (ship_year)
+    GROUP BY 1
+    """,
+    tags=("layout", "B1", "B6", "dpp", "partition-pruning"),
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE scan-elimination device for
+    star-schema joins over date/entity-partitioned 100 TB facts: the
+    fact side is staged as a ship-year-partitioned parquet layout (the
+    landing-zone layout ``write_entity_partitioned`` produces), the dim
+    side is a FILTERED year relation derived from orders, and Spark
+    turns the broadcast dim's build-side keys into a RUNTIME partition
+    filter on the fact scan (``dynamicpruningexpression`` in
+    PartitionFilters) — at scale the excluded years' files are never
+    opened, which no static optimizer can do because the surviving keys
+    only exist after the dim filter runs. The aggregate then rolls up
+    revenue per surviving year.
+
+    The pruning is pinned by a contract test (plan shows
+    dynamicpruningexpression; a disabled-DPP run shows none); this
+    registry query certifies the end-to-end VALUES: partition-discovery
+    scan → broadcast dim join with DPP → exact decimal rollup equals
+    the oracle's direct semi-join arithmetic.
+
+    Exactness: counts integer; revenue via the shared dsum device."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import dec2, dsum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.year("l_shipdate").alias("ship_year"),
+    )
+    root = tempfile.mkdtemp(prefix="dpp_fact_")
+    try:
+        li.write.partitionBy("ship_year").mode("overwrite").parquet(root)
+        fact = spark.read.parquet(root)
+        dim = (
+            load_table(spark, sf_dir, "orders")
+            .filter(
+                F.col("o_orderdate") >= F.lit(_DPP_CUTOFF).cast("timestamp")
+            )
+            .select(F.year("o_orderdate").alias("ship_year"))
+            .distinct()
+        )
+        out = (
+            fact.join(F.broadcast(dim), "ship_year")
+            .groupBy(F.col("ship_year").cast("int").alias("ship_year"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(dec2("l_extendedprice")).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

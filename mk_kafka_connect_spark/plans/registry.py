@@ -400,6 +400,7 @@ R14_ADDITIONS: tuple[str, ...] = (
     "streaming_topic_fanout",
     "scan_schema_evolution",
     "dq_corrupt_record_quarantine",
+    "join_dpp_partitioned",
 )
 
 

@@ -64,6 +64,7 @@ SENSITIVE = [
     "orders_theil_sen",
     "events_kruskal_wallis",
     "scan_schema_evolution",
+    "join_dpp_partitioned",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -66,3 +66,47 @@ def test_quarantine_preserves_original_payload_for_replay(spark):
     good = parsed.filter(F.col("p._corrupt").isNull()).limit(20).collect()
     for r in good:
         assert r.p.k is not None or '"k": null' in r.props
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    # The broadcast dim's keys must become a runtime PartitionFilter on
+    # the staged fact scan (dynamicpruningexpression) - and vanish when
+    # DPP is disabled, proving the filter is the dynamic one.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", F.year("l_shipdate").alias("ship_year")
+    )
+    root = tempfile.mkdtemp(prefix="dpp_test_")
+    try:
+        li.write.partitionBy("ship_year").mode("overwrite").parquet(root)
+        fact = spark.read.parquet(root)
+        dim = (
+            load_table(spark, SF, "orders")
+            .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            .select(F.year("o_orderdate").alias("ship_year"))
+            .distinct()
+        )
+        q = fact.join(F.broadcast(dim), "ship_year").groupBy("ship_year").count()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruningexpression" in plan.lower()
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+        try:
+            q2 = (
+                fact.join(F.broadcast(dim), "ship_year")
+                .groupBy("ship_year")
+                .count()
+            )
+            plan2 = q2._jdf.queryExecution().executedPlan().toString()
+            assert "dynamicpruningexpression" not in plan2.lower()
+        finally:
+            spark.conf.set(
+                "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
