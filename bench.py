@@ -117,6 +117,7 @@ HEADLINE = [
     "scan_schema_evolution",
     "dq_corrupt_record_quarantine",
     "join_dpp_partitioned",
+    "udf_arrow_batches",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

@@ -401,6 +401,7 @@ R14_ADDITIONS: tuple[str, ...] = (
     "scan_schema_evolution",
     "dq_corrupt_record_quarantine",
     "join_dpp_partitioned",
+    "udf_arrow_batches",
 )
 
 

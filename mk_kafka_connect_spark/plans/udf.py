@@ -1,6 +1,7 @@
-"""UDF surface (SURVEY.md §2.B B14): the five Python extension mechanisms —
+"""UDF surface (SURVEY.md §2.B B14): the six Python extension mechanisms —
 row UDF, vectorized pandas_udf, grouped applyInPandas, a pandas
-grouped-aggregate UDF, and a Python UDTF — each oracle-checked. The
+grouped-aggregate UDF, a Python UDTF, and a raw-Arrow mapInArrow
+batch iterator — each oracle-checked. The
 reference's entire UDF story is one SMT (``StringCast.java``); the engine
 exposes the general machinery with the performance ranking made explicit:
 built-ins ≫ pandas_udf ≫ row UDF.
@@ -189,4 +190,63 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.token FROM _udtf_docs, "
         "LATERAL tokenize_udtf(text) AS t"
+    )
+
+
+@query(
+    "udf_arrow_batches",
+    oracle="""
+    SELECT vec_id, label,
+      CAST(len(embedding) AS INT) AS dim,
+      CAST(round(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS DOUBLE)
+        AS l2_norm
+    FROM embeddings WHERE vec_id < 500
+    """,
+    tags=("udf", "B14", "arrow", "mapInArrow"),
+)
+def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the sixth Python extension surface, completing
+    the B14 matrix (row UDF / pandas_udf / applyInPandas / grouped agg /
+    UDTF / Arrow-batch iterator): the kernel receives raw
+    ``pyarrow.RecordBatch``es with NO pandas conversion on either side —
+    the lowest-overhead Python hook Spark has, the right one for
+    columnar-native work (multimodal payload decode, tensor reshaping)
+    where even the pandas materialization would double memory. The
+    kernel computes each embedding's dimensionality and L2 norm with
+    numpy over zero-copy Arrow buffers, batch in → batch out.
+
+    Determinism: the norm is rounded to 1e-6 AFTER a float64
+    accumulation ordered by the list's own positions — position order is
+    identical in both engines, so the sum is bit-identical; DuckDB
+    replays it as list_transform/list_sum.
+
+    Scale: embarrassingly parallel over Arrow batches, zero shuffle; the
+    filter prunes at the parquet scan beneath the Python stage."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            label = batch.column("label")
+            emb = batch.column("embedding")
+            flat = np.asarray(emb.values, dtype=np.float64)
+            offsets = np.asarray(emb.offsets)
+            dims = (offsets[1:] - offsets[:-1]).astype(np.int32)
+            sq = np.add.reduceat(flat * flat, offsets[:-1].astype(np.int64))
+            norms = np.round(np.sqrt(sq), 6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    label,
+                    pa.array(dims, type=pa.int32()),
+                    pa.array(norms, type=pa.float64()),
+                ],
+                names=["vec_id", "label", "dim", "l2_norm"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return e.mapInArrow(
+        kernel, "vec_id long, label int, dim int, l2_norm double"
     )

@@ -110,3 +110,23 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
             )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_arrow_batches_norms_match_naive_recompute(spark):
+    import math
+
+    rows = {
+        r.vec_id: r for r in QUERIES["udf_arrow_batches"].fn(spark, SF).collect()
+    }
+    raw = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"'{SF}/embeddings.parquet' WHERE vec_id < 500"
+    ).fetchall()
+    assert len(rows) == len(raw) > 0
+    for vid, label, emb in raw:
+        r = rows[vid]
+        assert r.label == label and r.dim == len(emb)
+        s = 0.0
+        for x in emb:  # position order, float64 accumulation
+            s += float(x) * float(x)
+        assert r.l2_norm == round(math.sqrt(s), 6)
