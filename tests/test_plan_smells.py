@@ -266,3 +266,29 @@ def test_no_unexpected_scale_smells(spark, name):
             f"with a bounded-passes / exchange-reuse argument in "
             f"SCAN_ALLOWED."
         )
+
+
+# The "exchange-reused" SCAN_ALLOWED entries rest on a runtime claim:
+# the duplicated scans sit beneath identical deterministic exchanges
+# that Spark executes once. Pin it — if a future edit makes the
+# subtrees non-identical (e.g. a nondeterministic expression sneaks
+# in), reuse silently stops and the static scan count becomes real
+# executed work; this test would catch that as a missing ReusedExchange.
+_REUSE_BACKED = [
+    "graph_triangles",
+    "sim_mutual_knn",
+    "orders_conformal_interval",
+    "dedup_semantic_kmeans",
+    "layout_zorder_pruning_stats",
+]
+
+
+@pytest.mark.parametrize("name", _REUSE_BACKED)
+def test_exchange_reuse_backs_scan_allowlist(spark, name):
+    df = QUERIES[name].fn(spark, SF)
+    df.collect()  # AQE finalizes reuse only at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, (
+        f"{name}: no ReusedExchange in the executed plan — the SCAN_ALLOWED "
+        f"'exchange-reused' justification no longer holds; re-audit the plan."
+    )
