@@ -118,6 +118,7 @@ HEADLINE = [
     "dq_corrupt_record_quarantine",
     "join_dpp_partitioned",
     "udf_arrow_batches",
+    "join_null_safe",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

@@ -402,6 +402,7 @@ R14_ADDITIONS: tuple[str, ...] = (
     "dq_corrupt_record_quarantine",
     "join_dpp_partitioned",
     "udf_arrow_batches",
+    "join_null_safe",
 )
 
 

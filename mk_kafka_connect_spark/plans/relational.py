@@ -1709,3 +1709,56 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(model).alias("model"), "touch_type", "n_purchases", "revenue")
 
     return roll("last_touch", "lt").unionAll(roll("first_touch", "ft"))
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END
+        AS nkey
+      FROM customer),
+    s AS (
+      SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END
+        AS nkey
+      FROM supplier)
+    SELECT c.nkey, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.nkey IS NOT DISTINCT FROM s.nkey
+    GROUP BY c.nkey
+    """,
+    tags=("join", "B6", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / SQL ``IS NOT DISTINCT FROM``) —
+    the join semantics ordinary equality can NEVER produce: NULL keys
+    match each other instead of silently dropping out, which is what a
+    data-integration pipeline needs when "key unknown" is itself a
+    legitimate bucket (e.g. records awaiting enrichment matched to each
+    other). Keys are deterministically nulled on both sides (every 7th
+    customer, every 5th supplier) so the NULL bucket demonstrably joins.
+
+    Scale note (and why this is a deliberate-choice operator, not a
+    default): ``eqNullSafe`` hashes NULL as one ordinary key value, so a
+    null-heavy corpus turns the NULL bucket into THE skew key — at
+    volume, route it through the salting device (operators/skew.py) or
+    split the NULL bucket into a separate union branch. The docstring
+    is the warning; this fixture's NULL bucket is |c|/7 × |s|/5.
+
+    Plan: one hash shuffle per side on the nullable key, plain
+    SortMergeJoin/ShuffledHashJoin — eqNullSafe stays inside
+    whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_suppkey") % 5 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("nkey_s")
+    )
+    return (
+        c.join(s, c.nkey.eqNullSafe(s.nkey_s))
+        .groupBy("nkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

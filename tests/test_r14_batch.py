@@ -130,3 +130,30 @@ def test_arrow_batches_norms_match_naive_recompute(spark):
         for x in emb:  # position order, float64 accumulation
             s += float(x) * float(x)
         assert r.l2_norm == round(math.sqrt(s), 6)
+
+
+def test_null_safe_join_null_bucket_matches(spark):
+    # NULL <=> NULL must MATCH (ordinary equality drops those rows), and
+    # the NULL bucket's pair count must be exactly |nulled c| x |nulled s|.
+    rows = {r.nkey: r.n_pairs for r in QUERIES["join_null_safe"].fn(spark, SF).collect()}
+    nc, ns = duckdb.sql(
+        f"""SELECT
+          (SELECT count(*) FROM '{SF}/customer.parquet' WHERE c_custkey % 7 = 0),
+          (SELECT count(*) FROM '{SF}/supplier.parquet' WHERE s_suppkey % 5 = 0)"""
+    ).fetchone()
+    assert None in rows and rows[None] == nc * ns
+    # And an ordinary-equality join must produce ZERO null-bucket pairs.
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    c = load_table(spark, SF, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_nationkey")).alias("nkey")
+    )
+    s = load_table(spark, SF, "supplier").select(
+        F.when(F.col("s_suppkey") % 5 == 0, None)
+        .otherwise(F.col("s_nationkey")).alias("nkey_s")
+    )
+    plain = c.join(s, c.nkey == s.nkey_s).filter(F.col("nkey").isNull()).count()
+    assert plain == 0
