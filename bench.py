@@ -119,6 +119,8 @@ HEADLINE = [
     "join_dpp_partitioned",
     "udf_arrow_batches",
     "join_null_safe",
+    "set_union_by_name",
+    "pipeline_observe_metrics",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

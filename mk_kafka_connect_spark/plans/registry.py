@@ -403,6 +403,8 @@ R14_ADDITIONS: tuple[str, ...] = (
     "join_dpp_partitioned",
     "udf_arrow_batches",
     "join_null_safe",
+    "set_union_by_name",
+    "pipeline_observe_metrics",
 )
 
 

@@ -1762,3 +1762,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nkey")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_nationkey AS nationkey,
+      c_acctbal AS acctbal, NULL AS priority, 'customer' AS src
+    FROM customer
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, o_orderpriority, 'order'
+    FROM orders WHERE o_totalprice > 400000.0
+    """,
+    tags=("setop", "B11", "schema-drift"),
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union (``unionByName`` with
+    ``allowMissingColumns=True``) — the in-memory sibling of the
+    ``scan_schema_evolution`` merged scan and the multi-entity merge a
+    heterogeneous landing zone actually needs: two relations whose
+    column SETS differ (customers carry nation/acctbal, large orders
+    carry priority) align BY NAME, each side's missing columns
+    surfacing as NULL — positional ``UNION ALL`` would silently pair
+    wrong columns or refuse. One narrow projection per side, no
+    shuffle.
+
+    Exactness: passthrough columns only; no computed floats."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(
+            F.col("o_orderkey").alias("entity_key"),
+            F.col("o_orderpriority").alias("priority"),
+            F.lit("order").alias("src"),
+        )
+    )
+    return c.unionByName(o, allowMissingColumns=True).select(
+        "entity_key", "nationkey", "acctbal", "priority", "src"
+    )

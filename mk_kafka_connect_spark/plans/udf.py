@@ -250,3 +250,68 @@ def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(
         kernel, "vec_id long, label int, dim int, l2_norm double"
     )
+
+
+@query(
+    "pipeline_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_input,
+      CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_kept,
+      CAST(round(sum(CASE WHEN o_totalprice > 100000.0
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 2)
+           AS DOUBLE) AS kept_revenue
+    FROM orders
+    """,
+    tags=("pipeline", "B14", "observability", "metrics"),
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``observe()`` — Spark's zero-cost pipeline instrumentation: named
+    aggregate metrics accumulate ON the running job itself (map-side,
+    piggybacked on the pass the query already makes) instead of a
+    second counting pass — how a production ingest reports rows-in /
+    rows-kept / value-shipped without doubling its I/O, batch or
+    streaming (the streaming form surfaces per-epoch via
+    QueryProgressEvent). The pipeline observes its input relation,
+    filters, and the observation's metrics come back through the
+    Observation handle after the action; the query returns them as the
+    1-row audit record a pipeline would emit.
+
+    Exactness: counts integer; revenue via exact decimal sum.
+
+    Scale: the metric aggregation is a map-side accumulator merge —
+    zero extra scan, zero shuffle beyond the job's own."""
+    from pyspark.sql import Observation
+
+    from ..functions.exact import dec2
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("ingest_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(
+            F.when(F.col("o_totalprice") > 100000.0, 1).otherwise(0)
+        ).alias("n_kept"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > 100000.0,
+                    dec2("o_totalprice"),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("kept_revenue"),
+    )
+    # The action that drives the pipeline (a production job's write);
+    # metrics materialize as its side product.
+    observed.filter(F.col("o_totalprice") > 100000.0).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_input"], m["n_kept"], m["kept_revenue"])],
+        "n_input long, n_kept long, kept_revenue double",
+    )

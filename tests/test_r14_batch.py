@@ -157,3 +157,43 @@ def test_null_safe_join_null_bucket_matches(spark):
     )
     plain = c.join(s, c.nkey == s.nkey_s).filter(F.col("nkey").isNull()).count()
     assert plain == 0
+
+
+def test_union_by_name_aligns_columns_not_positions(spark):
+    rows = QUERIES["set_union_by_name"].fn(spark, SF).collect()
+    cust = [r for r in rows if r.src == "customer"]
+    orde = [r for r in rows if r.src == "order"]
+    assert cust and orde
+    # Each side's missing columns are NULL; present columns are intact.
+    assert all(r.priority is None and r.nationkey is not None for r in cust)
+    assert all(r.nationkey is None and r.acctbal is None for r in orde)
+    assert all(r.priority is not None for r in orde)
+    n_c, n_o = duckdb.sql(
+        f"""SELECT (SELECT count(*) FROM '{SF}/customer.parquet'),
+          (SELECT count(*) FROM '{SF}/orders.parquet'
+           WHERE o_totalprice > 400000.0)"""
+    ).fetchone()
+    assert len(cust) == n_c and len(orde) == n_o
+
+
+def test_observe_metrics_ride_the_job_not_a_second_scan(spark):
+    # observe() must not add a scan: the instrumented pipeline's plan
+    # contains exactly ONE parquet scan (CollectMetrics rides it).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    obs = Observation("audit")
+    observed = o.observe(obs, F.count(F.lit(1)).alias("n")).filter(
+        F.col("o_totalprice") > 100000.0
+    )
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "CollectMetrics" in plan
+    observed.write.format("noop").mode("overwrite").save()
+    n_direct = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert obs.get["n"] == n_direct
