@@ -121,6 +121,7 @@ HEADLINE = [
     "join_null_safe",
     "set_union_by_name",
     "pipeline_observe_metrics",
+    "udf_grouped_apply_arrow",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

@@ -405,6 +405,7 @@ R14_ADDITIONS: tuple[str, ...] = (
     "join_null_safe",
     "set_union_by_name",
     "pipeline_observe_metrics",
+    "udf_grouped_apply_arrow",
 )
 
 

@@ -1,7 +1,7 @@
-"""UDF surface (SURVEY.md §2.B B14): the six Python extension mechanisms —
+"""UDF surface (SURVEY.md §2.B B14): the seven Python extension mechanisms —
 row UDF, vectorized pandas_udf, grouped applyInPandas, a pandas
-grouped-aggregate UDF, a Python UDTF, and a raw-Arrow mapInArrow
-batch iterator — each oracle-checked. The
+grouped-aggregate UDF, a Python UDTF, a raw-Arrow mapInArrow batch
+iterator, and a grouped applyInArrow — each oracle-checked. The
 reference's entire UDF story is one SMT (``StringCast.java``); the engine
 exposes the general machinery with the performance ranking made explicit:
 built-ins ≫ pandas_udf ≫ row UDF.
@@ -206,9 +206,9 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "B14", "arrow", "mapInArrow"),
 )
 def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``mapInArrow`` — the sixth Python extension surface, completing
-    the B14 matrix (row UDF / pandas_udf / applyInPandas / grouped agg /
-    UDTF / Arrow-batch iterator): the kernel receives raw
+    """``mapInArrow`` — the raw-Arrow batch-iterator surface of the B14
+    matrix (row UDF / pandas_udf / applyInPandas / grouped agg / UDTF /
+    mapInArrow / grouped applyInArrow): the kernel receives raw
     ``pyarrow.RecordBatch``es with NO pandas conversion on either side —
     the lowest-overhead Python hook Spark has, the right one for
     columnar-native work (multimodal payload decode, tensor reshaping)
@@ -314,4 +314,85 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_input"], m["n_kept"], m["kept_revenue"])],
         "n_input long, n_kept long, kept_revenue double",
+    )
+
+
+@query(
+    "udf_grouped_apply_arrow",
+    oracle="""
+    WITH q AS (
+      SELECT label, vec_id,
+        list_sum(list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)))
+          AS row_q,
+        len(embedding) AS dim
+      FROM embeddings)
+    SELECT label,
+      CAST(count(*) AS BIGINT) AS n_vecs,
+      CAST(min(dim) AS INT) AS dim,
+      CAST(sum(row_q) AS BIGINT) AS sum_q,
+      CAST(sum(row_q) AS DOUBLE) / (count(*) * min(dim) * 1000000)
+        AS mean_component
+    FROM q GROUP BY label
+    """,
+    tags=("udf", "B14", "arrow", "applyInArrow"),
+)
+def udf_grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().applyInArrow`` — the grouped Arrow surface (the
+    seventh and last Python extension mechanism, pairing with
+    ``mapInArrow`` exactly as ``applyInPandas`` pairs with
+    ``mapInPandas``): each label's vectors arrive as one
+    ``pyarrow.Table``, zero pandas conversion, the natural hook for
+    per-group tensor work (per-class statistics, per-group model fits)
+    over embedding columns.
+
+    The kernel folds every component of every vector in the group into
+    an exact integer total (1e-6 quantization BEFORE summing, so the
+    accumulation order Spark chooses cannot move a bit) plus the group's
+    cardinality and width; the one division back to a mean is a shared
+    single expression. DuckDB replays the same quantized fold with
+    list_transform/list_sum.
+
+    Scale: one hash shuffle on the group key, then embarrassingly
+    parallel Arrow kernels; group state is O(1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(table: "pa.Table") -> "pa.Table":
+        emb = table.column("embedding").combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float64)
+        # Half-AWAY-from-zero (what DuckDB round() does on doubles) —
+        # plain floor(x+0.5) would round negative halves the other way.
+        q = (np.sign(flat) * np.floor(np.abs(flat) * 1_000_000 + 0.5)).astype(
+            np.int64
+        )
+        offsets = np.asarray(emb.offsets)
+        dims = offsets[1:] - offsets[:-1]
+        n = len(dims)
+        dim = int(dims.min()) if n else 0
+        sum_q = int(q.sum())
+        mean_component = sum_q / (n * dim * 1_000_000)
+        return pa.table(
+            {
+                "label": [table.column("label")[0].as_py()],
+                "n_vecs": [n],
+                "dim": [dim],
+                "sum_q": [sum_q],
+                "mean_component": [mean_component],
+            },
+            schema=pa.schema(
+                [
+                    ("label", pa.int32()),
+                    ("n_vecs", pa.int64()),
+                    ("dim", pa.int32()),
+                    ("sum_q", pa.int64()),
+                    ("mean_component", pa.float64()),
+                ]
+            ),
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").applyInArrow(
+        kernel,
+        "label int, n_vecs long, dim int, sum_q long, mean_component double",
     )

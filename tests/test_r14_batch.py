@@ -197,3 +197,29 @@ def test_observe_metrics_ride_the_job_not_a_second_scan(spark):
         f"SELECT count(*) FROM '{SF}/orders.parquet'"
     ).fetchone()[0]
     assert obs.get["n"] == n_direct
+
+
+def test_grouped_arrow_fold_matches_naive_recompute(spark):
+    rows = {
+        r.label: r
+        for r in QUERIES["udf_grouped_apply_arrow"].fn(spark, SF).collect()
+    }
+    raw = duckdb.sql(
+        f"SELECT label, embedding FROM '{SF}/embeddings.parquet'"
+    ).fetchall()
+    import math
+    from collections import defaultdict
+
+    acc: dict = defaultdict(lambda: [0, 0, None])
+    for label, emb in raw:
+        a = acc[label]
+        a[0] += 1
+        a[2] = len(emb)
+        for x in emb:
+            v = abs(float(x)) * 1_000_000
+            a[1] += int(math.copysign(math.floor(v + 0.5), float(x)))
+    assert len(rows) == len(acc)
+    for label, (n, sq, dim) in acc.items():
+        r = rows[label]
+        assert (r.n_vecs, r.sum_q, r.dim) == (n, sq, dim)
+        assert r.mean_component == sq / (n * dim * 1_000_000)
