@@ -122,6 +122,7 @@ HEADLINE = [
     "set_union_by_name",
     "pipeline_observe_metrics",
     "udf_grouped_apply_arrow",
+    "scan_csv_json_roundtrip",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

@@ -459,3 +459,81 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# scan_csv_json_roundtrip — text-format round-trip feeding a relational join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_csv_json_roundtrip",
+    oracle="""
+    SELECT o_custkey % 10 AS cust_bucket,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity > 45.0
+    GROUP BY 1
+    """,
+    tags=("layout", "B1", "csv", "json", "formats"),
+)
+def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON scans certified end-to-end at VALUE level (B1's
+    text-format surface, upgraded from pytest round-trips to a driver
+    row): orders re-land as headered CSV, the filtered lineitem slice
+    as JSON-lines, both read back with DECLARED schemas (schema-on-read,
+    never inference in production — inference costs a full extra pass
+    and can flip types between batches), then joined and rolled up. The
+    oracle equality over the ORIGINAL parquet proves the text round
+    trip is lossless for the engine's types — doubles survive because
+    Spark writes shortest-round-trip representations, timestamps are
+    not involved in arithmetic here.
+
+    Scale: text sources split by line ranges exactly like parquet row
+    groups (CSV/JSON scans parallelize per file split); the join and
+    aggregate are ordinary shuffles. Text formats cost ~5-10x parquet
+    scan bandwidth and lose pushdown/pruning — this query is the
+    interchange path, not the analytics layout (that is parquet,
+    layout_zorder_pruning_stats)."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import dec2, dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+    )
+    root = tempfile.mkdtemp(prefix="textfmt_")
+    try:
+        o.write.option("header", True).mode("overwrite").csv(f"{root}/o_csv")
+        li.write.mode("overwrite").json(f"{root}/li_json")
+        o_back = (
+            spark.read.schema(
+                "o_orderkey long, o_custkey long, o_totalprice double"
+            )
+            .option("header", True)
+            .csv(f"{root}/o_csv")
+        )
+        li_back = spark.read.schema(
+            "l_orderkey long, l_extendedprice double, l_quantity double"
+        ).json(f"{root}/li_json")
+        out = (
+            o_back.join(
+                li_back, o_back.o_orderkey == li_back.l_orderkey
+            )
+            .groupBy((F.col("o_custkey") % 10).alias("cust_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(dec2("l_extendedprice")).alias("revenue"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -406,6 +406,7 @@ R14_ADDITIONS: tuple[str, ...] = (
     "set_union_by_name",
     "pipeline_observe_metrics",
     "udf_grouped_apply_arrow",
+    "scan_csv_json_roundtrip",
 )
 
 

@@ -65,6 +65,7 @@ SENSITIVE = [
     "events_kruskal_wallis",
     "scan_schema_evolution",
     "join_dpp_partitioned",
+    "scan_csv_json_roundtrip",
 ]
 
 SF = "/root/testdata/sf0.01"
