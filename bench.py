@@ -123,6 +123,7 @@ HEADLINE = [
     "pipeline_observe_metrics",
     "udf_grouped_apply_arrow",
     "scan_csv_json_roundtrip",
+    "scalar_variant_funcs",
     "graph_triangles",
     "events_ols_trend",
     "events_decayed_leaderboard",

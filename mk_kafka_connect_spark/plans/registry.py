@@ -407,6 +407,7 @@ R14_ADDITIONS: tuple[str, ...] = (
     "pipeline_observe_metrics",
     "udf_grouped_apply_arrow",
     "scan_csv_json_roundtrip",
+    "scalar_variant_funcs",
 )
 
 

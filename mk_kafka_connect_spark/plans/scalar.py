@@ -389,3 +389,42 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("query_lang"),
         F.parse_url("url", F.lit("REF")).alias("fragment"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract(props, '$') AS VARCHAR) AS canonical_json,
+      json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+    FROM events WHERE event_id < 500
+    """,
+    tags=("scalar", "B12", "variant", "semi-structured"),
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT — Spark 4's binary semi-structured type, the engine-native
+    upgrade over string-JSON for the reference's schemaless payloads
+    (SURVEY.md §1.2): ``parse_json`` decodes once into a binary
+    shredded form, every later ``variant_get`` is a direct path read
+    (no re-parse per extraction, the cost model that makes wide
+    late-binding columns viable at 100 TB), and ``to_json`` prints the
+    canonical compact form. The battery extracts a typed path, the same
+    path as string, the canonical re-serialization (proving
+    parse→print is normalization, which DuckDB replays with
+    ``json_extract('$')``), and a missing-path NULL probe — all
+    codegen'd JVM expressions, no Python.
+
+    Exactness: integers, strings, and a boolean only."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.k", "bigint").alias("k_int"),
+        F.variant_get("v", "$.k", "string").alias("k_str"),
+        F.to_json("v").alias("canonical_json"),
+        F.variant_get("v", "$.missing", "string").isNull().alias(
+            "missing_is_null"
+        ),
+    )
