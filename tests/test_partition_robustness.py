@@ -66,6 +66,8 @@ SENSITIVE = [
     "scan_schema_evolution",
     "join_dpp_partitioned",
     "scan_csv_json_roundtrip",
+    "pipeline_observe_metrics",
+    "udf_grouped_apply_arrow",
 ]
 
 SF = "/root/testdata/sf0.01"
