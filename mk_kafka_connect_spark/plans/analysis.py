@@ -1606,24 +1606,31 @@ _FD_COLS = (
 )
 
 
+def _sql_fd_key(col: str) -> str:
+    # NULL-as-value convention, mirrored by the engine's _fd_key():
+    # cast to string (injective per column) and map NULL to a chr(0)
+    # sentinel no real value starts with.
+    return f"COALESCE(CAST({col} AS VARCHAR), chr(0) || 'NULL')"
+
+
 def _sql_fd_oracle() -> str:
+    # Same distinct-count identity as the engine (n_violations(A→B) =
+    # |distinct (A,B)| − |distinct A|), over the same NULL-coalesced
+    # keys, so the two sides cannot diverge on NULL-bearing columns.
     parts = []
     for a in _FD_COLS:
-        others = [b for b in _FD_COLS if b != a]
-        sel = ", ".join(
-            f"CAST(sum(n_{b} - 1) AS BIGINT) AS v_{b}" for b in others
-        )
-        inner = ", ".join(
-            f"count(DISTINCT {b}) AS n_{b}" for b in others
-        )
-        for b in others:
+        ka = _sql_fd_key(a)
+        for b in _FD_COLS:
+            if b == a:
+                continue
+            kb = _sql_fd_key(b)
             parts.append(f"""
     SELECT '{a}' AS lhs, '{b}' AS rhs,
-      CAST(count(*) AS BIGINT) AS n_groups,
-      CAST(sum(n_{b} - 1) AS BIGINT) AS n_violations,
-      sum(n_{b} - 1) = 0 AS holds
-    FROM (SELECT {a}, {inner} FROM orders GROUP BY {a})""")
-    _ = sel
+      CAST(count(DISTINCT {ka}) AS BIGINT) AS n_groups,
+      CAST(count(DISTINCT ({ka}, {kb})) - count(DISTINCT {ka}) AS BIGINT)
+        AS n_violations,
+      count(DISTINCT ({ka}, {kb})) = count(DISTINCT {ka}) AS holds
+    FROM orders""")
     return "\n    UNION ALL".join(parts)
 
 
@@ -1659,11 +1666,24 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dominant cost, so single-pass wins. Level-k FDs chain the
     same identity over composite keys; the lattice pruning (skip
     supersets of holding FDs) is driver logic over 1-row results,
-    exactly as TANE prescribes."""
+    exactly as TANE prescribes.
+
+    NULL convention: FD semantics treat NULL as a regular domain value
+    (a group of its own, a distinct B-value), but ``countDistinct``
+    drops NULLs — so both engine and oracle count over a
+    cast-to-string key with NULL coalesced to a chr(0) sentinel. The
+    fixture is NULL-free here; the convention makes the identity hold
+    on real profiling inputs too."""
+
+    def _fd_key(c: str):
+        return F.coalesce(
+            F.col(c).cast("string"), F.concat(F.lit("\x00"), F.lit("NULL"))
+        )
+
     o = load_table(spark, sf_dir, "orders")
-    aggs = [F.countDistinct(a).alias(f"nd_{a}") for a in _FD_COLS]
+    aggs = [F.countDistinct(_fd_key(a)).alias(f"nd_{a}") for a in _FD_COLS]
     aggs += [
-        F.countDistinct(a, b).alias(f"nd_{a}__{b}")
+        F.countDistinct(_fd_key(a), _fd_key(b)).alias(f"nd_{a}__{b}")
         for a in _FD_COLS
         for b in _FD_COLS
         if a != b
@@ -1792,7 +1812,8 @@ def events_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
         AS n_quarantined,
       CAST(sum(CASE WHEN event_id % 10 <> 0
-               THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               THEN CAST(json_extract_string(COALESCE(props, '{}'), '$.k')
+                         AS BIGINT)
                END) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
@@ -1819,15 +1840,24 @@ def dq_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a JVM JsonToStructs expression inside whole-stage codegen — one
     narrow map, one keyed aggregate, no Python in the path.
 
-    Exactness: all counts and the k-sum are integers."""
+    Exactness: all counts and the k-sum are integers.
+
+    NULL convention: a NULL payload is normalized to the empty object
+    ``{}`` BEFORE staging (both sides) — otherwise ``concat`` would turn
+    a staged NULL into a NULL raw whose ``from_json`` yields a NULL
+    struct (counted valid) while the event_id rule says quarantined.
+    The fixture has no NULL props; the convention keeps the
+    classification rule and the parse outcome aligned on inputs that
+    do."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "props"
     )
+    payload = F.coalesce(F.col("props"), F.lit("{}"))
     staged = ev.withColumn(
         "raw",
         F.when(
-            F.col("event_id") % 10 == 0, F.concat(F.lit("x"), F.col("props"))
-        ).otherwise(F.col("props")),
+            F.col("event_id") % 10 == 0, F.concat(F.lit("x"), payload)
+        ).otherwise(payload),
     )
     parsed = staged.withColumn(
         "p",

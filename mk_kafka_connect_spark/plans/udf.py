@@ -232,9 +232,20 @@ def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             label = batch.column("label")
             emb = batch.column("embedding")
             flat = np.asarray(emb.values, dtype=np.float64)
-            offsets = np.asarray(emb.offsets)
+            offsets = np.asarray(emb.offsets, dtype=np.int64)
             dims = (offsets[1:] - offsets[:-1]).astype(np.int32)
-            sq = np.add.reduceat(flat * flat, offsets[:-1].astype(np.int64))
+            # reduceat hazards: an empty segment (equal consecutive
+            # offsets) returns a[start] instead of 0, and a sliced
+            # ListArray's .values can extend past offsets[-1] (inflating
+            # the LAST segment, which reduceat sums to end-of-array).
+            # Truncate the tail, clamp starts in-bounds, zero the empties.
+            sqflat = (flat * flat)[: offsets[-1]]
+            if sqflat.size:
+                starts = np.minimum(offsets[:-1], sqflat.size - 1)
+                sq = np.add.reduceat(sqflat, starts)
+                sq[dims == 0] = 0.0
+            else:
+                sq = np.zeros(dims.shape, dtype=np.float64)
             norms = np.round(np.sqrt(sq), 6)
             yield pa.RecordBatch.from_arrays(
                 [

@@ -51,14 +51,24 @@ def run_foreach_batch(
     timeout_s: int = 300,
 ) -> None:
     """Drain a bounded stream through ``foreachBatch`` with a checkpoint
-    (AvailableNow trigger)."""
+    (AvailableNow trigger). Raises if the drain does not finish within
+    ``timeout_s`` — a silent partial drain would hand the caller an
+    incomplete sink (wrong values instead of a loud failure)."""
     q = (
         stream_df.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"foreachBatch drain did not finish within {timeout_s}s "
+                f"(checkpoint={checkpoint}); sink state is incomplete"
+            )
 
 
 def scd1_state_writer(

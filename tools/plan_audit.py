@@ -1,12 +1,24 @@
 """Plan-health audit over the whole registry: one row per query with the
-physical-plan properties the scale posture rests on — scan count,
-exchange (shuffle) count, whole-stage-codegen span count, Python stage
-kind (Arrow-vectorized vs row-at-a-time), window nodes, and join
-strategies. Writes PLANAUDIT.md.
+physical-plan properties the scale posture rests on — file-scan count,
+shuffle (Exchange) count, exchange reuse, whole-stage-codegen span count,
+Python stage kind (Arrow-vectorized vs row-at-a-time), window nodes, and
+join strategies. Writes PLANAUDIT.md.
 
-Streaming queries are skipped (their plans only exist per micro-batch);
-queries that stage fixture-derived layouts execute their staging as part
-of plan construction, so this runs everything at sf0.001.
+Capture is execution-complete (round-15 rewrite, VERDICT r14 item 2):
+instead of auditing only the RETURNED DataFrame's plan — which made
+self-driving queries (staged temp layouts, observe() passes,
+``createDataFrame(collect())`` finishes) audit as 0-scan LocalTableScans
+— the tool snapshots the SQL status store's execution list around each
+query and merges the final adaptive plan graphs of EVERY execution the
+query fired.  ``SQLAppStatusStore.planGraph(id)`` returns the structured
+node list of the latest (post-AQE) plan, so counting is by node name,
+not substring matching — which also fixes the old shuffle column
+overcounting ``BroadcastExchange``/``ReusedExchange`` as shuffles
+(ADVICE r14 item 5).
+
+Streaming queries are skipped (their plans only exist per micro-batch).
+Runs at sf0.01 so AQE cannot collapse selective queries (q7 at sf0.001)
+into empty local relations.
 
 Usage: python tools/plan_audit.py
 """
@@ -14,13 +26,12 @@ Usage: python tools/plan_audit.py
 from __future__ import annotations
 
 import os
-import re
 import sys
 from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"
 
 JOIN_NODES = (
     "BroadcastHashJoin",
@@ -29,6 +40,66 @@ JOIN_NODES = (
     "BroadcastNestedLoopJoin",
     "CartesianProduct",
 )
+
+ARROW_PY_NODES = (
+    "ArrowEvalPython",
+    "MapInArrow",
+    "FlatMapGroupsInArrow",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "AggregateInPandas",
+    "FlatMapCoGroupsInPandas",
+    "PythonMapInArrow",
+)
+
+
+def _graph_counts(store, exec_id: int) -> dict:
+    """Node-name counts of one execution's FINAL adaptive plan graph."""
+    g = store.planGraph(exec_id)
+    nodes = g.allNodes()
+    m = {
+        "scans": 0,
+        "exchanges": 0,
+        "broadcasts": 0,
+        "reused": 0,
+        "wscg": 0,
+        "arrow_py": 0,
+        "row_py": 0,
+        "windows": 0,
+        "joins": Counter(),
+    }
+    for k in range(nodes.size()):
+        name = nodes.apply(k).name().strip()
+        if name.startswith("Scan ") and name != "Scan OneRowRelation":
+            m["scans"] += 1
+        elif name == "Exchange":
+            m["exchanges"] += 1
+        elif name == "BroadcastExchange":
+            m["broadcasts"] += 1
+        elif name.startswith("ReusedExchange"):
+            m["reused"] += 1
+        elif name.startswith("WholeStageCodegen"):
+            m["wscg"] += 1
+        elif name.startswith("Window"):
+            m["windows"] += 1
+        elif name == "BatchEvalPython":
+            m["row_py"] += 1
+        elif any(name.startswith(a) for a in ARROW_PY_NODES):
+            m["arrow_py"] += 1
+        else:
+            for j in JOIN_NODES:
+                if name.startswith(j):
+                    m["joins"][j] += 1
+                    break
+    return m
+
+
+def _merge(acc: dict, one: dict) -> None:
+    for k, v in one.items():
+        if k == "joins":
+            acc["joins"].update(v)
+        else:
+            acc[k] += v
 
 
 def main() -> None:
@@ -44,52 +115,52 @@ def main() -> None:
             "spark.ui.enabled": "false",
         },
     )
+    jsc = spark.sparkContext._jsc.sc()
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def _max_exec_id() -> int:
+        execs = store.executionsList()
+        n = execs.size()
+        return execs.apply(n - 1).executionId() if n else -1
+
     rows = []
     for name, spec in QUERIES.items():
         if "streaming" in spec.tags or name.startswith("streaming"):
             rows.append((name, None))
             continue
         try:
+            jsc.listenerBus().waitUntilEmpty()
+            before = _max_exec_id()
             df = spec.fn(spark, SF)
-            # Execute so AQE finalizes: codegen spans (*(n) markers) and
-            # ReusedExchange nodes only exist in the FINAL adaptive plan.
+            # Execute so AQE finalizes: exchange reuse and codegen spans
+            # only exist in the FINAL adaptive plan, and self-driving
+            # queries fire their staged jobs here.
             df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            # Post-execution AQE prints "== Final Plan ==" followed by
-            # "== Initial Plan ==" — audit the final section only, or
-            # every scan/exchange double-counts.
-            plan = plan.split("== Initial Plan ==")[0]
+            jsc.listenerBus().waitUntilEmpty()
+            execs = store.executionsList()
+            merged = {
+                "scans": 0,
+                "exchanges": 0,
+                "broadcasts": 0,
+                "reused": 0,
+                "wscg": 0,
+                "arrow_py": 0,
+                "row_py": 0,
+                "windows": 0,
+                "joins": Counter(),
+                "n_execs": 0,
+            }
+            for i in range(execs.size()):
+                eid = execs.apply(i).executionId()
+                if eid <= before:
+                    continue
+                merged["n_execs"] += 1
+                _merge(merged, _graph_counts(store, eid))
+            merged["joins"] = dict(merged["joins"])
+            rows.append((name, merged))
         except Exception as ex:  # noqa: BLE001
             rows.append((name, {"error": str(ex)[:80]}))
             continue
-        joins = Counter()
-        for j in JOIN_NODES:
-            c = plan.count(j)
-            if c:
-                joins[j] = c
-        rows.append(
-            (
-                name,
-                {
-                    "scans": len(re.findall(r"FileScan parquet", plan)),
-                    "exchanges": plan.count("Exchange ")
-                    + plan.count("Exchange\n"),
-                    "reused": plan.count("ReusedExchange"),
-                    # Codegen spans appear as "*(n) Operator" prefixes in
-                    # the plan string (one id per fused span).
-                    "wscg": len(set(re.findall(r"\*\((\d+)\)", plan))),
-                    "arrow_py": plan.count("ArrowEvalPython")
-                    + plan.count("MapInArrow")
-                    + plan.count("FlatMapGroupsInArrow")
-                    + plan.count("MapInPandas")
-                    + plan.count("FlatMapGroupsInPandas")
-                    + plan.count("AggregateInPandas"),
-                    "row_py": plan.count("BatchEvalPython"),
-                    "windows": plan.count("Window"),
-                    "joins": dict(joins),
-                },
-            )
-        )
 
     audited = [(n, m) for n, m in rows if m and "error" not in m]
     skipped = [n for n, m in rows if m is None]
@@ -99,12 +170,17 @@ def main() -> None:
         "# PLANAUDIT — physical-plan health of every registry query",
         "",
         "Auto-generated by `tools/plan_audit.py`: every batch query is",
-        "EXECUTED at sf0.001 and its FINAL adaptive plan audited (AQE",
-        "finalizes codegen spans and exchange reuse only at execution).",
-        "Columns: parquet scans / shuffles (Exchange) / ReusedExchange /",
-        "WholeStageCodegen spans / Arrow-vectorized Python stages /",
-        "row-at-a-time Python stages / Window nodes / join strategies.",
-        "Caveat: join strategies are AQE's choice AT sf0.001 — small",
+        "EXECUTED at sf0.01 and the FINAL adaptive plan graph of EVERY",
+        "execution it fires (returned-DF action, staged temp layouts,",
+        "observe() passes, internal drains) is merged via the SQL status",
+        "store — so self-driving queries audit as their real jobs, not as",
+        "the LocalTableScan of their collected finish.",
+        "Columns: executions / file scans / shuffle Exchanges (broadcast",
+        "and reused exchanges EXCLUDED, reported separately) /",
+        "BroadcastExchange / ReusedExchange / WholeStageCodegen spans /",
+        "Arrow-vectorized Python stages / row-at-a-time Python stages /",
+        "Window nodes / join strategies.",
+        "Caveat: join strategies are AQE's choice AT sf0.01 — small",
         "dimensions broadcast here that would sort-merge at 100 TB; the",
         "posture arguments live in each query's docstring, the hard",
         "constraints in tests/test_plan_smells.py.",
@@ -115,9 +191,9 @@ def main() -> None:
         f" ({', '.join(row_py) if row_py else 'none'}) — the deliberate"
         " B14 row-UDF surface only.",
         "",
-        "| query | scans | shuffles | reused | wscg | arrowPy | rowPy |"
-        " windows | joins |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | execs | scans | shuffles | bcast | reused | wscg |"
+        " arrowPy | rowPy | windows | joins |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for n, m in audited:
         joins = (
@@ -126,12 +202,12 @@ def main() -> None:
             else ""
         )
         lines.append(
-            f"| `{n}` | {m['scans']} | {m['exchanges']} | {m['reused']} |"
-            f" {m['wscg']} | {m['arrow_py']} | {m['row_py']} |"
-            f" {m['windows']} | {joins} |"
+            f"| `{n}` | {m['n_execs']} | {m['scans']} | {m['exchanges']} |"
+            f" {m['broadcasts']} | {m['reused']} | {m['wscg']} |"
+            f" {m['arrow_py']} | {m['row_py']} | {m['windows']} | {joins} |"
         )
     for n, m in errors:
-        lines.append(f"| `{n}` | ERROR: {m['error']} | | | | | | | |")
+        lines.append(f"| `{n}` | ERROR: {m['error']} | | | | | | | | | |")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PLANAUDIT.md",
