@@ -33,6 +33,9 @@ __all__ = [
     "R6_STALE_FILL",
     "R13_ADDITIONS",
     "R14_ADDITIONS",
+    "R15_REWRITTEN_RECERTS",
+    "R8_STALE_FILL",
+    "R15_ADDITIONS",
     "certification_order",
 ]
 
@@ -429,21 +432,117 @@ def _r14_front() -> tuple[str, ...]:
     return tuple((head + fill)[:DRIVER_WINDOW])
 
 
-CERTIFICATION_FRONT: tuple[str, ...] = _r14_front()
+# Queries whose CODE or ORACLE was rewritten AFTER their newest green
+# driver row, making that hard evidence stale-by-code (the r15 head,
+# VERDICT r14 "Next round" #1): dq_fd_discovery's newest row (r11)
+# predates both the r14 single-pass plan rewrite and the r15
+# NULL-as-value convention; the other two were r14-certified but got
+# round-15 edits (quarantine NULL-payload normalization; mapInArrow
+# empty-segment/sliced-offsets kernel guard).
+R15_REWRITTEN_RECERTS: tuple[str, ...] = (
+    "dq_fd_discovery",
+    "dq_corrupt_record_quarantine",
+    "udf_arrow_batches",
+)
+
+
+# Queries whose newest green driver row is round 8 (registration order) —
+# the r15 backfill pool behind the rewritten re-certs + the 45-query
+# r6-evidence pool + round-15 additions. Derivation recomputed from the
+# CORRECTNESS_r01–r14 artifacts by tests/test_registry_rotation.py.
+R8_STALE_FILL: tuple[str, ...] = (
+    "agg_bitmap_distinct",
+    "join_bloom_prefilter",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "orders_rfm_segments",
+    "events_dau_wau",
+    "dq_checks_orders",
+    "cdc_snapshot_asof",
+    "basket_brand_affinity",
+    "agg_bitmap_audience_overlap",
+    "orders_cohort_ltv",
+    "supplier_concentration_hhi",
+    "orders_open_backlog",
+    "agg_quantiles_distributed",
+    "cdc_snapshot_diff",
+    "diag_key_skew",
+    "dedup_verbatim_spans",
+    "docs_length_histogram",
+    "multimodal_ahash_neardup",
+    "sim_topk_pq",
+    "sim_topk_ivf_pq",
+    "dedup_ngram_containment",
+    "text_langid_confusion",
+    "docs_oov_rate",
+    "graph_pagerank",
+    "filter_range_halfopen",
+    "join_left_nulls",
+    "join_right",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_asof",
+    "events_time_weighted_avg",
+    "events_markov_transitions",
+    "events_session_paths",
+    "funnel_conversion_latency",
+    "events_attribution_models",
+    "cdc_pipeline_end_to_end",
+    "streaming_active_users_hourly",
+    "streaming_stream_stream_full_join",
+    "streaming_cdc_scd1",
+    "events_ohlc_hourly",
+    "events_ewma",
+    "events_ab_test",
+    "ivm_orders_summary",
+    "join_fact_scd2_temporal",
+    "er_name_neardup",
+    "events_trend_mannkendall",
+)
+
+
+# Queries ADDED during round 15 — extended as each lands; overflow past
+# the window queues directly behind it via certification_order().
+R15_ADDITIONS: tuple[str, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# Round-15 rotation (VERDICT r14 "Next round" #1). CORRECTNESS_r14 certified
+# exactly _r14_front() 50/50 green — the round that closed 289/289
+# ever-certified. The r15 window re-certifies the three queries whose code
+# or oracle changed after their newest driver row, then the 45 queries
+# whose newest evidence is still round 6, then round-15 additions, then
+# backfills from the 49-query round-8 pool. Derivations recomputed from
+# CORRECTNESS_r01–r14 by tests/test_registry_rotation.py.
+# ---------------------------------------------------------------------------
+def _r15_front() -> tuple[str, ...]:
+    certified_r14 = set(_r14_front())
+    head = list(R15_REWRITTEN_RECERTS)
+    head += [
+        n for n in R6_STALE_FILL if n not in certified_r14 and n not in head
+    ]
+    head += [n for n in R15_ADDITIONS if n not in head]
+    fill = [n for n in R8_STALE_FILL if n not in head]
+    return tuple((head + fill)[:DRIVER_WINDOW])
+
+
+CERTIFICATION_FRONT: tuple[str, ...] = _r15_front()
 
 
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
 
     Re-cert overflow (stale queries that did not fit the window) queues
-    directly behind it — the r6-evidence pool left over after the r14
-    fill, then round-14 additions — so the r15 window head is already
-    staged; everything else follows in registration order.
+    directly behind it — the r8-evidence pool left over after the r15
+    fill, then round-15 addition overflow — so the r16 window head is
+    already staged; everything else follows in registration order.
     """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up = [
         n
-        for n in (*R6_STALE_FILL, *R14_ADDITIONS)
+        for n in (*R8_STALE_FILL, *R15_ADDITIONS)
         if n in QUERIES and n not in front
     ]
     pinned = set(front) | set(next_up)
