@@ -10,6 +10,8 @@ timing covers scan→shuffle→result, not just plan construction.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import sys
@@ -213,6 +215,65 @@ HEADLINE = [
 ]
 
 
+# --headline-core: the fast per-addition iteration tier (~40 queries) —
+# the round-1 anchor set (the only cross-round comparable baseline,
+# BASELINE.md) plus one representative per operator family plus the
+# standing most-expensive watchlist. The FULL headline set above remains
+# the end-of-round clean-machine snapshot the driver records; the core
+# tier exists so per-addition iteration doesn't pay the 180-query bill
+# (VERDICT r14 item 6). BASELINE.md §bench-tiers documents which tier
+# gates what.
+HEADLINE_CORE = [
+    # round-1 anchors (cross-round comparable).
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "expand_customer_flat",
+    "dedup_latest_wins",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_topk_lsh",
+    "multimodal_decode",
+    "sim_topk_bruteforce",
+    # one representative per family.
+    "q9_product_type_profit",
+    "join_asof",
+    "join_skew_salted",
+    "bucketed_join_revenue",
+    "join_dpp_partitioned",
+    "agg_stats",
+    "agg_quantiles_distributed",
+    "agg_hll_sketch_merge",
+    "agg_countmin_estimates",
+    "window_running_agg",
+    "cdc_merge_upsert",
+    "cdc_scd2_history",
+    "text_quality_score",
+    "docs_bm25_topk",
+    "sim_topk_ivf",
+    "sim_hybrid_rrf",
+    "dedup_embedding_lsh",
+    "graph_pagerank",
+    "events_dau_wau",
+    "events_ohlc_hourly",
+    "dq_checks_orders",
+    "udf_arrow_batches",
+    "udf_pandas_grouped_agg",
+    "multimodal_phash_neardup",
+    "pipeline_training_data",
+    "er_fellegi_sunter",
+    "scalar_variant_funcs",
+    "events_kruskal_wallis",
+    "rest_scan_events",
+    # standing most-expensive watchlist (PLANAUDIT / VERDICT top-5).
+    "sim_knn_loo_eval",
+    "docs_char_bigram_rarity",
+    "dedup_semantic_kmeans",
+    "dq_fd_discovery",
+    "pipeline_stage_funnel",
+]
+
+
 # Recycle the SparkSession every N benched queries. Running ~100 queries
 # × 3 executions through one local JVM accumulates heap (codegen classes,
 # listener state, broadcast remnants); round 9's run OOM'd at query #86
@@ -260,12 +321,37 @@ def _run_one(spark, fn, sf_dir: str, reps: int) -> float:
     return best
 
 
+def _fixture_hashes(sf_dir: str) -> dict[str, str]:
+    """Content hash per fixture table. Fixtures are REGENERATED across
+    rounds; recording their hashes at bench time lets the next round's
+    regression triage separate fixture drift from host drift
+    mechanically (BASELINE.md §round-14 triage protocol)."""
+    hashes: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(path).removesuffix(".parquet")
+        h = hashlib.md5()
+        try:
+            if os.path.isdir(path):  # partitioned layout: hash part files
+                for part in sorted(glob.glob(os.path.join(path, "**", "*"), recursive=True)):
+                    if os.path.isfile(part):
+                        h.update(open(part, "rb").read())
+            else:
+                h.update(open(path, "rb").read())
+            hashes[name] = h.hexdigest()[:12]
+        except OSError:
+            continue
+    return hashes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    core_tier = "--headline-core" in sys.argv[1:] or os.environ.get(
+        "SPARK_GRAFT_BENCH_TIER"
+    ) == "core"
     spark = _fresh_session()
 
-    names = [n for n in HEADLINE if n in QUERIES]
+    names = [n for n in (HEADLINE_CORE if core_tier else HEADLINE) if n in QUERIES]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in QUERIES]
@@ -313,14 +399,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "fixture_hashes": _fixture_hashes(sf_dir),
     }
+    if core_tier:
+        full["tier"] = "core"
     if errors:
         full["errors"] = errors
-    # Filtered runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
-    # committed full-run artifact the judge reads.
+    # Filtered/core runs (SPARK_GRAFT_BENCH_QUERIES, --headline-core)
+    # must not clobber the committed full-run artifact the judge reads.
     local_name = (
         "BENCH_LOCAL.json"
-        if not os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+        if not (os.environ.get("SPARK_GRAFT_BENCH_QUERIES") or core_tier)
         else "BENCH_LOCAL_FILTERED.json"
     )
     local_path = os.path.join(
@@ -336,7 +425,7 @@ def main() -> None:
     # missing a driver-recorded anchor), then the classic headline order;
     # greedily filled to PRINT_BUDGET so the line always parses from the
     # driver's stdout tail. `n` = how many queries were actually timed.
-    priority = [n for n in reversed(HEADLINE) if n in timings]
+    priority = [n for n in reversed(names) if n in timings]
     compact_q: dict[str, float] = {}
     base = {
         "metric": "headline_queries_total",
