@@ -212,6 +212,9 @@ HEADLINE = [
     "events_permutation_test",
     "orders_theil_sen",
     "events_kruskal_wallis",
+    # r15 additions.
+    "cdc_incremental_cron_replay",
+    "cdc_variant_pipeline",
 ]
 
 

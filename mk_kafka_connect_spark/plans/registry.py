@@ -504,8 +504,13 @@ R8_STALE_FILL: tuple[str, ...] = (
 
 
 # Queries ADDED during round 15 — extended as each lands; overflow past
-# the window queues directly behind it via certification_order().
-R15_ADDITIONS: tuple[str, ...] = ()
+# the window queues directly behind it via certification_order()
+# (additions first: never-certified outranks stale re-certs).
+R15_ADDITIONS: tuple[str, ...] = (
+    "cdc_incremental_cron_replay",
+    "streaming_stream_stream_semi_join",
+    "cdc_variant_pipeline",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +547,7 @@ def certification_order() -> list[str]:
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up = [
         n
-        for n in (*R8_STALE_FILL, *R15_ADDITIONS)
+        for n in (*R15_ADDITIONS, *R8_STALE_FILL)
         if n in QUERIES and n not in front
     ]
     pinned = set(front) | set(next_up)

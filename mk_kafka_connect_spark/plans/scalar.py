@@ -428,3 +428,86 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_is_null"
         ),
     )
+
+
+@query(
+    "cdc_variant_pipeline",
+    # The late-binding story end-to-end: the oracle replays the typed
+    # extractions with string-JSON path reads; equality proves the
+    # VARIANT ingest → canonical wire JSON → VARIANT re-parse roundtrip
+    # loses nothing and binds the same types.
+    oracle="""
+    SELECT 'events.' || event_type AS topic,
+      CAST(count(*) AS BIGINT) AS n_records,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+      CAST(sum(CAST(json_extract_string(COALESCE(props, '{}'), '$.k')
+                    AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(max(CAST(json_extract_string(COALESCE(props, '{}'), '$.k')
+                    AS BIGINT)) AS BIGINT) AS max_k,
+      CAST(count(*) AS BIGINT) AS n_missing_tolerated,
+      CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("cdc", "B12", "variant", "pipeline", "A7", "A9", "A10", "late-binding"),
+)
+def cdc_variant_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed CDC end-to-end — SURVEY.md §1.2's late-binding story
+    closed with the engine-native type instead of string JSON: the
+    schemaless payload is parsed ONCE to VARIANT at ingest
+    (``parse_json``; NULL payloads normalized to the empty object, the
+    same convention as the quarantine query), carried through the
+    reference's record pipeline — A7 keyed records with null-id drop
+    (Task.java:394-401), per-row entity tag, A9 ``{prefix}.{entity}``
+    topic routing (Task.java:418-419), A10 Kafka shape
+    (Task.java:434-443) whose ``value`` serializes the VARIANT to
+    canonical compact JSON — and then a downstream CONSUMER re-parses
+    the wire value to VARIANT and late-binds typed projections with
+    ``variant_get`` ($.event_id, $.user_id, the nested $.payload.k, and
+    a missing path that must tolerate absence as NULL, never error).
+    Per-topic integer aggregates of the late-bound values prove the
+    roundtrip binds exactly what the producer ingested.
+
+    Scale shape: the whole pipeline is narrow codegen'd JVM expressions
+    (parse once, direct path reads — no per-extraction re-parse, the
+    cost model that makes wide late-binding viable at 100 TB); the only
+    shuffle is the final per-topic aggregate, partial map-side.
+
+    Exactness: counts, sums, max — integers only."""
+    from ..operators.cdc import keyed_records, route_topics, to_kafka_shape
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    ingested = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.parse_json(F.coalesce(F.col("props"), F.lit("{}"))).alias("payload"),
+    )
+    routed = route_topics(
+        keyed_records(ingested, "user_id").withColumn(
+            "_entity_type", F.col("event_type")
+        ),
+        "events",
+    )
+    shaped = to_kafka_shape(routed)
+    # Consumer side: back from the wire format, late-bound and typed.
+    consumed = shaped.select("topic", F.parse_json("value").alias("msg"))
+    typed = consumed.select(
+        "topic",
+        F.variant_get("msg", "$.event_id", "bigint").alias("event_id"),
+        F.variant_get("msg", "$.user_id", "bigint").alias("user_id"),
+        F.variant_get("msg", "$.payload.k", "bigint").alias("k"),
+        F.variant_get("msg", "$.payload.missing", "bigint").alias("absent"),
+    )
+    return typed.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0)).alias(
+            "n_missing_tolerated"
+        ),
+        F.sum("event_id").alias("id_checksum"),
+    )

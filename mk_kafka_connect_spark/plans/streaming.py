@@ -206,6 +206,37 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "streaming_stream_stream_semi_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, v.ts AS v_ts
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = v.user_id
+          AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR)
+    """,
+    tags=("streaming", "B13", "join", "stream-stream", "semi"),
+)
+def streaming_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream ⋈ stream attribution — the last uncertified mode
+    of the stream-stream join matrix (inner / leftOuter / fullOuter have
+    registry rows): which views CONVERTED, as an existence test. Each
+    view emits at most once if any click by the same user lands within
+    the 6-hour horizon — no click payload, no duplicate per extra click
+    (the semantics a funnel's first stage wants; a dedup'd inner join
+    would carry the whole click state through a shuffle to discard it).
+    Matched rows emit as soon as the match is seen, so the bounded drain
+    needs no watermark sentinel; unmatched views are dropped at state
+    expiry, which is what bounds both buffers on an unbounded pair. The
+    drain must equal the batch EXISTS oracle row-for-row."""
+    views = SW.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    clicks = SW.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    out = SW.stream_stream_attribution_semi(views, clicks, "6 hours")
+    return SW.run_to_memory(out, "append")
+
+
+@query(
     "streaming_active_users_hourly",
     oracle="""
     SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
@@ -683,3 +714,183 @@ def streaming_topic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     by (epoch, topic) is exactly how a parquet landing zone for a
     multi-topic Kafka feed stays replay-safe at any volume."""
     return _run_topic_fanout(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# cdc_incremental_cron_replay — the A11+A13 composition end-to-end: the
+# reference's INITIAL→INCREMENTAL two-phase scan loop, cron-gated, with a
+# real mid-batch crash + recovery, at registry level.
+# ---------------------------------------------------------------------------
+
+
+# The simulated poll-clock script (constants, so the DuckDB oracle can
+# restate the window boundaries exactly). Daily-midnight Quartz cron.
+_INC_CRON = "0 0 0 * * ?"
+_INC_ENTITIES = ("click", "view", "purchase")
+_INC_T0 = "2024-01-01 00:00:00"  # configured initial datetime
+_INC_T1 = "2024-01-11 00:00:00"  # poll 1: INITIAL backfill [T0, T1)
+_INC_T2 = "2024-01-11 12:00:00"  # poll 2: before next cron fire — NO-OP
+_INC_T3 = "2024-01-16 00:30:00"  # poll 3: INCREMENTAL [T1, T3)
+_INC_T4 = "2024-01-24 06:00:00"  # poll 4: [T3, T4) — crashes mid-batch
+_INC_T4R = "2024-01-24 06:05:00"  # poll 5: recovery resumes FROZEN [T3, T4)
+_INC_T5 = "2024-02-02 00:00:00"  # poll 6: [T4, T5) drains the tail
+
+
+def _run_incremental_cron_replay(
+    spark: SparkSession, sf_dir: str, audit: dict | None = None
+) -> DataFrame:
+    """Drive the two-phase loop; factored out so the contract test can
+    pass ``audit`` and assert the no-op poll, the frozen crash window,
+    and the per-cycle window boundaries."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from ..streaming.incremental import IncrementalDriver, StateStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="inc_replay_")
+    out = f"{root}/out"
+    fmt = "%Y-%m-%d %H:%M:%S"
+    clock_holder = {"now": datetime.strptime(_INC_T1, fmt)}
+    # Crash on the LAST entity's sink of the armed cycle: the earlier
+    # entities complete their [T3, T4) batch (state advanced), so the
+    # recovery poll resumes ONLY the crashed entity — per-entity state
+    # independence — and every entity's window boundaries stay exactly
+    # the scripted constants.
+    crash = {"countdown": None}
+
+    def fetch(entity: str, start: str, end: str) -> DataFrame:
+        return ev.filter(
+            (F.col("event_type") == entity)
+            & (F.col("ts") >= F.to_timestamp(F.lit(start)))
+            & (F.col("ts") < F.to_timestamp(F.lit(end)))
+        )
+
+    def sink(df: DataFrame, entity: str, window) -> None:
+        (
+            df.withColumn("entity", F.lit(entity))
+            .withColumn("wstart", F.lit(window.start))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("entity", "wstart")
+            .parquet(out)
+        )
+        if crash["countdown"] is not None:
+            crash["countdown"] -= 1
+            if crash["countdown"] == 0:
+                crash["countdown"] = None
+                raise RuntimeError("simulated crash after sink, before commit")
+
+    def poll(driver: IncrementalDriver, at: str):
+        clock_holder["now"] = datetime.strptime(at, fmt)
+        windows = driver.run_once()
+        if audit is not None:
+            audit.setdefault("cycles", []).append(
+                (at, [(w.entity, w.start, w.end) for w in windows])
+            )
+        return windows
+
+    try:
+        store = StateStore(f"{root}/state.json")
+
+        def build() -> IncrementalDriver:
+            return IncrementalDriver(
+                store,
+                list(_INC_ENTITIES),
+                fetch,
+                sink,
+                cron=_INC_CRON,
+                initial_datetimes={e: _INC_T0 for e in _INC_ENTITIES},
+                clock=lambda: clock_holder["now"],
+            )
+
+        driver = build()
+        poll(driver, _INC_T1)  # INITIAL backfill; mode → INCREMENTAL
+        noop = poll(driver, _INC_T2)  # before the cron fire: gate holds
+        assert noop == [], "readiness gate must reject a pre-cron poll"
+        poll(driver, _INC_T3)
+        crash["countdown"] = len(_INC_ENTITIES)
+        try:
+            poll(driver, _INC_T4)
+        except RuntimeError:
+            if audit is not None:
+                audit["crashed_at"] = _INC_T4
+        # Crash recovery: a NEW driver rebuilt from the durable state
+        # store (the restarted Connect task). is_processing_batch is
+        # still true with batch_end FROZEN at T4, so the resume
+        # re-processes the SAME window — at-least-once into the
+        # idempotent overwrite-by-window sink.
+        driver = build()
+        poll(driver, _INC_T4R)
+        poll(driver, _INC_T5)
+
+        final = (
+            spark.read.parquet(out)
+            .groupBy("entity")
+            .agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.sum("event_id").cast("long").alias("id_checksum"),
+                F.countDistinct("wstart").cast("long").alias("n_windows"),
+            )
+        )
+        return spark.createDataFrame(final.collect(), schema=final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "cdc_incremental_cron_replay",
+    # The oracle restates the scripted window boundaries as constants:
+    # equality proves the cron gate fired exactly where the schedule
+    # says (n_windows bucketing), and that the INITIAL→INCREMENTAL
+    # hand-off and the crash replay neither skipped nor duplicated a
+    # single record (counts + id checksum).
+    oracle="""
+    SELECT event_type AS entity,
+      CAST(count(*) AS BIGINT) AS n_records,
+      CAST(sum(event_id) AS BIGINT) AS id_checksum,
+      CAST(count(DISTINCT CASE
+        WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+        WHEN ts < TIMESTAMP '2024-01-16 00:30:00' THEN 1
+        WHEN ts < TIMESTAMP '2024-01-24 06:00:00' THEN 2
+        ELSE 3 END) AS BIGINT) AS n_windows
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+      AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts < TIMESTAMP '2024-02-02 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("cdc", "incremental", "A11", "A12", "A13", "exactly-once"),
+)
+def cdc_incremental_cron_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stateful scan loop END-TO-END at registry level —
+    the one behavior that was previously only pytest-covered: the
+    INITIAL_LOAD backfill → INCREMENTAL_LOAD mode switch
+    (``Task.java:267-291``), the cron-gated readiness check
+    (``Task.java:178-190``: a poll BEFORE the next Quartz fire must
+    process nothing — exercised and asserted), half-open windows with
+    the upper bound FROZEN at batch start (``Task.java:245-262``), and
+    the crash contract (state advances only AFTER the sink commit,
+    CO-README:512-525): one cycle raises after the sink write but
+    before completion, the driver is rebuilt from the durable state
+    store, and the resumed batch re-processes the SAME frozen window
+    into the idempotent overwrite-by-window sink — at-least-once ×
+    idempotent = exactly-once, which the oracle equality PROVES (a
+    duplicated window would double its partition's counts; a skipped
+    one would drop them).
+
+    Three entities poll through a scripted clock (constants above) on a
+    daily-midnight Quartz cron; the sink lands per-(entity, window)
+    parquet partitions; the result is the per-entity record count, id
+    checksum, and DISTINCT window count (4: initial + three fires).
+
+    Scale shape: each cycle is one narrow predicate-pushed scan per
+    entity ([ts >= start AND ts < end] reaches the parquet reader) and
+    one partitioned write — no shuffle at all in the ingest path; state
+    is O(entities), exactly the reference's design. The final
+    verification aggregate is not part of the production loop."""
+    return _run_incremental_cron_replay(spark, sf_dir)

@@ -35,6 +35,7 @@ __all__ = [
     "stream_stream_attribution",
     "stream_stream_attribution_outer",
     "stream_stream_attribution_full_outer",
+    "stream_stream_attribution_semi",
     "read_events_stream_with_horizon_sentinel",
 ]
 
@@ -103,7 +104,14 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within {timeout_s}s;"
+                " the memory sink is incomplete"
+            )
     spark = result.sparkSession
     return spark.table(name)
 
@@ -327,6 +335,41 @@ def stream_stream_attribution_outer(
         "view_id",
         "click_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+def stream_stream_attribution_semi(
+    views: DataFrame, clicks: DataFrame, horizon: str = "6 hours"
+) -> DataFrame:
+    """LEFT SEMI stream ⋈ stream attribution — the existence-test join
+    mode: emit each view AT MOST ONCE iff some click by the same user
+    lands within the horizon; no click columns in the output, no
+    duplicate per extra click. Semi completes Spark's stream-stream join
+    matrix (inner/leftOuter/fullOuter are registered above/below): a
+    matched view emits as soon as its first match is seen (either side
+    arriving second triggers it), an unmatched view is silently dropped
+    at state expiry — so unlike the outer modes the output never waits
+    on the watermark, but state eviction still does, which is what
+    bounds the buffers on an unbounded pair."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftSemi",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"), "view_id", "v_ts"
     )
 
 

@@ -68,6 +68,9 @@ SENSITIVE = [
     "scan_csv_json_roundtrip",
     "pipeline_observe_metrics",
     "udf_grouped_apply_arrow",
+    "cdc_incremental_cron_replay",
+    "streaming_stream_stream_semi_join",
+    "cdc_variant_pipeline",
 ]
 
 SF = "/root/testdata/sf0.01"

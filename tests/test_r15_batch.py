@@ -1,0 +1,177 @@
+"""Semantic contracts for the round-15 additions — properties the oracle
+comparison alone can't express: the incremental driver's cron gate and
+frozen crash window, semi-join emit-at-most-once, and independent plain-
+Python recomputation of every aggregate."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_incremental_cron_replay_cycle_script(spark):
+    from mk_kafka_connect_spark.plans.streaming import (
+        _INC_ENTITIES,
+        _INC_T0,
+        _INC_T1,
+        _INC_T2,
+        _INC_T3,
+        _INC_T4,
+        _INC_T4R,
+        _INC_T5,
+        _run_incremental_cron_replay,
+    )
+
+    audit: dict = {}
+    result = {
+        r.entity: r for r in _run_incremental_cron_replay(spark, SF, audit).collect()
+    }
+    cycles = dict((at, wins) for at, wins in audit["cycles"])
+
+    # INITIAL backfill covers [T0, T1) for every entity, then the mode
+    # switch makes everything cron-gated.
+    assert cycles[_INC_T1] == [(e, _INC_T0, _INC_T1) for e in _INC_ENTITIES]
+    # The readiness gate (Task.java:178-190): a poll before the next
+    # Quartz fire processes NOTHING.
+    assert cycles[_INC_T2] == []
+    assert cycles[_INC_T3] == [(e, _INC_T1, _INC_T3) for e in _INC_ENTITIES]
+    # The crash hit the LAST entity's sink: earlier entities committed
+    # their [T3, T4) batch, so the recovery cycle resumes ONLY the
+    # crashed entity — and with the FROZEN upper bound T4, not the
+    # resume-time clock T4R (Task.java:245-262 semantics).
+    assert audit["crashed_at"] == _INC_T4
+    assert _INC_T4 not in cycles  # run_once raised before returning
+    assert cycles[_INC_T4R] == [(_INC_ENTITIES[-1], _INC_T3, _INC_T4)]
+    assert cycles[_INC_T5] == [(e, _INC_T4, _INC_T5) for e in _INC_ENTITIES]
+
+    # Independent recompute: counts/checksums/window-bucketing straight
+    # off the parquet via DuckDB.
+    orc = duckdb.sql(
+        f"""SELECT event_type, count(*), sum(event_id),
+          count(DISTINCT CASE
+            WHEN ts < TIMESTAMP '{_INC_T1}' THEN 0
+            WHEN ts < TIMESTAMP '{_INC_T3}' THEN 1
+            WHEN ts < TIMESTAMP '{_INC_T4}' THEN 2 ELSE 3 END)
+        FROM '{SF}/events.parquet'
+        WHERE event_type IN {tuple(_INC_ENTITIES)}
+          AND ts >= TIMESTAMP '{_INC_T0}' AND ts < TIMESTAMP '{_INC_T5}'
+        GROUP BY 1"""
+    ).fetchall()
+    assert len(orc) == len(_INC_ENTITIES)
+    for entity, n, checksum, n_windows in orc:
+        r = result[entity]
+        assert r.n_records == n
+        assert r.id_checksum == checksum
+        assert r.n_windows == n_windows == 4
+
+
+def test_semi_join_emits_each_view_at_most_once(spark):
+    rows = (
+        QUERIES["streaming_stream_stream_semi_join"].fn(spark, SF).collect()
+    )
+    ids = [r.view_id for r in rows]
+    assert len(ids) == len(set(ids)), "semi join emitted a view twice"
+
+    # Plain-Python recompute of the EXISTS semantics.
+    ev = duckdb.sql(
+        f"""SELECT event_id, user_id, event_type, ts
+        FROM '{SF}/events.parquet'
+        WHERE event_type IN ('view', 'click')"""
+    ).fetchall()
+    clicks_by_user: dict = {}
+    for eid, uid, et, ts in ev:
+        if et == "click":
+            clicks_by_user.setdefault(uid, []).append(ts)
+    expected = set()
+    horizon = 6 * 3600
+    for eid, uid, et, ts in ev:
+        if et != "view":
+            continue
+        for cts in clicks_by_user.get(uid, ()):
+            gap = (cts - ts).total_seconds()
+            if 0 < gap <= horizon:
+                expected.add(eid)
+                break
+    assert set(ids) == expected
+    assert expected, "fixture produced no converted views"
+
+
+def test_variant_pipeline_matches_plain_recompute(spark):
+    rows = {
+        r.topic: r for r in QUERIES["cdc_variant_pipeline"].fn(spark, SF01).collect()
+    }
+    raw = duckdb.sql(
+        f"""SELECT event_type, user_id, event_id, props
+        FROM '{SF01}/events.parquet' WHERE user_id IS NOT NULL"""
+    ).fetchall()
+    agg: dict = {}
+    for et, uid, eid, props in raw:
+        t = f"events.{et}"
+        a = agg.setdefault(
+            t, {"n": 0, "users": set(), "sum_k": 0, "max_k": None, "ids": 0}
+        )
+        k = json.loads(props or "{}").get("k")
+        a["n"] += 1
+        a["users"].add(uid)
+        a["ids"] += eid
+        if k is not None:
+            a["sum_k"] += k
+            a["max_k"] = k if a["max_k"] is None else max(a["max_k"], k)
+    assert set(rows) == set(agg)
+    for t, a in agg.items():
+        r = rows[t]
+        assert r.n_records == a["n"]
+        assert r.n_keys == len(a["users"])
+        assert r.sum_k == a["sum_k"]
+        assert r.max_k == a["max_k"]
+        assert r.id_checksum == a["ids"]
+        # Late-binding tolerance: the missing path bound NULL on every
+        # record instead of erroring.
+        assert r.n_missing_tolerated == a["n"]
+
+
+def test_variant_pipeline_wire_format_is_canonical_json(spark):
+    # The A10 value must be valid JSON whose payload field is the
+    # CANONICAL re-serialization of the ingested VARIANT (parse→print
+    # normalizes), and the key must be the A7 {id_field: id} contract.
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.operators.cdc import (
+        keyed_records,
+        route_topics,
+        to_kafka_shape,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    ingested = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.parse_json(F.coalesce(F.col("props"), F.lit("{}"))).alias("payload"),
+    )
+    shaped = to_kafka_shape(
+        route_topics(
+            keyed_records(ingested, "user_id").withColumn(
+                "_entity_type", F.col("event_type")
+            ),
+            "events",
+        )
+    )
+    for r in shaped.limit(50).collect():
+        key = json.loads(r.key)
+        val = json.loads(r.value)
+        assert set(key) == {"user_id"}
+        assert r.topic == f"events.{val['event_type']}"
+        assert val["payload"] == json.loads(
+            json.dumps(val["payload"], separators=(",", ":"))
+        )
+        assert "k" in val["payload"]

@@ -164,7 +164,7 @@ def test_fill_overflow_queues_directly_behind_window():
     front = set(CERTIFICATION_FRONT)
     overflow = [
         n
-        for n in (*R8_STALE_FILL, *R15_ADDITIONS)
+        for n in (*R15_ADDITIONS, *R8_STALE_FILL)
         if n in QUERIES and n not in front
     ]
     behind = order[DRIVER_WINDOW : DRIVER_WINDOW + len(overflow)]
