@@ -215,6 +215,7 @@ HEADLINE = [
     # r15 additions.
     "cdc_incremental_cron_replay",
     "cdc_variant_pipeline",
+    "rest_retry_backoff_e2e",
 ]
 
 

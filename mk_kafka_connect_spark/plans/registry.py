@@ -510,6 +510,8 @@ R15_ADDITIONS: tuple[str, ...] = (
     "cdc_incremental_cron_replay",
     "streaming_stream_stream_semi_join",
     "cdc_variant_pipeline",
+    "rest_retry_backoff_e2e",
+    "streaming_stream_stream_right_join",
 )
 
 

@@ -326,3 +326,108 @@ def cdc_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "entity", "key", "payload", "_load_mode", "_entity_type", "topic"
     )
+
+
+@query(
+    "rest_retry_backoff_e2e",
+    # The constants restate the scripted failure schedule (two 500s,
+    # then one 429, then clean pages) and the reference's recovery
+    # arithmetic; the count/checksum prove the retried fetch still
+    # delivered every record exactly once.
+    oracle="""
+    SELECT 'events' AS entity,
+      CAST(count(*) AS BIGINT) AS n_records,
+      CAST(sum(event_id) AS BIGINT) AS id_checksum,
+      CAST(7 AS BIGINT) AS n_requests,
+      CAST(2 AS BIGINT) AS n_failed_retried,
+      CAST(1 AS BIGINT) AS n_rate_limited,
+      CAST(3 AS BIGINT) AS backoff_base_s,
+      CAST(60 AS BIGINT) AS rate_limit_wait_s
+    FROM events WHERE event_id < 300
+    """,
+    tags=("rest", "A14", "retry", "backoff", "B3"),
+)
+def rest_retry_backoff_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 retry/backoff/429 recovery END-TO-END with a driver row — the
+    one §2.A surface whose correctness was pytest-only: a dedicated
+    in-process HTTP server is armed to answer the first two requests
+    with HTTP 500 and the third with HTTP 429, and the reference's
+    recovery loop (``Task.java:294-343``) must fetch THROUGH the
+    failures: attempt 0 → 500 → exponential backoff 2^0×1 s (+10%
+    jitter), attempt 1 → 500 → 2^1×1 s, attempt 2 → 429 → the fixed
+    60 s rate-limit wait (``Task.java:314-324``), attempt 3 → clean —
+    then 3 full pages + the has-more probe complete the pagination
+    loop. The emitted audit row pins the recovery arithmetic as
+    integers (floor of each backoff strips the jitter; the 429 wait is
+    exact) plus the request count, and the record count/id-checksum
+    prove the retried window was delivered complete, exactly once —
+    the no-data-ever-skipped contract (CO-README:512-525).
+
+    The fetch itself is the reference's DRIVER loop (task-side HTTP,
+    bounded pages), not a distributed scan — the DataSource path is
+    certified by ``rest_scan_events``; this query certifies the A14
+    arithmetic at registry level. Sleeps are captured, never slept."""
+    import random
+
+    from ..sources.fake_server import FakeRestServer
+    from ..sources.rest_client import RestClient
+
+    key = f"{sf_dir}::retry"
+    if key not in _SERVERS:
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 300)
+            .select("event_id", "event_type")
+            .orderBy("event_id")
+            .collect()
+        )
+        srv = FakeRestServer(
+            {
+                "events": [
+                    {
+                        "event_id": str(r["event_id"]),
+                        "event_type": r["event_type"],
+                    }
+                    for r in rows
+                ]
+            }
+        )
+        srv.__enter__()
+        _SERVERS[key] = srv
+    srv = _SERVERS[key]
+
+    sleeps: list[float] = []
+    client = RestClient(
+        srv.url,
+        max_retries=3,
+        sleeper=sleeps.append,
+        rng=random.Random(42),
+    )
+    start = len(srv.requests)
+    srv.fail_next(2)
+    srv.rate_limit_next(1)
+    n_records = 0
+    id_checksum = 0
+    for _offset, page in client.fetch_all("events", "mod_datetime", None, None, 100):
+        for rec in page.records:
+            n_records += 1
+            id_checksum += int(rec["event_id"])
+    n_requests = len(srv.requests) - start
+    rate_limited = [s for s in sleeps if s >= 60.0]
+    backoff = [s for s in sleeps if s < 60.0]
+    row = (
+        "events",
+        n_records,
+        id_checksum,
+        n_requests,
+        len(backoff),
+        len(rate_limited),
+        int(sum(int(s) for s in backoff)),
+        int(rate_limited[0]) if rate_limited else 0,
+    )
+    return spark.createDataFrame(
+        [row],
+        "entity string, n_records long, id_checksum long, n_requests long,"
+        " n_failed_retried long, n_rate_limited long, backoff_base_s long,"
+        " rate_limit_wait_s long",
+    )

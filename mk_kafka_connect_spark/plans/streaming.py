@@ -206,6 +206,37 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "streaming_stream_stream_right_join",
+    oracle="""
+    SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           date_diff('microsecond', v.ts, c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR
+    """,
+    tags=("streaming", "B13", "join", "stream-stream", "outer"),
+)
+def streaming_stream_stream_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER stream ⋈ stream attribution — every click surfaces:
+    matched to each preceding view in the 6-hour horizon, or as a
+    null-view row (the organic conversion) once the VIEW stream's
+    watermark proves no qualifying view can still arrive. The mirror of
+    the left-outer mode, running expiry on the OTHER side's state; with
+    inner / leftOuter / fullOuter / leftSemi certified, this closes the
+    stream-stream join matrix completely. Same sentinel device as the
+    other outer modes (a bounded fixture freezes the watermark and
+    would withhold the tail's null rows), stripped after the drain —
+    pushing the filter into the streaming plan would sink it below the
+    watermark operators and silently lose the flush."""
+    ev = SW.read_events_stream_with_horizon_sentinel(spark, sf_dir, "9 hours")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = SW.stream_stream_attribution_right_outer(views, clicks, "6 hours")
+    return SW.run_to_memory(out, "append").filter(F.col("user_id") >= 0)
+
+
+@query(
     "streaming_stream_stream_semi_join",
     oracle="""
     SELECT v.user_id, v.event_id AS view_id, v.ts AS v_ts

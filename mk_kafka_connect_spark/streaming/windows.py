@@ -36,6 +36,7 @@ __all__ = [
     "stream_stream_attribution_outer",
     "stream_stream_attribution_full_outer",
     "stream_stream_attribution_semi",
+    "stream_stream_attribution_right_outer",
     "read_events_stream_with_horizon_sentinel",
 ]
 
@@ -402,6 +403,41 @@ def stream_stream_attribution_full_outer(
     )
     return joined.select(
         F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+def stream_stream_attribution_right_outer(
+    views: DataFrame, clicks: DataFrame, horizon: str = "6 hours"
+) -> DataFrame:
+    """RIGHT OUTER stream ⋈ stream attribution — the mirror of the left
+    outer mode: every click surfaces, matched to its preceding views or
+    as a null-view row (the organic/untracked conversion) once the VIEW
+    stream's watermark proves no qualifying view can still arrive. With
+    inner / leftOuter / fullOuter / leftSemi registered, this closes the
+    stream-stream join matrix completely. ``user_id`` comes from the
+    click side (never null in this mode)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "rightOuter",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
         "view_id",
         "click_id",
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),

@@ -175,3 +175,68 @@ def test_variant_pipeline_wire_format_is_canonical_json(spark):
             json.dumps(val["payload"], separators=(",", ":"))
         )
         assert "k" in val["payload"]
+
+
+def test_retry_backoff_sleep_schedule(spark):
+    # The A14 arithmetic, observed directly: two 500s then a 429 must
+    # produce sleeps [2^0*1s (+<=10% jitter), 2^1*1s (+<=10% jitter),
+    # exactly 60s], and the fetch must still complete in 7 requests.
+    import random
+
+    from mk_kafka_connect_spark.sources.fake_server import FakeRestServer
+    from mk_kafka_connect_spark.sources.rest_client import RestClient
+
+    data = {"events": [{"event_id": str(i)} for i in range(250)]}
+    with FakeRestServer(data) as srv:
+        sleeps: list[float] = []
+        client = RestClient(
+            srv.url, max_retries=3, sleeper=sleeps.append,
+            rng=random.Random(7),
+        )
+        srv.fail_next(2)
+        srv.rate_limit_next(1)
+        got = []
+        for _off, page in client.fetch_all("events", "mod_datetime", None, None, 100):
+            got.extend(page.records)
+    assert [int(r["event_id"]) for r in got] == list(range(250))
+    assert len(sleeps) == 3
+    assert 1.0 <= sleeps[0] <= 1.1
+    assert 2.0 <= sleeps[1] <= 2.2
+    assert sleeps[2] == 60.0
+    # 3 failed + 3 pages (100/100/50; the short page ends pagination).
+    assert len(srv.requests) == 6
+
+
+def test_right_join_surfaces_every_click_exactly(spark):
+    rows = (
+        QUERIES["streaming_stream_stream_right_join"].fn(spark, SF).collect()
+    )
+    # Plain-Python recompute of the RIGHT OUTER semantics.
+    ev = duckdb.sql(
+        f"""SELECT event_id, user_id, event_type, ts
+        FROM '{SF}/events.parquet'
+        WHERE event_type IN ('view', 'click')"""
+    ).fetchall()
+    views_by_user: dict = {}
+    clicks = []
+    for eid, uid, et, ts in ev:
+        if et == "view":
+            views_by_user.setdefault(uid, []).append((eid, ts))
+        else:
+            clicks.append((eid, uid, ts))
+    expected = set()
+    horizon = 6 * 3600
+    for cid, uid, cts in clicks:
+        matched = False
+        for vid, vts in views_by_user.get(uid, ()):
+            gap = (cts - vts).total_seconds()
+            if 0 < gap <= horizon:
+                expected.add((cid, vid))
+                matched = True
+        if not matched:
+            expected.add((cid, None))
+    got = set((r.click_id, r.view_id) for r in rows)
+    assert got == expected
+    null_rows = [r for r in rows if r.view_id is None]
+    assert null_rows, "fixture produced no organic clicks"
+    assert all(r.gap_us is None for r in null_rows)

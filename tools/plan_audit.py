@@ -82,7 +82,7 @@ def _graph_counts(store, exec_id: int) -> dict:
             m["wscg"] += 1
         elif name.startswith("Window"):
             m["windows"] += 1
-        elif name == "BatchEvalPython":
+        elif name.startswith("BatchEvalPython"):  # incl. BatchEvalPythonUDTF
             m["row_py"] += 1
         elif any(name.startswith(a) for a in ARROW_PY_NODES):
             m["arrow_py"] += 1
