@@ -216,6 +216,9 @@ HEADLINE = [
     "cdc_incremental_cron_replay",
     "cdc_variant_pipeline",
     "rest_retry_backoff_e2e",
+    "sql_recursive_hierarchy",
+    "sql_pipe_query",
+    "scalar_collation_funcs",
 ]
 
 

@@ -512,6 +512,9 @@ R15_ADDITIONS: tuple[str, ...] = (
     "cdc_variant_pipeline",
     "rest_retry_backoff_e2e",
     "streaming_stream_stream_right_join",
+    "sql_recursive_hierarchy",
+    "sql_pipe_query",
+    "scalar_collation_funcs",
 )
 
 

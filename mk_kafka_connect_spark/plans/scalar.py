@@ -511,3 +511,166 @@ def cdc_variant_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("event_id").alias("id_checksum"),
     )
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain(suppkey, acctbal, depth) AS (
+      SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)), 0
+      FROM supplier WHERE s_suppkey = 1
+      UNION ALL
+      SELECT s.s_suppkey, CAST(s.s_acctbal AS DECIMAL(18,2)), c.depth + 1
+      FROM supplier s JOIN chain c ON s.s_suppkey // 2 = c.suppkey
+      WHERE c.depth < 25)
+    SELECT depth,
+      CAST(count(*) AS BIGINT) AS n_nodes,
+      CAST(min(suppkey) AS BIGINT) AS min_key,
+      CAST(max(suppkey) AS BIGINT) AS max_key,
+      CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+    FROM chain GROUP BY depth ORDER BY depth
+    """,
+    tags=("sql", "B12", "recursive-cte", "iteration"),
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` — Spark 4.0's iterate-to-fixpoint SQL surface,
+    the declarative form of the engine's iterative DataFrame loops
+    (PageRank/BFS/LPA in ``plans/graph.py`` hand-roll the same
+    fixpoint): each recursion step is a self-join of the working set
+    against the base relation until no new rows appear. The hierarchy
+    is a deterministic binary tree derived from the fixture (parent(s)
+    = s_suppkey DIV 2, rooted at 1) — per-level node counts, key
+    ranges, and exact decimal balance totals; DuckDB replays the
+    recursion identically.
+
+    Scale shape: recursive CTEs materialize the frontier per step —
+    each step is one keyed equi-join (frontier ⋈ base), so cost is
+    O(levels × join); the frontier is level-sized, never the whole
+    closure. The depth guard bounds runaway recursion the same way
+    ``spark.sql.cteRecursionLevelLimit`` (default 100) does. For
+    100 TB-scale closures prefer the checkpointed iterative DataFrame
+    loop (plans/graph.py) — same algebra, explicit materialization
+    control."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "sql_rec_supplier"
+    )
+    return spark.sql("""
+      WITH RECURSIVE chain(suppkey, acctbal, depth) AS (
+        SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)), 0
+        FROM sql_rec_supplier WHERE s_suppkey = 1
+        UNION ALL
+        SELECT s.s_suppkey, CAST(s.s_acctbal AS DECIMAL(18,2)), c.depth + 1
+        FROM sql_rec_supplier s JOIN chain c ON s.s_suppkey DIV 2 = c.suppkey
+        WHERE c.depth < 25)
+      SELECT depth,
+        CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(min(suppkey) AS BIGINT) AS min_key,
+        CAST(max(suppkey) AS BIGINT) AS max_key,
+        CAST(sum(acctbal) AS DOUBLE) AS total_acctbal
+      FROM chain GROUP BY depth ORDER BY depth
+    """)
+
+
+@query(
+    "sql_pipe_query",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue,
+      CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "B12", "pipe-syntax"),
+)
+def sql_pipe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (``|>``) — Spark 4.0's linear query composition
+    (FROM → WHERE → EXTEND → AGGREGATE → ORDER BY), certified at VALUE
+    level on a Q1-style pricing rollup with exact decimal money math.
+    ``EXTEND`` demonstrates lateral column references (``disc_price``
+    computed once, consumed by the aggregate stage) — the pipe form of
+    the DataFrame API's withColumn-then-agg chaining, and proof the
+    surface is sugar over the SAME Catalyst plan: the oracle is the
+    classic formulation and must hash-match exactly.
+
+    Scale shape: identical plan to q1_pricing_summary — pushed filter +
+    projection, partial aggregation, group-sized shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_pipe_lineitem"
+    )
+    return spark.sql("""
+      FROM sql_pipe_lineitem
+      |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |> EXTEND CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS disc_price
+      |> AGGREGATE
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(disc_price) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+         GROUP BY l_returnflag, l_linestatus
+      |> SELECT l_returnflag, l_linestatus, sum_qty, revenue, n
+      |> ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+@query(
+    "scalar_collation_funcs",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE o_orderpriority END AS pri,
+             o_totalprice
+      FROM orders)
+    SELECT lower(pri) AS priority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN lower(pri) = '1-urgent' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_eq_urgent,
+      CAST(sum(CASE WHEN contains(lower(pri), 'h') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_contains_h,
+      CAST(sum(CASE WHEN lower(pri) >= '3-medium' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_ge_medium
+    FROM mixed GROUP BY lower(pri) ORDER BY priority
+    """,
+    tags=("scalar", "B12", "collation"),
+)
+def scalar_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations — Spark 4.0's engine-level case-insensitive
+    comparison semantics (``COLLATE UTF8_LCASE``): grouping, equality,
+    ``contains``, and ordering comparisons all respect the collation
+    WITHOUT rewriting every predicate through ``lower()`` — the
+    engine-native answer to the mixed-case chaos of real ingested data
+    (the fixture column is deterministically case-mangled on even keys
+    to force real merges). The oracle replays each operation with
+    explicit ``lower()``, proving the collated semantics equal the
+    normalize-then-compare formulation; the OUTPUT key is projected
+    through ``lower()`` because a collated group's representative
+    casing is undefined (either variant may surface) — the one
+    determinism hazard collations introduce.
+
+    Scale shape: one scan, one group-sized shuffle; collation-aware
+    hashing happens inside the hash aggregate, no extra pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sql_coll_orders"
+    )
+    return spark.sql("""
+      WITH mixed AS (
+        SELECT collate(CASE WHEN o_orderkey % 2 = 0
+                            THEN upper(o_orderpriority)
+                            ELSE o_orderpriority END, 'UTF8_LCASE') AS pri,
+               o_totalprice
+        FROM sql_coll_orders)
+      SELECT lower(pri) AS priority,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN pri = '1-URGENT' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_eq_urgent,
+        CAST(sum(CASE WHEN contains(pri, 'H') THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contains_h,
+        CAST(sum(CASE WHEN pri >= '3-MEDIUM' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ge_medium
+      FROM mixed GROUP BY pri ORDER BY priority
+    """)

@@ -73,6 +73,9 @@ SENSITIVE = [
     "cdc_variant_pipeline",
     "rest_retry_backoff_e2e",
     "streaming_stream_stream_right_join",
+    "sql_recursive_hierarchy",
+    "sql_pipe_query",
+    "scalar_collation_funcs",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -240,3 +240,89 @@ def test_right_join_surfaces_every_click_exactly(spark):
     null_rows = [r for r in rows if r.view_id is None]
     assert null_rows, "fixture produced no organic clicks"
     assert all(r.gap_us is None for r in null_rows)
+
+
+def test_recursive_hierarchy_matches_python_bfs(spark):
+    rows = {
+        r.depth: r for r in QUERIES["sql_recursive_hierarchy"].fn(spark, SF01).collect()
+    }
+    keys = [
+        k for (k,) in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF01}/supplier.parquet'"
+        ).fetchall()
+    ]
+    bals = dict(
+        duckdb.sql(
+            f"SELECT s_suppkey, round(s_acctbal, 2) FROM '{SF01}/supplier.parquet'"
+        ).fetchall()
+    )
+    keyset = set(keys)
+    # Plain-Python BFS over parent(k) = k // 2, rooted at 1.
+    level = {1} if 1 in keyset else set()
+    depth = 0
+    expected = {}
+    while level:
+        expected[depth] = set(level)
+        level = {k for k in keyset if k // 2 in level and k // 2 != k}
+        depth += 1
+    assert set(rows) == set(expected)
+    for d, nodes in expected.items():
+        r = rows[d]
+        assert r.n_nodes == len(nodes)
+        assert r.min_key == min(nodes)
+        assert r.max_key == max(nodes)
+        assert abs(r.total_acctbal - round(sum(bals[k] for k in nodes), 2)) < 1e-6
+
+
+def test_pipe_query_equals_classic_formulation(spark):
+    # The pipe chain must be sugar over the same semantics as the
+    # classic SQL formulation — engine-internal equality, independent
+    # of the DuckDB oracle.
+    from mk_kafka_connect_spark.catalog import load_table
+
+    load_table(spark, SF01, "lineitem").createOrReplaceTempView(
+        "sql_pipe_lineitem_t"
+    )
+    classic = spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS revenue,
+        CAST(count(*) AS BIGINT) AS n
+      FROM sql_pipe_lineitem_t
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """).collect()
+    piped = QUERIES["sql_pipe_query"].fn(spark, SF01).collect()
+    assert piped == classic
+
+
+def test_collation_grouping_merges_case_variants(spark):
+    rows = {
+        r.priority: r
+        for r in QUERIES["scalar_collation_funcs"].fn(spark, SF01).collect()
+    }
+    raw = duckdb.sql(
+        f"""SELECT o_orderkey, o_orderpriority
+        FROM '{SF01}/orders.parquet'"""
+    ).fetchall()
+    agg: dict = {}
+    for okey, pri in raw:
+        mangled = pri.upper() if okey % 2 == 0 else pri
+        low = mangled.lower()
+        a = agg.setdefault(low, {"n": 0, "urgent": 0, "h": 0, "ge": 0})
+        a["n"] += 1
+        a["urgent"] += low == "1-urgent"
+        a["h"] += "h" in low
+        a["ge"] += low >= "3-medium"
+    assert set(rows) == set(agg)
+    for low, a in agg.items():
+        r = rows[low]
+        assert (r.n, r.n_eq_urgent, r.n_contains_h, r.n_ge_medium) == (
+            a["n"], a["urgent"], a["h"], a["ge"],
+        )
+    # The case-mangling really produced both casings pre-merge.
+    assert any(okey % 2 == 0 for okey, _ in raw)
+    assert rows["1-urgent"].n == rows["1-urgent"].n_eq_urgent
