@@ -326,3 +326,31 @@ def test_collation_grouping_merges_case_variants(spark):
     # The case-mangling really produced both casings pre-merge.
     assert any(okey % 2 == 0 for okey, _ in raw)
     assert rows["1-urgent"].n == rows["1-urgent"].n_eq_urgent
+
+
+def test_fd_identity_holds_on_null_bearing_data(spark):
+    # The fixture is NULL-free, so the NULL-as-value convention
+    # (ADVICE r14 item 2) can only be proven here: on data WITH NULLs
+    # in both LHS and RHS, the engine's sentinel-coalesced
+    # distinct-count identity must equal the per-group ground truth
+    # where NULL is a group of its own and a distinct B-value.
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a"), (1, "a"), (1, None), (2, None), (2, None),
+        (None, "a"), (None, "b"), (None, None), (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string")
+    k = F.coalesce(F.col("k"), F.lit(-(2**62)))
+    v = F.coalesce(F.col("v"), F.concat(F.lit("\x00"), F.lit("NULL")))
+    got = df.agg(
+        (F.countDistinct(k, v) - F.countDistinct(k)).alias("violations"),
+        F.countDistinct(k).alias("groups"),
+    ).collect()[0]
+
+    groups: dict = {}
+    for kk, vv in rows:
+        groups.setdefault(kk, set()).add(vv)
+    expected_violations = sum(len(vs) - 1 for vs in groups.values())
+    assert got.groups == len(groups) == 4
+    assert got.violations == expected_violations == 3
