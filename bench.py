@@ -219,6 +219,8 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "sql_pipe_query",
     "scalar_collation_funcs",
+    "scalar_ansi_try_funcs",
+    "scalar_xml_funcs",
 ]
 
 

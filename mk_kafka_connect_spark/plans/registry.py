@@ -515,6 +515,8 @@ R15_ADDITIONS: tuple[str, ...] = (
     "sql_recursive_hierarchy",
     "sql_pipe_query",
     "scalar_collation_funcs",
+    "scalar_ansi_try_funcs",
+    "scalar_xml_funcs",
 )
 
 

@@ -674,3 +674,123 @@ def scalar_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS BIGINT) AS n_ge_medium
       FROM mixed GROUP BY pri ORDER BY priority
     """)
+
+
+@query(
+    "scalar_ansi_try_funcs",
+    oracle="""
+    SELECT event_id,
+      CASE WHEN event_id % 7 = 0 THEN NULL
+           ELSE CAST(CAST(value AS DOUBLE) / (event_id % 7) AS DOUBLE)
+      END AS safe_ratio,
+      TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'N/A'
+                    ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed_id,
+      CASE WHEN event_id % 5 = 0 THEN NULL
+           ELSE event_id + 1 END AS safe_inc,
+      CASE WHEN event_id % 4 = 0 THEN NULL
+           ELSE CAST('2024-01-15 12:00:00' AS TIMESTAMP) END AS parsed_ts,
+      CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_id END AS elem
+    FROM events WHERE event_id < 400
+    """,
+    tags=("scalar", "B12", "ansi", "try-functions"),
+)
+def scalar_ansi_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` safe-evaluation family under ANSI mode — Spark 4
+    enables ``spark.sql.ansi.enabled`` by DEFAULT, so the operations
+    that silently produced garbage in legacy mode (divide by zero,
+    overflow, bad casts) now THROW, and the sanctioned per-row recovery
+    is the try-variant: ``try_divide`` (zero denominators staged on
+    event_id % 7), ``try_cast`` (a deterministically poisoned string
+    column), ``try_add`` (forced bigint overflow), ``try_to_timestamp``
+    (unparseable timestamps), and ``try_element_at`` (out-of-bounds
+    array reads) — each yields NULL exactly where the oracle's CASE
+    says the input was bad, never failing the job. This is the dirty
+    100 TB ingest contract: one malformed row must cost one NULL, not
+    the pipeline.
+
+    Scale shape: one scan, one narrow codegen'd projection; the filter
+    pushes to parquet."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    poisoned = F.when(F.col("event_id") % 3 == 0, F.lit("N/A")).otherwise(
+        F.col("event_id").cast("string")
+    )
+    big = F.when(
+        F.col("event_id") % 5 == 0, F.lit(9223372036854775807)
+    ).otherwise(F.col("event_id"))
+    ts_str = F.when(F.col("event_id") % 4 == 0, F.lit("not a ts")).otherwise(
+        F.lit("2024-01-15 12:00:00")
+    )
+    arr = F.array(F.col("event_id"))
+    idx = F.when(F.col("event_id") % 2 == 0, F.lit(5)).otherwise(F.lit(1))
+    return ev.select(
+        "event_id",
+        F.try_divide(
+            F.col("value").cast("double"), F.col("event_id") % 7
+        ).alias("safe_ratio"),
+        poisoned.try_cast("bigint").alias("parsed_id"),
+        F.try_add(big, F.lit(1)).alias("safe_inc"),
+        F.try_to_timestamp(ts_str).alias("parsed_ts"),
+        F.try_element_at(arr, idx).alias("elem"),
+    )
+
+
+@query(
+    "scalar_xml_funcs",
+    # The oracle states the expected extractions straight from the
+    # source columns: equality proves construct → from_xml / xpath is a
+    # lossless roundtrip with the declared types.
+    oracle="""
+    SELECT event_id,
+      event_id AS x_id,
+      event_type AS x_type,
+      CAST(round(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS x_value,
+      user_id AS xp_user,
+      upper(event_type) AS xp_type_upper
+    FROM events WHERE event_id < 400
+    """,
+    tags=("scalar", "B12", "xml", "semi-structured"),
+)
+def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML — Spark 4.0's native XML support (``from_xml`` schema-driven
+    struct parse + the classic ``xpath_*`` extractors), the third
+    semi-structured payload format after JSON and VARIANT: a typed
+    record is serialized to an XML element per row (values quantized to
+    1e-2 BEFORE serialization so the text form is exact), then parsed
+    BACK two independent ways — ``from_xml`` with a declared schema
+    (the typed, vectorizable path) and ``xpath_long``/``xpath_string``
+    (the ad-hoc path-query path) — and both extractions must equal the
+    original columns, proving the roundtrip lossless. The reference's
+    schemaless-payload posture (SURVEY.md §1.2) applied to the one wire
+    format enterprise feeds still ship everywhere.
+
+    Scale shape: one scan, narrow codegen'd projection; XML parse is a
+    JVM expression (no Python), linear per row."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    v2 = F.round(F.col("value").cast("decimal(18,2)"), 2)
+    xml = F.concat(
+        F.lit("<e uid=\""),
+        F.col("user_id").cast("string"),
+        F.lit("\"><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><type>"),
+        F.col("event_type"),
+        F.lit("</type><val>"),
+        v2.cast("string"),
+        F.lit("</val></e>"),
+    )
+    doc = ev.select("event_id", "event_type", xml.alias("x"))
+    parsed = doc.select(
+        "event_id",
+        F.from_xml(
+            "x", "_uid bigint, id bigint, type string, val double"
+        ).alias("p"),
+        "x",
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.id").alias("x_id"),
+        F.col("p.type").alias("x_type"),
+        F.col("p.val").alias("x_value"),
+        F.xpath_long("x", F.lit("/e/@uid")).alias("xp_user"),
+        F.upper(F.xpath_string("x", F.lit("/e/type"))).alias("xp_type_upper"),
+    )

@@ -76,6 +76,8 @@ SENSITIVE = [
     "sql_recursive_hierarchy",
     "sql_pipe_query",
     "scalar_collation_funcs",
+    "scalar_ansi_try_funcs",
+    "scalar_xml_funcs",
 ]
 
 SF = "/root/testdata/sf0.01"

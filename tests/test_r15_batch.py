@@ -354,3 +354,65 @@ def test_fd_identity_holds_on_null_bearing_data(spark):
     expected_violations = sum(len(vs) - 1 for vs in groups.values())
     assert got.groups == len(groups) == 4
     assert got.violations == expected_violations == 3
+
+
+def test_ansi_mode_is_on_and_try_funcs_recover(spark):
+    # Spark 4 ships ANSI on: the plain operation THROWS on the staged
+    # bad input, and the try_ variant is the sanctioned per-row
+    # recovery (NULL exactly there, real values everywhere else).
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    df = spark.range(1)
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.select(F.expr("1 / 0")).collect()
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|OVERFLOW"):
+        df.select(F.expr("9223372036854775807 + CAST(1 AS BIGINT)")).collect()
+    rows = {
+        r.event_id: r
+        for r in QUERIES["scalar_ansi_try_funcs"].fn(spark, SF).collect()
+    }
+    for eid, r in rows.items():
+        assert (r.safe_ratio is None) == (eid % 7 == 0)
+        assert (r.parsed_id is None) == (eid % 3 == 0)
+        assert (r.safe_inc is None) == (eid % 5 == 0)
+        assert (r.parsed_ts is None) == (eid % 4 == 0)
+        assert (r.elem is None) == (eid % 2 == 0)
+
+
+def test_xml_roundtrip_matches_python_parser(spark):
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    # Rebuild the document column and parse it with Python's own XML
+    # parser — independent of Spark's from_xml/xpath machinery.
+    ev = load_table(spark, SF, "events").filter(F.col("event_id") < 50)
+    v2 = F.round(F.col("value").cast("decimal(18,2)"), 2)
+    xml = F.concat(
+        F.lit('<e uid="'), F.col("user_id").cast("string"), F.lit('"><id>'),
+        F.col("event_id").cast("string"), F.lit("</id><type>"),
+        F.col("event_type"), F.lit("</type><val>"), v2.cast("string"),
+        F.lit("</val></e>"),
+    )
+    docs = {
+        r.event_id: r.x
+        for r in ev.select("event_id", xml.alias("x")).collect()
+    }
+    rows = {
+        r.event_id: r
+        for r in QUERIES["scalar_xml_funcs"].fn(spark, SF).collect()
+        if r.event_id < 50
+    }
+    assert set(rows) == set(docs)
+    for eid, doc in docs.items():
+        root = ET.fromstring(doc)
+        r = rows[eid]
+        assert r.x_id == int(root.find("id").text) == eid
+        assert r.x_type == root.find("type").text
+        assert abs(r.x_value - float(root.find("val").text)) < 1e-9
+        assert r.xp_user == int(root.attrib["uid"])
+        assert r.xp_type_upper == root.find("type").text.upper()
