@@ -443,7 +443,7 @@ def main() -> None:
         "sf": sf_val,
         "n": len(timings),
         "errs": len(errors),
-        "full": "BENCH_LOCAL.json",
+        "full": local_name,
         "queries": compact_q,
     }
     for name in priority:
