@@ -221,6 +221,8 @@ HEADLINE = [
     "scalar_collation_funcs",
     "scalar_ansi_try_funcs",
     "scalar_xml_funcs",
+    "events_jackknife_variance",
+    "events_block_bootstrap_ci",
 ]
 
 

@@ -1077,3 +1077,246 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "groups_differ_95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_jackknife_variance — delete-one-day grouped jackknife
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_jackknife_variance",
+    oracle="""
+    WITH day_stats AS (
+      SELECT event_type, day(ts) AS d,
+        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS BIGINT) AS s_cents,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(s_cents) AS S, sum(n) AS N,
+             count(*) AS g
+      FROM day_stats GROUP BY 1),
+    theta AS (
+      SELECT t.event_type, t.g, t.S, t.N,
+        CAST(round((t.S - d.s_cents) / (100.0 * (t.N - d.n)), 6) * 1000000
+             AS BIGINT) AS ti
+      FROM day_stats d JOIN tot t USING (event_type)),
+    acc AS (
+      SELECT event_type, any_value(g) AS g, any_value(S) AS S,
+        any_value(N) AS N,
+        CAST(sum(ti) AS DECIMAL(38,0)) AS sum_t,
+        CAST(sum(CAST(ti AS DECIMAL(38,0)) * ti) AS DECIMAL(38,0)) AS sum_t2
+      FROM theta GROUP BY event_type)
+    SELECT event_type, CAST(g AS BIGINT) AS n_days,
+      CAST(round(S / (100.0 * N), 6) AS DOUBLE) AS mean_value,
+      CAST(round((CAST(g AS DOUBLE) - 1) / g
+          * (CAST(sum_t2 AS DOUBLE) - CAST(sum_t AS DOUBLE)
+             * CAST(sum_t AS DOUBLE) / g) / 1e12, 8) AS DOUBLE) AS jk_var,
+      CAST(round(sqrt((CAST(g AS DOUBLE) - 1) / g
+          * (CAST(sum_t2 AS DOUBLE) - CAST(sum_t AS DOUBLE)
+             * CAST(sum_t AS DOUBLE) / g) / 1e12), 6) AS DOUBLE) AS jk_se
+    FROM acc ORDER BY event_type
+    """,
+    tags=("inference", "B15", "resampling", "jackknife"),
+)
+def events_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP (day) jackknife variance of the per-type mean
+    value — the resampling-based standard error that needs no
+    distributional assumption and, unlike the bootstrap, no replicate
+    randomness at all: leave each day out once, recompute the mean from
+    the complement's TOTALS (θ_i = (S − S_i)/(N − n_i) — no second data
+    pass), and v = (g−1)/g · Σ(θ_i − θ̄)². The day-grouped form is the
+    right one for serially-correlated event streams (deleting single
+    rows understates variance when rows within a day co-move).
+
+    Determinism: cents-exact integer day totals; each θ_i is ONE shared
+    float expression over exact integers, quantized to 1e-6 micro-units
+    and re-accumulated as DECIMAL(38,0) (Σθ and Σθ² exact, no float
+    accumulation order anywhere); the variance identity
+    Σ(θ−θ̄)² = Σθ² − (Σθ)²/g evaluates as one final IEEE expression.
+
+    Scale shape: one scan → day-keyed partial aggregate (≤31 rows per
+    type) → broadcast totals join → 1-row-per-type result. The
+    jackknife's classic O(g) recomputation collapses to arithmetic on
+    the aggregate table — the formulation that survives 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    day_stats = ev.groupBy(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).agg(
+        F.sum(cents).alias("s_cents"), F.count(F.lit(1)).alias("n_day")
+    )
+    tot = day_stats.groupBy("event_type").agg(
+        F.sum("s_cents").alias("s_tot"),
+        F.sum("n_day").alias("n_tot"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    theta = day_stats.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "g",
+        "s_tot",
+        "n_tot",
+        (
+            F.round(
+                (F.col("s_tot") - F.col("s_cents"))
+                / (100.0 * (F.col("n_tot") - F.col("n_day"))),
+                6,
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("ti"),
+    )
+    acc = theta.groupBy("event_type").agg(
+        F.first("g").alias("g"),
+        F.first("s_tot").alias("s_tot"),
+        F.first("n_tot").alias("n_tot"),
+        F.sum(F.col("ti").cast("decimal(38,0)")).alias("sum_t"),
+        F.sum(F.col("ti").cast("decimal(38,0)") * F.col("ti")).alias(
+            "sum_t2"
+        ),
+    )
+    g = F.col("g").cast("double")
+    ss = (
+        F.col("sum_t2").cast("double")
+        - F.col("sum_t").cast("double") * F.col("sum_t").cast("double") / g
+    )
+    v = (g - 1) / g * ss / F.lit(1e12)
+    return acc.select(
+        "event_type",
+        F.col("g").cast("long").alias("n_days"),
+        F.round(F.col("s_tot") / (100.0 * F.col("n_tot")), 6).alias(
+            "mean_value"
+        ),
+        F.round(v, 8).alias("jk_var"),
+        F.round(F.sqrt(v), 6).alias("jk_se"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# events_block_bootstrap_ci — hash-deterministic block bootstrap CI
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 200  # bootstrap replicates
+_BOOT_D = 30  # day-block slots (the fixture's January)
+
+
+def _register_block_bootstrap() -> None:
+    from ..functions.hashing import SQL_MD5_MOD
+
+    @query(
+        "events_block_bootstrap_ci",
+        oracle=f"""
+        WITH blocks AS (
+          SELECT day(ts) AS d,
+            CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS bs,
+            CAST(count(*) AS BIGINT) AS bn
+          FROM events GROUP BY 1),
+        grid AS (
+          SELECT CAST(r.range AS BIGINT) AS r,
+            1 + ({SQL_MD5_MOD(
+                "'boot:' || CAST(r.range AS VARCHAR) || ':' "
+                "|| CAST(s.range AS VARCHAR)")}) % {_BOOT_D} AS chosen
+          FROM range({_BOOT_R}) r, range({_BOOT_D}) s),
+        reps AS (
+          SELECT g.r,
+            CAST(round(sum(b.bs) / (100.0 * sum(b.bn)), 6) AS DOUBLE)
+              AS rep_mean
+          FROM grid g JOIN blocks b ON b.d = g.chosen
+          GROUP BY g.r),
+        ranked AS (
+          SELECT rep_mean, row_number() OVER (ORDER BY rep_mean, r) AS rk
+          FROM reps),
+        tot AS (
+          SELECT CAST(round(sum(bs) / (100.0 * sum(bn)), 6) AS DOUBLE)
+            AS mean_value FROM blocks)
+        SELECT (SELECT mean_value FROM tot) AS mean_value,
+          (SELECT rep_mean FROM ranked WHERE rk = 5) AS ci_lo,
+          (SELECT rep_mean FROM ranked WHERE rk = 196) AS ci_hi,
+          CAST({_BOOT_R} AS BIGINT) AS n_replicates,
+          CAST((SELECT count(*) FROM blocks) AS BIGINT) AS n_blocks
+        """,
+        tags=("inference", "B15", "resampling", "bootstrap"),
+    )
+    def events_block_bootstrap_ci(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Moving-less BLOCK bootstrap 95% CI for the mean event value,
+        with every replicate draw derived from md5 — the repo's no-RNG
+        discipline applied to the one classical method people assume
+        needs a random generator: replicate r draws day-block slot s as
+        1 + md5('boot:r:s') % 30, each replicate's estimate is the
+        concatenated-block mean (integer cent sums, one final shared
+        division quantized 1e-6), and the CI is a pair of DEFINED order
+        statistics (the 5th and 196th of 200 replicate means,
+        ties broken by replicate id) — reproducible bit-for-bit on any
+        cluster, any partitioning, any engine (the DuckDB oracle
+        replays every draw). Day blocks (not single rows) preserve
+        intra-day correlation, same argument as the jackknife's.
+
+        Scale shape: one scan → ≤31-row day-block aggregate; the
+        6,000-row (replicate, slot) grid is generated driver-free by
+        ``spark.range`` arithmetic (no cross join) and joins the
+        broadcast block table; everything downstream is grid-sized.
+        Resampling at 100 TB costs one aggregate pass, not R passes."""
+        ev = load_table(spark, sf_dir, "events")
+        cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        blocks = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+            F.sum(cents).alias("bs"), F.count(F.lit(1)).alias("bn")
+        )
+        grid = spark.range(_BOOT_R * _BOOT_D).select(
+            F.expr(f"id DIV {_BOOT_D}").alias("r"),
+            (
+                1
+                + md5_mod(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.expr(f"id DIV {_BOOT_D}").cast("string"),
+                        F.lit(":"),
+                        (F.col("id") % _BOOT_D).cast("string"),
+                    )
+                )
+                % _BOOT_D
+            ).alias("chosen"),
+        )
+        reps = (
+            grid.join(F.broadcast(blocks), F.col("chosen") == F.col("d"))
+            .groupBy("r")
+            .agg(
+                F.round(
+                    F.sum("bs") / (100.0 * F.sum("bn")), 6
+                ).alias("rep_mean")
+            )
+        )
+        wb = bounded_window("r", "rep_mean", "r")
+        ranked = reps.select(
+            "rep_mean", F.row_number().over(wb).alias("rk")
+        )
+        tot = blocks.agg(
+            F.round(F.sum("bs") / (100.0 * F.sum("bn")), 6).alias(
+                "mean_value"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        )
+        lo = ranked.filter(F.col("rk") == 5).select(
+            F.col("rep_mean").alias("ci_lo")
+        )
+        hi = ranked.filter(F.col("rk") == 196).select(
+            F.col("rep_mean").alias("ci_hi")
+        )
+        return (
+            tot.crossJoin(lo)
+            .crossJoin(hi)
+            .select(
+                "mean_value",
+                "ci_lo",
+                "ci_hi",
+                F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+                "n_blocks",
+            )
+        )
+
+
+_register_block_bootstrap()

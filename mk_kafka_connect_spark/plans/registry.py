@@ -517,6 +517,8 @@ R15_ADDITIONS: tuple[str, ...] = (
     "scalar_collation_funcs",
     "scalar_ansi_try_funcs",
     "scalar_xml_funcs",
+    "events_jackknife_variance",
+    "events_block_bootstrap_ci",
 )
 
 

@@ -78,6 +78,8 @@ SENSITIVE = [
     "scalar_collation_funcs",
     "scalar_ansi_try_funcs",
     "scalar_xml_funcs",
+    "events_jackknife_variance",
+    "events_block_bootstrap_ci",
 ]
 
 SF = "/root/testdata/sf0.01"

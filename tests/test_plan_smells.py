@@ -72,6 +72,9 @@ ALLOWED = {
     "sim_nearest_centroid": "K-row centroid broadcast (K = |labels|)",
     "sim_hybrid_rrf": "1-row query-vector broadcast (vec_id-0 probe); "
     "the vector branch is the declared brute-force baseline tier",
+    "events_block_bootstrap_ci": "1-row point-estimate x 1-row ci_lo x "
+    "1-row ci_hi broadcasts (three single-row order-statistic/total "
+    "attaches onto the final audit row)",
     "docs_dsir_importance": "1-row corpus-totals broadcast (T, R "
     "smoothing denominators for the 512-bucket model)",
     "emb_matryoshka_recall": "25-row query-batch broadcast; the exact "

@@ -416,3 +416,49 @@ def test_xml_roundtrip_matches_python_parser(spark):
         assert abs(r.x_value - float(root.find("val").text)) < 1e-9
         assert r.xp_user == int(root.attrib["uid"])
         assert r.xp_type_upper == root.find("type").text.upper()
+
+
+def test_jackknife_matches_python_recompute(spark):
+    from decimal import Decimal
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_jackknife_variance"].fn(spark, SF01).collect()
+    }
+    raw = duckdb.sql(
+        f"""SELECT event_type, day(ts) AS d,
+          CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        FROM '{SF01}/events.parquet'"""
+    ).fetchall()
+    days: dict = {}
+    for et, d, cents in raw:
+        a = days.setdefault(et, {}).setdefault(d, [0, 0])
+        a[0] += cents
+        a[1] += 1
+    for et, by_day in days.items():
+        S = sum(v[0] for v in by_day.values())
+        N = sum(v[1] for v in by_day.values())
+        g = len(by_day)
+        tis = [
+            int(Decimal(str(round((S - s) / (100.0 * (N - n)), 6))) * 1000000)
+            for s, n in by_day.values()
+        ]
+        tbar = sum(tis) / g
+        v = (g - 1) / g * sum((t - tbar) ** 2 for t in tis) / 1e12
+        r = rows[et]
+        assert r.n_days == g
+        assert abs(r.mean_value - round(S / (100.0 * N), 6)) < 1e-9
+        assert abs(r.jk_var - v) < max(1e-6, abs(v) * 1e-6)
+        assert r.jk_se > 0
+
+
+def test_block_bootstrap_is_deterministic_and_sane(spark):
+    r1 = QUERIES["events_block_bootstrap_ci"].fn(spark, SF01).collect()[0]
+    r2 = QUERIES["events_block_bootstrap_ci"].fn(spark, SF01).collect()[0]
+    # Bit-for-bit reproducible: every "draw" is md5 arithmetic.
+    assert r1 == r2
+    assert r1.n_replicates == 200
+    assert r1.n_blocks >= 28  # the fixture's January
+    # The CI must bracket the point estimate and be ordered.
+    assert r1.ci_lo <= r1.mean_value <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi
