@@ -223,6 +223,7 @@ HEADLINE = [
     "scalar_xml_funcs",
     "events_jackknife_variance",
     "events_block_bootstrap_ci",
+    "ivm_join_delta",
 ]
 
 

@@ -519,6 +519,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "scalar_xml_funcs",
     "events_jackknife_variance",
     "events_block_bootstrap_ci",
+    "ivm_join_delta",
 )
 
 

@@ -1145,3 +1145,91 @@ def er_fuzzy_join_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+# ---------------------------------------------------------------------------
+# ivm_join_delta — incremental JOIN view maintenance (textbook delta rules)
+# ---------------------------------------------------------------------------
+
+_IVM_CUT = "1999-01-01"  # orders delta: on/after this date
+_IVM_DIM_MOD = 20  # customer delta: every 20th custkey is "late-arriving"
+
+
+@query(
+    "ivm_join_delta",
+    # The oracle is the FULL recompute of the join view: the three
+    # delta terms plus the base must be indistinguishable from
+    # rescanning everything.
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("ivm", "B6", "B7", "scale", "delta-join"),
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the textbook
+    delta-join rules (Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB, Blakeley
+    et al. 1986) realized as four partial-aggregate tables that merge
+    into the exact full-recompute answer. Both relations carry a delta:
+    orders split at a date cutoff (the daily increment), customer split
+    on a key residue (late-arriving dimension rows — the case one-sided
+    "dim is static" IVM silently corrupts). The engine computes
+    V₀ = γ(C₀ ⋈ O₀) plus the three delta terms γ(ΔC ⋈ O₀),
+    γ(C₀ ⋈ ΔO), γ(ΔC ⋈ ΔO), unions the four segment-sized partials,
+    and re-aggregates; the oracle is the monolithic join. Equality
+    proves the cross term is neither dropped nor double-counted —
+    exactly the invariant a production IVM pipeline must hold.
+
+    Exactness: counts integer, revenue exact DECIMAL(18,2) summed per
+    partial and re-summed across the 4 partials (decimal addition is
+    associative — no float until the final cast).
+
+    Scale shape: maintaining the view costs |Δ|-sized joins (each
+    delta term joins ONE small relation against a filtered base — at
+    100 TB the ΔC/ΔO sides are day-sized, broadcastable), and the
+    merge is |segments| × 4 rows — the whole point of IVM: the 100 TB
+    base is never rescanned. Here all four terms run in one plan for
+    the oracle comparison; in production V₀ is the stored view."""
+    from ..functions.exact import dec2
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cut = F.lit(_IVM_CUT).cast("timestamp")
+    c_base = c.filter(F.col("c_custkey") % _IVM_DIM_MOD != 0)
+    c_delta = c.filter(F.col("c_custkey") % _IVM_DIM_MOD == 0)
+    o_base = o.filter(F.col("o_orderdate") < cut)
+    o_delta = o.filter(F.col("o_orderdate") >= cut)
+
+    def part(cs, os):
+        return (
+            cs.join(os, cs.c_custkey == os.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(dec2("o_totalprice")).alias("prev"),
+            )
+        )
+
+    partials = (
+        part(c_base, o_base)
+        .unionByName(part(c_delta, o_base))
+        .unionByName(part(c_base, o_delta))
+        .unionByName(part(c_delta, o_delta))
+    )
+    return (
+        partials.groupBy("c_mktsegment")
+        .agg(
+            F.sum("pn").cast("long").alias("n_orders"),
+            F.round(F.sum("prev"), 2).cast("double").alias("revenue"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "n_orders", "revenue")
+        .orderBy("segment")
+    )

@@ -80,6 +80,7 @@ SENSITIVE = [
     "scalar_xml_funcs",
     "events_jackknife_variance",
     "events_block_bootstrap_ci",
+    "ivm_join_delta",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -462,3 +462,33 @@ def test_block_bootstrap_is_deterministic_and_sane(spark):
     # The CI must bracket the point estimate and be ordered.
     assert r1.ci_lo <= r1.mean_value <= r1.ci_hi
     assert r1.ci_lo < r1.ci_hi
+
+
+def test_ivm_delta_terms_partition_the_join_exactly(spark):
+    # The four delta terms must PARTITION the join — every (customer,
+    # order) pair lands in exactly one term, and the cross term
+    # (new-dim x new-fact) must be genuinely non-empty, or the test
+    # proves nothing about the case one-sided IVM corrupts.
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.plans.warehouse import (
+        _IVM_CUT,
+        _IVM_DIM_MOD,
+    )
+
+    c = load_table(spark, SF01, "customer").select("c_custkey")
+    o = load_table(spark, SF01, "orders").select("o_custkey", "o_orderdate")
+    j = c.join(o, c.c_custkey == o.o_custkey).select(
+        (F.col("c_custkey") % _IVM_DIM_MOD == 0).alias("dc"),
+        (F.col("o_orderdate") >= F.lit(_IVM_CUT).cast("timestamp")).alias(
+            "do"
+        ),
+    )
+    counts = {
+        (r.dc, r.do): r["count"]
+        for r in j.groupBy("dc", "do").count().collect()
+    }
+    assert len(counts) == 4 and all(v > 0 for v in counts.values()), counts
+    total = QUERIES["ivm_join_delta"].fn(spark, SF01).collect()
+    assert sum(r.n_orders for r in total) == sum(counts.values())
