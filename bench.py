@@ -224,6 +224,7 @@ HEADLINE = [
     "events_jackknife_variance",
     "events_block_bootstrap_ci",
     "ivm_join_delta",
+    "rest_config_fanout_probe",
 ]
 
 

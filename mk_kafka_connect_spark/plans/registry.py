@@ -520,6 +520,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "events_jackknife_variance",
     "events_block_bootstrap_ci",
     "ivm_join_delta",
+    "rest_config_fanout_probe",
 )
 
 

@@ -431,3 +431,169 @@ def rest_retry_backoff_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         " n_failed_retried long, n_rate_limited long, backoff_base_s long,"
         " rate_limit_wait_s long",
     )
+
+
+@query(
+    "rest_config_fanout_probe",
+    # The constants restate the parsed config and the validation/probe
+    # verdicts; the per-entity counts/checksums come from the fixture —
+    # together they certify parse → validate → probe → fan-out → read.
+    oracle="""
+    SELECT 'events,customers' AS entities_csv,
+      'custkey' AS id_field_customers,
+      'event_id' AS id_field_events,
+      'mod_datetime' AS dt_field_events,
+      '1970-01-01 00:00:00' AS initial_dt_events,
+      CAST(100 AS BIGINT) AS batch_size,
+      TRUE AS rejects_batch_600,
+      TRUE AS rejects_malformed_map,
+      TRUE AS rejects_bad_datetime,
+      TRUE AS conn_ok,
+      TRUE AS conn_dead_fails,
+      (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id < 200)
+        AS n_events,
+      (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE event_id < 200)
+        AS sum_event_ids,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey < 150)
+        AS n_customers,
+      (SELECT CAST(sum(c_custkey) AS BIGINT) FROM customer
+        WHERE c_custkey < 150) AS sum_custkeys
+    """,
+    tags=("rest", "A16", "A17", "A18", "B3", "config"),
+)
+def rest_config_fanout_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 + A17 + A18 with a driver row — the last §2.A surfaces whose
+    correctness evidence was pytest-only, certified as one composite:
+
+    * **A18 config parsing** (Config.java:29-94): a FULL connector
+      option map parses through ``RestSourceConfig.from_options`` — CSV
+      entity list, FIRST-colon entity maps (the initial-datetime value
+      itself contains colons, so a naive split corrupts it), per-entity
+      id/datetime-field defaults — and the parsed values are emitted
+      verbatim. Validation is certified by REJECTION: batch.size 600
+      (outside Range.between(1,500), Config.java:53-58), a malformed
+      colon-less entity map, and a non-``YYYY-MM-DD HH:MM:SS`` initial
+      datetime must each raise, and the booleans say they did.
+    * **A16 connection test** (ApiClient.java:185-209): the one-row
+      probe returns True against the live in-process server and False
+      against a dead port — both outcomes exercised.
+    * **A17 task fan-out** (one task/partition per entity): BOTH
+      entities read through ONE ``paginated_rest`` load; the per-entity
+      counts and id checksums prove each entity's partition scanned its
+      own slice completely and nothing leaked across.
+
+    Scale shape: bounded probe + two bounded entity scans; the
+    DataSource path's distributed posture is certified by
+    ``rest_scan_events`` — this row certifies the CONFIG surface."""
+    from ..sources.config import RestSourceConfig
+    from ..sources.rest_client import RestClient
+
+    key = f"{sf_dir}::config_probe"
+    if key not in _SERVERS:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 200)
+            .select(
+                "event_id",
+                "event_type",
+                # The incremental field: the configured initial datetime
+                # opens a half-open window on it (A2/A11), so the served
+                # records must carry it or the window filters them out.
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias(
+                    "mod_datetime"
+                ),
+            )
+            .orderBy("event_id")
+            .collect()
+        )
+        cu = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") < 150)
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey")
+            .collect()
+        )
+        srv = FakeRestServer(
+            {
+                "events": [
+                    {
+                        "event_id": str(r["event_id"]),
+                        "event_type": r["event_type"],
+                        "mod_datetime": r["mod_datetime"],
+                    }
+                    for r in ev
+                ],
+                "customers": [
+                    {"custkey": str(r["c_custkey"]), "name": r["c_name"]}
+                    for r in cu
+                ],
+            }
+        )
+        srv.__enter__()
+        _SERVERS[key] = srv
+    srv = _SERVERS[key]
+
+    options = {
+        "url": srv.url,
+        "entities": "events,customers",
+        "batch.size": "100",
+        "entity.id.fields": "events:event_id,customers:custkey",
+        "initial.datetimes": "events:1970-01-01 00:00:00",
+    }
+    cfg = RestSourceConfig.from_options(options)
+
+    def rejects(**bad) -> bool:
+        try:
+            RestSourceConfig.from_options({**options, **bad})
+            return False
+        except ValueError:
+            return True
+
+    conn_ok = RestClient(srv.url).test_connection()
+    conn_dead = RestClient("http://127.0.0.1:9").test_connection()
+
+    register(spark)
+    fetched = (
+        spark.read.format("paginated_rest")
+        .options(**options)
+        .load()
+        .select(
+            "entity",
+            F.get_json_object("key", "$.event_id").cast("long").alias("eid"),
+            F.get_json_object("key", "$.custkey").cast("long").alias("cid"),
+        )
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("eid").alias("se"),
+            F.sum("cid").alias("sc"),
+        )
+    )
+    by_entity = {r.entity: r for r in fetched.collect()}
+    row = (
+        ",".join(cfg.entities),
+        cfg.id_field("customers"),
+        cfg.id_field("events"),
+        cfg.datetime_field("events"),
+        cfg.initial_datetimes["events"],
+        cfg.batch_size,
+        rejects(**{"batch.size": "600"}),
+        rejects(**{"entity.id.fields": "events_no_colon"}),
+        rejects(**{"initial.datetimes": "events:yesterday"}),
+        conn_ok,
+        not conn_dead,
+        by_entity["events"].n,
+        by_entity["events"].se,
+        by_entity["customers"].n,
+        by_entity["customers"].sc,
+    )
+    return spark.createDataFrame(
+        [row],
+        "entities_csv string, id_field_customers string,"
+        " id_field_events string, dt_field_events string,"
+        " initial_dt_events string, batch_size long,"
+        " rejects_batch_600 boolean, rejects_malformed_map boolean,"
+        " rejects_bad_datetime boolean, conn_ok boolean,"
+        " conn_dead_fails boolean, n_events long, sum_event_ids long,"
+        " n_customers long, sum_custkeys long",
+    )

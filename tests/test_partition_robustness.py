@@ -81,6 +81,7 @@ SENSITIVE = [
     "events_jackknife_variance",
     "events_block_bootstrap_ci",
     "ivm_join_delta",
+    "rest_config_fanout_probe",
 ]
 
 SF = "/root/testdata/sf0.01"

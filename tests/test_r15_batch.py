@@ -492,3 +492,54 @@ def test_ivm_delta_terms_partition_the_join_exactly(spark):
     assert len(counts) == 4 and all(v > 0 for v in counts.values()), counts
     total = QUERIES["ivm_join_delta"].fn(spark, SF01).collect()
     assert sum(r.n_orders for r in total) == sum(counts.values())
+
+
+def test_config_probe_rejections_raise_for_the_right_reason(spark):
+    # Independent of the registry row's booleans: each invalid option
+    # must raise with the reference's message semantics.
+    import pytest as _pytest
+
+    from mk_kafka_connect_spark.sources.config import RestSourceConfig
+
+    base = {
+        "url": "http://x",
+        "entities": "events,customers",
+        "batch.size": "100",
+        "entity.id.fields": "events:event_id,customers:custkey",
+        "initial.datetimes": "events:1970-01-01 00:00:00",
+    }
+    cfg = RestSourceConfig.from_options(base)
+    # FIRST-colon split: the datetime value keeps its own colons intact.
+    assert cfg.initial_datetimes["events"] == "1970-01-01 00:00:00"
+    assert cfg.id_field("customers") == "custkey"
+    assert cfg.datetime_field("customers") == "mod_datetime"  # default
+    with _pytest.raises(ValueError, match=r"\[1, 500\]"):
+        RestSourceConfig.from_options({**base, "batch.size": "600"})
+    with _pytest.raises(ValueError, match="no colon"):
+        RestSourceConfig.from_options(
+            {**base, "entity.id.fields": "events_no_colon"}
+        )
+    with _pytest.raises(ValueError, match="YYYY-MM-DD"):
+        RestSourceConfig.from_options(
+            {**base, "initial.datetimes": "events:yesterday"}
+        )
+
+
+def test_config_probe_fanout_is_one_partition_per_entity(spark):
+    r = QUERIES["rest_config_fanout_probe"].fn(spark, SF01).collect()[0]
+    assert r.conn_ok and r.conn_dead_fails
+    assert r.rejects_batch_600 and r.rejects_malformed_map
+    assert r.rejects_bad_datetime
+    # Per-entity slices complete and disjoint (fixture truths).
+    import duckdb as _dd
+
+    n_e, s_e = _dd.sql(
+        f"SELECT count(*), sum(event_id) FROM '{SF01}/events.parquet'"
+        " WHERE event_id < 200"
+    ).fetchall()[0]
+    n_c, s_c = _dd.sql(
+        f"SELECT count(*), sum(c_custkey) FROM '{SF01}/customer.parquet'"
+        " WHERE c_custkey < 150"
+    ).fetchall()[0]
+    assert (r.n_events, r.sum_event_ids) == (n_e, s_e)
+    assert (r.n_customers, r.sum_custkeys) == (n_c, s_c)
