@@ -1989,3 +1989,69 @@ def _register_kmv() -> None:
 
 
 _register_kmv()
+
+
+# ---------------------------------------------------------------------------
+# agg_listagg_bitwise — ordered string aggregation + boolean/bitwise
+# aggregates (the Spark 4 aggregate surface the battery had not exposed)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_listagg_bitwise",
+    oracle="""
+    SELECT o_orderkey % 16 AS bucket,
+      CAST(count(*) AS BIGINT) AS n,
+      string_agg(substr(o_orderpriority, 1, 1), '' ORDER BY o_orderkey)
+        AS pri_seq,
+      string_agg(DISTINCT substr(o_orderpriority, 1, 1), ','
+                 ORDER BY substr(o_orderpriority, 1, 1)) AS pri_domain,
+      bool_and(o_totalprice > 0) AS all_positive,
+      bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+      bit_and(o_orderkey) AS key_bit_and,
+      bit_or(o_orderkey) AS key_bit_or,
+      bit_xor(o_orderkey) AS key_bit_xor
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY 1
+    """,
+    tags=("agg", "B7", "listagg", "bitwise"),
+)
+def agg_listagg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``listagg``, SQL:2016, landed in
+    Spark 4.0) plus the boolean and bitwise aggregate families — the
+    remaining built-in aggregates the battery had not exposed. Per
+    16-way key bucket over a bounded orders slice: the priority
+    first-letter sequence in strict key order (LISTAGG WITHIN GROUP —
+    deterministic because the order key is unique; an unordered listagg
+    is nondeterministic by definition and banned from the declared
+    surface), the DISTINCT ordered domain, ``bool_and``/``bool_or``
+    predicates, and ``bit_and``/``bit_or``/``bit_xor`` over the keys
+    (the idiom behind permission-mask rollups and XOR checksums).
+    DuckDB replays via ``string_agg`` — listagg IS string_agg under
+    SQL:2016 naming.
+
+    Scale shape: one scan, one group-sized shuffle; everything is a
+    mergeable partial aggregate EXCEPT listagg, whose state is the
+    concatenated string — bounded here by the key slice (≤250 chars per
+    group). At 100 TB listagg over unbounded groups is a deliberate
+    anti-pattern (state = group size); the query documents the bounded
+    contract."""
+    load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 4000
+    ).createOrReplaceTempView("agg_la_orders")
+    return spark.sql("""
+      SELECT o_orderkey % 16 AS bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        listagg(substr(o_orderpriority, 1, 1), '')
+          WITHIN GROUP (ORDER BY o_orderkey) AS pri_seq,
+        listagg(DISTINCT substr(o_orderpriority, 1, 1), ',')
+          WITHIN GROUP (ORDER BY substr(o_orderpriority, 1, 1))
+          AS pri_domain,
+        bool_and(o_totalprice > 0) AS all_positive,
+        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        bit_and(o_orderkey) AS key_bit_and,
+        bit_or(o_orderkey) AS key_bit_or,
+        bit_xor(o_orderkey) AS key_bit_xor
+      FROM agg_la_orders
+      GROUP BY 1
+    """)

@@ -16,7 +16,7 @@ aggregation is order-independent across partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -2257,3 +2257,159 @@ def _sql_knn_loo_oracle() -> str:
 
 
 _patch_oracle("sim_knn_loo_eval", _sql_knn_loo_oracle())
+
+
+# ---------------------------------------------------------------------------
+# dq_t_closeness — the third member of the re-identification-audit trio
+# ---------------------------------------------------------------------------
+
+_TCLOSE_T = 0.25  # release threshold on the ordered EMD
+
+
+@query(
+    "dq_t_closeness",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+      FROM customer),
+    cells AS (
+      SELECT seg, nat, band, count(*) AS cnt FROM cust GROUP BY 1, 2, 3),
+    classes AS (
+      SELECT seg, nat, CAST(sum(cnt) AS BIGINT) AS k FROM cells GROUP BY 1, 2),
+    gband AS (
+      SELECT band, CAST(sum(cnt) AS BIGINT) AS g FROM cells GROUP BY 1),
+    bounds AS (
+      SELECT min(band) AS lo, max(band) AS hi,
+        CAST(sum(g) AS BIGINT) AS n_total,
+        CAST(count(*) AS BIGINT) AS n_bands
+      FROM gband),
+    frame AS (
+      SELECT seg, nat, k, n_total, n_bands,
+        unnest(generate_series(lo, hi)) AS band
+      FROM classes, bounds),
+    filled AS (
+      SELECT f.seg, f.nat, f.k, f.n_total, f.n_bands, f.band,
+        COALESCE(c.cnt, 0) AS cnt, COALESCE(gb.g, 0) AS g
+      FROM frame f
+      LEFT JOIN cells c ON f.seg = c.seg AND f.nat = c.nat AND f.band = c.band
+      LEFT JOIN gband gb ON f.band = gb.band),
+    cum AS (
+      SELECT seg, nat, k, n_total, n_bands,
+        sum(cnt) OVER (PARTITION BY seg, nat ORDER BY band) AS cumc,
+        sum(g) OVER (PARTITION BY seg, nat ORDER BY band) AS cumg
+      FROM filled),
+    scored AS (
+      SELECT seg, nat, k,
+        CAST(sum(abs(CAST(cumc AS DECIMAL(38,0)) * n_total
+                     - CAST(cumg AS DECIMAL(38,0)) * k)) AS DOUBLE)
+        / CAST(CAST(k AS DECIMAL(38,0)) * n_total * (n_bands - 1) AS DOUBLE)
+          AS t_closeness
+      FROM cum GROUP BY seg, nat, k, n_total, n_bands)
+    SELECT seg AS c_mktsegment, nat AS c_nationkey, k AS k_size,
+      t_closeness, t_closeness <= {_TCLOSE_T} AS t_close
+    FROM scored
+    """,
+    tags=("dq", "B7", "privacy", "t-closeness"),
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    member of the re-identification trio after k-anonymity and
+    (entropy) l-diversity (``dq_k_anonymity``): a class can be large
+    (k-anonymous) and diverse (l-diverse) and STILL leak, if its
+    sensitive-value distribution differs sharply from the global one
+    (the classic "this zip code is all high balances" disclosure). Per
+    quasi-identifier class (market segment, nation), the ordered Earth
+    Mover's Distance between the class-local and global distributions
+    of the 2000-wide account-balance band — for an ordered attribute
+    EMD reduces to the summed absolute difference of the two CDFs,
+    normalized by (bands − 1).
+
+    Determinism: the CDF difference is computed as the exact integer
+    cross-product |cumc·N − cumg·k| in DECIMAL(38,0) (no per-band
+    division — overflow-proof at any scale), summed exactly, with ONE
+    double division per class at the end.
+
+    Scale shape: two map-side-combinable groupBys off one scan, a
+    domain-sized frame (classes × bands, built by explode(sequence)
+    off a 1-row bounds broadcast — never row-scaled), partitioned
+    cumulative windows, one final domain-sized aggregate. The audit
+    costs one pass over the table regardless of scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("band"),
+    )
+    cells = cust.groupBy("seg", "nat", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    classes = cells.groupBy("seg", "nat").agg(
+        F.sum("cnt").cast("long").alias("k")
+    )
+    gband = cells.groupBy("band").agg(F.sum("cnt").cast("long").alias("g"))
+    bounds = gband.agg(
+        F.min("band").alias("lo"),
+        F.max("band").alias("hi"),
+        F.sum("g").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_bands"),
+    )
+    frame = (
+        classes.crossJoin(F.broadcast(bounds))
+        .select(
+            "seg",
+            "nat",
+            "k",
+            "n_total",
+            "n_bands",
+            F.explode(F.sequence("lo", "hi")).alias("band"),
+        )
+    )
+    filled = (
+        frame.join(cells, ["seg", "nat", "band"], "left")
+        .join(F.broadcast(gband), ["band"], "left")
+        .select(
+            "seg",
+            "nat",
+            "k",
+            "n_total",
+            "n_bands",
+            "band",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.coalesce("g", F.lit(0)).alias("g"),
+        )
+    )
+    w = (
+        Window.partitionBy("seg", "nat")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = filled.select(
+        "seg",
+        "nat",
+        "k",
+        "n_total",
+        "n_bands",
+        F.sum("cnt").over(w).alias("cumc"),
+        F.sum("g").over(w).alias("cumg"),
+    )
+    term = F.abs(
+        F.col("cumc").cast("decimal(38,0)") * F.col("n_total")
+        - F.col("cumg").cast("decimal(38,0)") * F.col("k")
+    )
+    scored = cum.groupBy("seg", "nat", "k", "n_total", "n_bands").agg(
+        (
+            F.sum(term).cast("double")
+            / (
+                F.col("k").cast("decimal(38,0)")
+                * F.col("n_total")
+                * (F.col("n_bands") - 1)
+            ).cast("double")
+        ).alias("t_closeness")
+    )
+    return scored.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("nat").alias("c_nationkey"),
+        F.col("k").alias("k_size"),
+        "t_closeness",
+        (F.col("t_closeness") <= F.lit(_TCLOSE_T)).alias("t_close"),
+    )

@@ -537,3 +537,83 @@ def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# scan_orc_roundtrip — ORC scans certified end-to-end at value level
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue,
+      CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_discount >= 0.07 AND l_quantity > 10.0
+    GROUP BY 1
+    """,
+    tags=("layout", "B1", "orc", "formats"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scans certified end-to-end at VALUE level — the fourth and
+    last file format Spark ships natively (B1's format surface is now
+    Parquet + CSV + JSON + ORC): orders and a discount-filtered
+    lineitem slice re-land as ORC, read back with DECLARED schemas,
+    a post-read predicate (``l_quantity > 10``) left for the ORC
+    reader's own predicate pushdown (ORC carries per-stripe min/max
+    and optional bloom indexes exactly like parquet row groups — the
+    filter reaches the scan, ``PushedFilters`` in the explain), then
+    joined and rolled up. Oracle equality over the ORIGINAL parquet
+    proves the columnar round trip is lossless for longs, doubles and
+    strings.
+
+    Scale: ORC stripes split like parquet row groups, so the scan
+    parallelizes identically; pushdown + column pruning both apply.
+    For a Hive-lineage estate ORC is the zero-copy interchange format;
+    the engine treats it as a first-class analytics layout, unlike the
+    text formats (scan_csv_json_roundtrip) kept for interchange only."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import dec2, dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") >= 0.07)
+        .select("l_orderkey", "l_extendedprice", "l_quantity", "l_discount")
+    )
+    root = tempfile.mkdtemp(prefix="orcfmt_")
+    try:
+        o.write.mode("overwrite").orc(f"{root}/o_orc")
+        li.write.mode("overwrite").orc(f"{root}/li_orc")
+        o_back = spark.read.schema(
+            "o_orderkey long, o_orderpriority string"
+        ).orc(f"{root}/o_orc")
+        li_back = (
+            spark.read.schema(
+                "l_orderkey long, l_extendedprice double,"
+                " l_quantity double, l_discount double"
+            )
+            .orc(f"{root}/li_orc")
+            .filter(F.col("l_quantity") > 10.0)
+        )
+        out = (
+            o_back.join(li_back, o_back.o_orderkey == li_back.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(dec2("l_extendedprice")).alias("revenue"),
+                dsum(dec2("l_quantity")).alias("total_qty"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -794,3 +794,52 @@ def scalar_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_long("x", F.lit("/e/@uid")).alias("xp_user"),
         F.upper(F.xpath_string("x", F.lit("/e/type"))).alias("xp_type_upper"),
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(3,2))
+                        - CAST(l_discount AS DECIMAL(18,2)))), 2)
+           AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 25.0
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    tags=("scalar", "B12", "sql-surface", "group-by-all"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` — Spark 4's analyst-ergonomics
+    SQL surface: every non-aggregate select item becomes a grouping key
+    and the full projection becomes the sort key, with no positional or
+    name repetition to drift out of sync when the query is edited (the
+    classic silent-bug in hand-maintained rollups: a new dimension added
+    to SELECT but not to GROUP BY throws; added to GROUP BY but not
+    ORDER BY reorders). The oracle replays the query with EXPLICIT
+    ``GROUP BY 1,2,3`` — equality proves the inference binds exactly
+    the non-aggregate items, including the computed ``year()`` column.
+
+    Scale shape: identical plan to the explicit form — pushed filter +
+    projection, partial aggregation, one group-sized shuffle; the
+    sugar is resolved entirely at analysis time."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_gba_lineitem"
+    )
+    return spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(year(l_shipdate) AS INT) AS ship_year,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(18,2)))), 2)
+             AS DOUBLE) AS revenue
+      FROM sql_gba_lineitem
+      WHERE l_quantity < 25.0
+      GROUP BY ALL
+      ORDER BY ALL
+    """)

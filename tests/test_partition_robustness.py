@@ -82,6 +82,10 @@ SENSITIVE = [
     "events_block_bootstrap_ci",
     "ivm_join_delta",
     "rest_config_fanout_probe",
+    "scan_orc_roundtrip",
+    "sql_group_by_all",
+    "agg_listagg_bitwise",
+    "dq_t_closeness",
 ]
 
 SF = "/root/testdata/sf0.01"

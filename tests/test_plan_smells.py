@@ -56,6 +56,8 @@ ALLOWED = {
     "ANY data scale — the pair enumeration is bounded by the date span, not "
     "row count) + 1-row median/moment broadcasts",
     "orders_rfm_segments": "1-row snapshot-date broadcast",
+    "dq_t_closeness": "1-row band-bounds broadcast (the classes x bands "
+    "frame is domain-sized, built by explode(sequence) off one bounds row)",
     "events_decayed_leaderboard": "1-row reference-date broadcast (decay origin)",
     "events_seasonal_backtest": "1-row reference-date broadcast (train/test split)",
     "basket_brand_affinity": "1-row order-count broadcast (lift denominator)",
