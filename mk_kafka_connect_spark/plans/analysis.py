@@ -1899,3 +1899,128 @@ def dq_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_stl_decompose — classical additive seasonal-trend decomposition
+# ---------------------------------------------------------------------------
+
+_STL_HALF = 12  # centered moving-average half-width (25-hour window)
+_STL_W = 2 * _STL_HALF + 1
+
+
+@query(
+    "events_stl_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        CAST(sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    trended AS (
+      SELECT event_type, hour_ts, cents,
+        CASE WHEN count(*) OVER w = {_STL_W}
+             THEN sum(cents) OVER w END AS t25
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                   ROWS BETWEEN {_STL_HALF} PRECEDING
+                            AND {_STL_HALF} FOLLOWING)),
+    seasonal AS (
+      SELECT event_type, hour(hour_ts) AS hod,
+        CAST(sum({_STL_W} * cents - t25) AS BIGINT) AS s_num,
+        CAST(count(*) AS BIGINT) AS s_n
+      FROM trended WHERE t25 IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT t.event_type, t.hour_ts,
+      CAST(t.cents AS DOUBLE) / 100 AS value,
+      CAST(t.t25 AS DOUBLE) / {_STL_W * 100} AS trend,
+      CAST(s.s_num AS DOUBLE) / (s.s_n * {_STL_W * 100}) AS seasonal,
+      (CAST({_STL_W} * t.cents - t.t25 AS DOUBLE) / {_STL_W * 100})
+        - (CAST(s.s_num AS DOUBLE) / (s.s_n * {_STL_W * 100})) AS remainder
+    FROM trended t
+    JOIN seasonal s
+      ON t.event_type = s.event_type AND hour(t.hour_ts) = s.hod
+    WHERE t.t25 IS NOT NULL
+    """,
+    tags=("events", "B9", "timeseries", "decomposition"),
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal-trend decomposition (the
+    moving-average STL ancestor: Macaulay 1931, the "classical
+    decomposition" of every forecasting text): per event type's hourly
+    value series, value = trend + seasonal + remainder, with trend a
+    centered 25-hour moving average (NULL at the series edges where
+    the window is partial), the daily seasonal the per-hour-of-day
+    mean of the detrended series, and the remainder what's left —
+    the decomposition behind 'is this spike load growth, time-of-day,
+    or an anomaly?'.
+
+    Determinism: the decomposition never averages doubles — the trend
+    is carried as the INTEGER window sum t25 (cents × 25), the
+    detrended series as the integer 25·cents − t25, and the seasonal
+    as an integer-sum/count pair; each output is ONE division of
+    exactly-represented integers, bit-identical cross-engine. The
+    series is gap-free by fixture construction (720 dense hours);
+    rows-based windows state the contract.
+
+    Scale shape: one scan → hour-grain aggregate (map-side
+    combinable), one partitioned 25-row sliding window, one
+    domain-sized (type × 24) aggregate joined back broadcast. Per-type
+    series length is time-bounded, not data-bounded — at 100 TB the
+    hourly aggregate is the only row-scaled stage."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+    ).agg(
+        F.sum(
+            F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-_STL_HALF, _STL_HALF)
+    )
+    trended = hourly.select(
+        "event_type",
+        "hour_ts",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == _STL_W, F.sum("cents").over(w)
+        ).alias("t25"),
+    ).filter(F.col("t25").isNotNull())
+    seasonal = trended.groupBy(
+        "event_type", F.hour("hour_ts").alias("hod")
+    ).agg(
+        F.sum(_STL_W * F.col("cents") - F.col("t25"))
+        .cast("long")
+        .alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("s_n"),
+    )
+    seas_col = F.col("s_num").cast("double") / (
+        F.col("s_n") * (_STL_W * 100)
+    )
+    return (
+        trended.withColumn("hod", F.hour("hour_ts"))
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour_ts",
+            (F.col("cents").cast("double") / 100).alias("value"),
+            (F.col("t25").cast("double") / (_STL_W * 100)).alias("trend"),
+            seas_col.alias("seasonal"),
+            (
+                (
+                    (_STL_W * F.col("cents") - F.col("t25")).cast("double")
+                    / (_STL_W * 100)
+                )
+                - seas_col
+            ).alias("remainder"),
+        )
+    )

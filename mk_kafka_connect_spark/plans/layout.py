@@ -617,3 +617,75 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# scan_binaryfile_manifest — the opaque-blob ingestion path (binaryFile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_binaryfile_manifest",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5,
+      substr(text, 1, 12) AS head
+    FROM documents WHERE doc_id < 64
+    """,
+    tags=("layout", "B1", "binary", "multimodal"),
+)
+def scan_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` — Spark's opaque-blob ingestion format and the
+    entry point of every multimodal pipeline (images, audio, PDFs land
+    as files; the engine's decode/feature kernels in
+    ``operators/multimodal.py`` take over from the binary column): a
+    directory of one-blob-per-document files is read back as
+    (path, length, content) rows, and the manifest — byte length, md5
+    content hash, decoded head — must equal what the oracle computes
+    from the source table, proving the file transport is byte-exact.
+    This is also the engine's Kafka-less binary transport pattern
+    (``kafka_file_roundtrip`` uses the same trick for message blobs).
+
+    Scale shape: binaryFile scans parallelize per file; each row
+    carries its whole blob, so partition sizing is governed by
+    ``maxPartitionBytes`` against FILE sizes, not row counts — the
+    100 TB posture is many-small-blobs per task, never one giant blob
+    (those need chunked framing upstream). The manifest projection
+    (length/hash/head) is codegen'd JVM work; content bytes never
+    reach Python."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+        .collect()
+    )
+    root = tempfile.mkdtemp(prefix="binmanifest_")
+    try:
+        for r in docs:
+            with open(os.path.join(root, f"{r.doc_id:05d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        manifest = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(root)
+            .select(
+                F.regexp_extract(F.col("path"), r"(\d{5})\.bin$", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("length").alias("n_bytes"),
+                F.md5("content").alias("content_md5"),
+                F.substring(F.decode("content", "UTF-8"), 1, 12).alias(
+                    "head"
+                ),
+            )
+        )
+        return spark.createDataFrame(
+            manifest.collect(), schema=manifest.schema
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -525,6 +525,10 @@ R15_ADDITIONS: tuple[str, ...] = (
     "sql_group_by_all",
     "agg_listagg_bitwise",
     "dq_t_closeness",
+    "join_geo_gridblock",
+    "scalar_interval_funcs",
+    "events_stl_decompose",
+    "scan_binaryfile_manifest",
 )
 
 

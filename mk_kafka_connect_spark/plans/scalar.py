@@ -843,3 +843,61 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY ALL
       ORDER BY ALL
     """)
+
+
+@query(
+    "scalar_interval_funcs",
+    oracle="""
+    SELECT o_orderkey,
+      o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+      o_orderdate - INTERVAL 45 DAY AS minus_45d,
+      o_orderdate + INTERVAL 90 MINUTE AS plus_90min,
+      o_orderdate + INTERVAL 18 MONTH AS plus_1y6m,
+      o_orderdate + (o_orderkey % 5) * INTERVAL 1 DAY AS staggered,
+      CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+      CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start,
+      CAST(date_part('day', TIMESTAMP '1999-01-01 00:00:00' - o_orderdate)
+           AS BIGINT) AS age_days
+    FROM orders WHERE o_orderkey < 5000
+    """,
+    tags=("scalar", "B12", "interval", "ansi"),
+)
+def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI INTERVAL battery — the typed time-arithmetic surface the
+    datetime battery (``scalar_datetime_funcs``) does not touch: Spark
+    3.2+ ANSI year-month and day-time INTERVAL types. Covered: month
+    arithmetic with end-of-month CLAMPING (Jan 31 + 3 months =
+    Apr 30 — the semantics both engines share and naive epoch math
+    gets wrong), day and sub-day (minute) offsets, a compound
+    ``INTERVAL '1-6' YEAR TO MONTH`` literal, interval MULTIPLICATION
+    by a column (the per-row stagger idiom behind retry schedules and
+    cohort offsets), ``last_day``, quarter truncation, and timestamp
+    SUBTRACTION yielding a day-time interval whose DAY field is
+    extracted (exact at midnight-aligned fixtures). Every output is a
+    timestamp/date/bigint — interval VALUES never cross the driver
+    boundary (they are engine-internal types with no stable external
+    encoding; projecting them out is the portability hazard the
+    battery documents).
+
+    Scale shape: one scan, one codegen'd projection; the key filter
+    pushes to parquet. Interval arithmetic is JVM-side expression
+    work — zero shuffle, zero Python."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL '3' MONTH").alias("plus_3m"),
+        F.expr("o_orderdate - INTERVAL '45' DAY").alias("minus_45d"),
+        F.expr("o_orderdate + INTERVAL '90' MINUTE").alias("plus_90min"),
+        F.expr("o_orderdate + INTERVAL '1-6' YEAR TO MONTH").alias(
+            "plus_1y6m"
+        ),
+        F.expr(
+            "o_orderdate + (o_orderkey % 5) * INTERVAL '1' DAY"
+        ).alias("staggered"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr_start"),
+        F.expr(
+            "CAST(extract(DAY FROM (TIMESTAMP '1999-01-01 00:00:00'"
+            " - o_orderdate)) AS BIGINT)"
+        ).alias("age_days"),
+    )

@@ -86,6 +86,10 @@ SENSITIVE = [
     "sql_group_by_all",
     "agg_listagg_bitwise",
     "dq_t_closeness",
+    "join_geo_gridblock",
+    "scalar_interval_funcs",
+    "events_stl_decompose",
+    "scan_binaryfile_manifest",
 ]
 
 SF = "/root/testdata/sf0.01"

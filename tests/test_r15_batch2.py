@@ -166,3 +166,157 @@ def test_t_closeness_matches_python_emd(spark):
         assert math.isclose(t_got, t, rel_tol=0, abs_tol=1e-12)
         assert flag_got == (t_got <= 0.25)
         assert 0.0 <= t_got <= 1.0
+
+
+def _md5_mod(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 1_000_000_007
+
+
+def test_geo_gridblock_matches_python_bruteforce(spark):
+    """The grid-block join must find EXACTLY the radius-bounded nearest
+    depot the O(points x depots) brute force finds — the blocking is a
+    pure optimization, never a recall trade."""
+    R = 15_000
+    custs = duckdb.sql(
+        f"SELECT c_custkey FROM '{SF}/customer.parquet'"
+    ).fetchall()
+    depots = duckdb.sql(
+        f"SELECT s_suppkey FROM '{SF}/supplier.parquet'"
+    ).fetchall()
+    dpos = [
+        (
+            k,
+            _md5_mod(f"slat:{k}") % 180_001,
+            _md5_mod(f"slon:{k}") % 360_001,
+        )
+        for (k,) in depots
+    ]
+    stats: dict[int, list] = {}
+    n_covered = 0
+    for (ck,) in custs:
+        clat = _md5_mod(f"glat:{ck}") % 180_001
+        clon = _md5_mod(f"glon:{ck}") % 360_001
+        best = None
+        for sk, slat, slon in dpos:
+            d2 = (clat - slat) ** 2 + (clon - slon) ** 2
+            if d2 <= R * R and (best is None or (d2, sk) < best):
+                best = (d2, sk)
+        if best is None:
+            continue
+        n_covered += 1
+        d2, sk = best
+        s = stats.setdefault(sk, [0, d2, d2, 0])
+        s[0] += 1
+        s[1] = min(s[1], d2)
+        s[2] = max(s[2], d2)
+        s[3] += d2
+    got = {
+        r.s_suppkey: [r.n_assigned, r.min_d2, r.max_d2, r.sum_d2]
+        for r in QUERIES["join_geo_gridblock"].fn(spark, SF).collect()
+    }
+    assert got == stats
+    assert sum(v[0] for v in got.values()) == n_covered
+    assert 0 < n_covered < len(custs)  # geofence semantics are exercised
+
+
+def test_interval_clamping_and_stagger(spark):
+    """Month arithmetic must clamp to end-of-month and the per-row
+    interval multiplication must stagger by key — recomputed with
+    Python's calendar, no SQL engine involved."""
+    import calendar
+    from datetime import timedelta
+
+    def add_months(d, n):
+        y, m = divmod((d.year * 12 + d.month - 1) + n, 12)
+        m += 1
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        return d.replace(year=y, month=m, day=day)
+
+    rows = {
+        r.o_orderkey: r
+        for r in QUERIES["scalar_interval_funcs"].fn(spark, SF).collect()
+    }
+    src = dict(
+        duckdb.sql(
+            f"""SELECT o_orderkey, o_orderdate
+            FROM '{SF}/orders.parquet' WHERE o_orderkey < 5000"""
+        ).fetchall()
+    )
+    assert set(rows) == set(src)
+    for k, d in src.items():
+        r = rows[k]
+        assert r.plus_3m == add_months(d, 3)
+        assert r.plus_1y6m == add_months(d, 18)
+        assert r.minus_45d == d - timedelta(days=45)
+        assert r.plus_90min == d + timedelta(minutes=90)
+        assert r.staggered == d + timedelta(days=k % 5)
+        assert r.month_end.day == calendar.monthrange(d.year, d.month)[1]
+        assert r.qtr_start.month in (1, 4, 7, 10) and r.qtr_start.day == 1
+
+
+def test_stl_decomposition_identity_and_recompute(spark):
+    """value = trend + seasonal + remainder (the additive contract), and
+    every component matches a plain-Python recompute of the classical
+    decomposition from the raw events."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    HALF, W = 12, 25
+    raw = duckdb.sql(
+        f"""SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP),
+          CAST(sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                        AS BIGINT)) AS BIGINT)
+        FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, list] = defaultdict(list)
+    for et, h, cents in raw:
+        series[et].append((h, int(cents)))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        cents = [c for _, c in pts]
+        t25 = {}
+        for i in range(HALF, len(pts) - HALF):
+            t25[i] = sum(cents[i - HALF : i + HALF + 1])
+        snum, sn = defaultdict(int), defaultdict(int)
+        for i, t in t25.items():
+            hod = pts[i][0].hour
+            snum[hod] += W * cents[i] - t
+            sn[hod] += 1
+        for i, t in t25.items():
+            hod = pts[i][0].hour
+            seasonal = snum[hod] / (sn[hod] * W * 100)
+            want[(et, pts[i][0])] = (
+                cents[i] / 100,
+                t / (W * 100),
+                seasonal,
+                (W * cents[i] - t) / (W * 100) - seasonal,
+            )
+    got = {
+        (r.event_type, r.hour_ts): (r.value, r.trend, r.seasonal, r.remainder)
+        for r in QUERIES["events_stl_decompose"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for key, (v, t, s, rem) in want.items():
+        gv, gt, gs, grem = got[key]
+        assert gv == v and gt == t and gs == s and grem == rem
+        # additive identity (exact in rationals, ~1 ulp in doubles)
+        assert abs((gt + gs + grem) - gv) < 1e-9
+
+
+def test_binaryfile_manifest_is_byte_exact(spark):
+    import hashlib
+
+    got = {
+        r.doc_id: (r.n_bytes, r.content_md5, r.head)
+        for r in QUERIES["scan_binaryfile_manifest"].fn(spark, SF).collect()
+    }
+    src = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE doc_id < 64"
+    ).fetchall()
+    assert set(got) == {d for d, _ in src}
+    for d, text in src:
+        b = text.encode("utf-8")
+        assert got[d] == (len(b), hashlib.md5(b).hexdigest(), text[:12])
