@@ -2055,3 +2055,57 @@ def agg_listagg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg_la_orders
       GROUP BY 1
     """)
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_topk — Spark 4.1's native approximate top-k sketch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type AS item,
+      CAST(count(*) AS BIGINT) AS est_count,
+      CAST(count(*) AS BIGINT) AS exact_count,
+      TRUE AS est_is_exact
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "B7", "sketch", "approx-top-k"),
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` — Spark 4.1's native frequent-items sketch
+    (Datasketches frequent-items / Misra-Gries lineage), the
+    engine-provided counterpart to the hand-rolled SpaceSaving shard
+    merge in ``agg_heavy_hitters``: one aggregate returns the k most
+    frequent values WITH estimated counts as an array of structs,
+    exploded here back to scalar rows and joined against the exact
+    counts. k = the full event-type domain and the default sketch
+    capacity (10 000) vastly exceeds the domain, so every estimate must
+    be EXACT — the regime the oracle can pin value-for-value. The
+    interesting 100 TB property documented here: the sketch state is
+    O(capacity) regardless of input rows and merges associatively
+    across partitions, so the shuffle moves KBs, never the key stream
+    (same argument as the HLL/KMV/CM family).
+
+    Scale shape: one scan, one O(capacity) partial aggregate per
+    partition, a 1-row merge, a domain-sized explode + broadcast join
+    against the exact groupBy (itself map-side combinable over 5
+    keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("topk_events")
+    sketched = spark.sql(
+        "SELECT explode(approx_top_k(event_type, 5)) AS kv FROM topk_events"
+    ).select(
+        F.col("kv.item").alias("item"),
+        F.col("kv.count").cast("long").alias("est_count"),
+    )
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return sketched.join(F.broadcast(exact), "item").select(
+        "item",
+        "est_count",
+        "exact_count",
+        (F.col("est_count") == F.col("exact_count")).alias("est_is_exact"),
+    )

@@ -529,6 +529,9 @@ R15_ADDITIONS: tuple[str, ...] = (
     "scalar_interval_funcs",
     "events_stl_decompose",
     "scan_binaryfile_manifest",
+    "scalar_time_funcs",
+    "sql_parameterized_exec",
+    "agg_approx_topk",
 )
 
 

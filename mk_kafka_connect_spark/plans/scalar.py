@@ -901,3 +901,137 @@ def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - o_orderdate)) AS BIGINT)"
         ).alias("age_days"),
     )
+
+
+@query(
+    "scalar_time_funcs",
+    oracle="""
+    SELECT event_id,
+      CAST(make_time(hour(ts), minute(ts),
+                     CAST(extract(second FROM ts) AS INTEGER)) AS VARCHAR)
+        AS tod_str,
+      CAST(hour(ts) AS BIGINT) AS t_h,
+      CAST(minute(ts) AS BIGINT) AS t_m,
+      CAST(extract(second FROM ts) AS BIGINT) AS t_s,
+      CAST(hour(ts) * 3600 + minute(ts) * 60
+           + extract(second FROM ts) AS BIGINT) AS secs_of_day,
+      make_time(hour(ts), minute(ts),
+                CAST(extract(second FROM ts) AS INTEGER))
+        < TIME '12:00:00' AS is_am
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("scalar", "B12", "time-type"),
+)
+def scalar_time_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI TIME type — Spark 4.1's newest temporal type (flag-gated
+    behind ``spark.sql.timeType.enabled``; this query turns it on):
+    time-of-day values CONSTRUCTED with ``make_time``, compared against
+    a ``TIME`` literal (the shift-boundary idiom: 'before noon'),
+    component-extracted, and serialized. Like the INTERVAL battery, the
+    TIME values themselves never cross the driver boundary — outputs
+    are strings/longs/booleans (a brand-new type's external encoding is
+    exactly what downstream BI/arrow clients lag on; keeping it
+    engine-internal is the deployment-safe posture the docstring
+    declares). Fractional seconds are deliberately avoided: Spark
+    extracts SECOND from TIME as DECIMAL(8,6), DuckDB as truncated
+    int — integer seconds are the cross-engine-safe subset.
+
+    Scale shape: one scan, one codegen'd projection; the TIME ops are
+    JVM expressions."""
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ev.createOrReplaceTempView("time_fn_events")
+    return spark.sql("""
+      SELECT event_id,
+        CAST(make_time(hour(ts), minute(ts),
+                       CAST(second(ts) AS INT)) AS STRING) AS tod_str,
+        CAST(hour(ts) AS BIGINT) AS t_h,
+        CAST(minute(ts) AS BIGINT) AS t_m,
+        CAST(second(ts) AS BIGINT) AS t_s,
+        CAST(extract(HOUR FROM make_time(hour(ts), minute(ts),
+                                         CAST(second(ts) AS INT))) * 3600
+             + extract(MINUTE FROM make_time(hour(ts), minute(ts),
+                                             CAST(second(ts) AS INT))) * 60
+             + extract(SECOND FROM make_time(hour(ts), minute(ts),
+                                             CAST(second(ts) AS INT)))
+             AS BIGINT) AS secs_of_day,
+        make_time(hour(ts), minute(ts), CAST(second(ts) AS INT))
+          < TIME '12:00:00' AS is_am
+      FROM time_fn_events
+    """)
+
+
+@query(
+    "sql_parameterized_exec",
+    oracle="""
+    SELECT 'low_cap' AS param_set, o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
+    FROM orders
+    WHERE o_totalprice < 150000.0 AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 2
+    UNION ALL
+    SELECT 'high_cap' AS param_set, o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
+    FROM orders
+    WHERE o_totalprice < 400000.0 AND o_orderdate >= TIMESTAMP '1995-06-01'
+    GROUP BY 2
+    UNION ALL
+    SELECT 'exec_imm' AS param_set, o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
+    FROM orders
+    WHERE o_orderkey % 10 = 3
+    GROUP BY 2
+    """,
+    tags=("scalar", "B12", "sql-surface", "parameterized"),
+)
+def sql_parameterized_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — the injection-safe templating surface (Spark
+    3.4+ named parameter markers via ``spark.sql(query, args=...)``,
+    plus SQL-scripting's ``EXECUTE IMMEDIATE ... USING`` from 4.0): the
+    SAME template is bound twice with different (cap, cutoff) argument
+    sets, and a third slice goes through EXECUTE IMMEDIATE with a
+    positional USING binding — the dynamic-SQL idiom of metadata-driven
+    pipelines (the reference's config-driven per-entity queries,
+    ``SURVEY.md §1.2``, are exactly this pattern: one template, N
+    bindings). The oracle replays each binding with inlined literals —
+    equality proves markers bind VALUES (typed, escaped), not spliced
+    text.
+
+    Scale shape: per binding, the same pushed-filter + group-sized
+    aggregate plan as any literal query — parameterization is resolved
+    at parse time and invisible to Catalyst."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "param_orders"
+    )
+    template = """
+      SELECT :tag AS param_set, o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS total
+      FROM param_orders
+      WHERE o_totalprice < :cap AND o_orderdate >= CAST(:d0 AS TIMESTAMP)
+      GROUP BY 2
+    """
+    low = spark.sql(
+        template, args={"tag": "low_cap", "cap": 150000.0, "d0": "1997-01-01"}
+    )
+    high = spark.sql(
+        template,
+        args={"tag": "high_cap", "cap": 400000.0, "d0": "1995-06-01"},
+    )
+    imm = spark.sql("""
+      EXECUTE IMMEDIATE
+        'SELECT ''exec_imm'' AS param_set, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total
+         FROM param_orders WHERE o_orderkey % 10 = ? GROUP BY 2'
+      USING 3
+    """)
+    return low.unionAll(high).unionAll(imm)

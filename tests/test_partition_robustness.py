@@ -90,6 +90,9 @@ SENSITIVE = [
     "scalar_interval_funcs",
     "events_stl_decompose",
     "scan_binaryfile_manifest",
+    "scalar_time_funcs",
+    "sql_parameterized_exec",
+    "agg_approx_topk",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -320,3 +320,79 @@ def test_binaryfile_manifest_is_byte_exact(spark):
     for d, text in src:
         b = text.encode("utf-8")
         assert got[d] == (len(b), hashlib.md5(b).hexdigest(), text[:12])
+
+
+def test_time_funcs_match_python_recompute(spark):
+    got = {
+        r.event_id: (r.tod_str, r.t_h, r.t_m, r.t_s, r.secs_of_day, r.is_am)
+        for r in QUERIES["scalar_time_funcs"].fn(spark, SF).collect()
+    }
+    src = duckdb.sql(
+        f"SELECT event_id, ts FROM '{SF}/events.parquet' WHERE event_id < 2000"
+    ).fetchall()
+    assert set(got) == {e for e, _ in src}
+    for e, ts in src:
+        h, m, s = ts.hour, ts.minute, ts.second
+        assert got[e] == (
+            f"{h:02d}:{m:02d}:{s:02d}",
+            h,
+            m,
+            s,
+            h * 3600 + m * 60 + s,
+            h < 12,
+        )
+
+
+def test_parameterized_binding_is_typed_not_spliced(spark):
+    """Markers must bind VALUES: a hostile string argument is compared as
+    a literal, never spliced into the SQL text."""
+    from mk_kafka_connect_spark.catalog import load_table
+
+    load_table(spark, SF, "orders").createOrReplaceTempView("inj_orders")
+    hostile = "1-URGENT' OR '1'='1"
+    n = spark.sql(
+        "SELECT count(*) AS n FROM inj_orders WHERE o_orderpriority = :p",
+        args={"p": hostile},
+    ).collect()[0].n
+    assert n == 0  # spliced text would match every 1-URGENT row
+
+    # Each param_set slice equals its literal replay.
+    rows = QUERIES["sql_parameterized_exec"].fn(spark, SF).collect()
+    got = {(r.param_set, r.o_orderpriority): (r.n, r.total) for r in rows}
+    want = {}
+    for tag, sql in [
+        (
+            "low_cap",
+            "o_totalprice < 150000.0"
+            " AND o_orderdate >= TIMESTAMP '1997-01-01'",
+        ),
+        (
+            "high_cap",
+            "o_totalprice < 400000.0"
+            " AND o_orderdate >= TIMESTAMP '1995-06-01'",
+        ),
+        ("exec_imm", "o_orderkey % 10 = 3"),
+    ]:
+        for pri, cnt, tot in duckdb.sql(
+            f"""SELECT o_orderpriority, count(*),
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE)
+            FROM '{SF}/orders.parquet' WHERE {sql} GROUP BY 1"""
+        ).fetchall():
+            want[(tag, pri)] = (cnt, tot)
+    assert got == want
+
+
+def test_approx_topk_is_exact_below_capacity(spark):
+    got = {
+        r.item: (r.est_count, r.exact_count, r.est_is_exact)
+        for r in QUERIES["agg_approx_topk"].fn(spark, SF).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_type, count(*) FROM '{SF}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for item, n in want.items():
+        assert got[item] == (n, n, True)
