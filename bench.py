@@ -236,6 +236,8 @@ HEADLINE = [
     "scalar_time_funcs",
     "sql_parameterized_exec",
     "agg_approx_topk",
+    "emb_ridge_normal_eq",
+    "orders_feature_standardize",
 ]
 
 

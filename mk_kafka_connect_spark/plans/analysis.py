@@ -2024,3 +2024,99 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("remainder"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_feature_standardize — the tabular feature-engineering pipeline
+# ---------------------------------------------------------------------------
+
+# Shared solve fragment: z-score and min-max from integer group moments —
+# identical expression tree in both engines, so the doubles match bitwise.
+_FEAT_PROJ = """
+  SELECT o_orderkey, o_orderpriority,
+    CAST(cents AS DOUBLE) / 100 AS price,
+    (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt((CAST(ssq AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS z_price,
+    CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS minmax_price,
+    ntile_bin AS decile,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS oh_urgent,
+    CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS oh_high,
+    CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS oh_medium
+  FROM binned
+"""
+
+
+@query(
+    "orders_feature_standardize",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+        CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+          AS cents
+      FROM orders WHERE o_orderkey < 8000),
+    stats AS (
+      SELECT o_orderpriority,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(cents) AS BIGINT) AS s,
+        CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+          AS ssq,
+        CAST(min(cents) AS BIGINT) AS mn, CAST(max(cents) AS BIGINT) AS mx
+      FROM base GROUP BY 1),
+    binned AS (
+      SELECT b.*, st.n, st.s, st.ssq, st.mn, st.mx,
+        CAST(ntile(10) OVER (PARTITION BY b.o_orderpriority
+                             ORDER BY b.cents, b.o_orderkey) AS INTEGER)
+          AS ntile_bin
+      FROM base b JOIN stats st USING (o_orderpriority))
+    {_FEAT_PROJ}
+    """,
+    tags=("orders", "B7", "ml-features", "standardization"),
+)
+def orders_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tabular feature-engineering pipeline every training-data prep
+    ends with — per-row z-score, min-max scaling, decile binning, and
+    one-hot encoding, all per feature GROUP (order priority), produced
+    in one pass + one window: group moments (n, Σx, Σx², min, max) come
+    from an exact integer aggregate (Σx² in DECIMAL(38,0) — cents² at
+    fixture prices overflows int64 within ~20k rows; the decimal lift
+    is the 100 TB-safe form), are broadcast back, and the scalings are
+    a SHARED SQL fragment so both engines evaluate the identical IEEE
+    expression tree. Deciles via ntile over (value, key) — the unique
+    tie-break makes the bin assignment deterministic under any
+    partitioning (plain ntile over a tied sort is not, which is why
+    naive featurizers drift between runs). One-hot stays fixed-width
+    (the domain is declared, not discovered — discovery belongs to a
+    profiling pass like ``profile_orders``).
+
+    Scale shape: one scan, one group-sized moment aggregate broadcast
+    back, one partitioned window for deciles. The moments are the same
+    mergeable pattern as ``emb_ridge_normal_eq``; z/min-max are pure
+    map-side arithmetic after the broadcast."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 8000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    stats = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+        F.min("cents").cast("long").alias("mn"),
+        F.max("cents").cast("long").alias("mx"),
+    )
+    wb = W.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    binned = base.join(F.broadcast(stats), "o_orderpriority").withColumn(
+        "ntile_bin", F.ntile(10).over(wb).cast("int")
+    )
+    binned.createOrReplaceTempView("binned")
+    return spark.sql(_FEAT_PROJ)

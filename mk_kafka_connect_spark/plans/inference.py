@@ -1320,3 +1320,108 @@ def _register_block_bootstrap() -> None:
 
 
 _register_block_bootstrap()
+
+
+# ---------------------------------------------------------------------------
+# emb_ridge_normal_eq — closed-form ridge regression from mergeable sums
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAM = 1_000  # ridge penalty in quantized-feature units
+
+# The 3x3 normal-equation solve (Cramer's rule on the symmetric matrix
+# [[a,b,c],[b,d,e],[c,e,f]] with rhs [p,q,r]) as ONE shared SQL fragment —
+# both engines evaluate the IDENTICAL expression tree, so every IEEE
+# multiply/divide happens in the same order and the doubles match bitwise.
+_RIDGE_SOLVE = """
+  SELECT n, lambda_q,
+    (p*(d*f - e*e) - b*(q*f - e*r) + c*(q*e - d*r))
+      / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS beta_intercept,
+    (a*(q*f - e*r) - p*(b*f - e*c) + c*(b*r - q*c))
+      / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS beta_d0,
+    (a*(d*r - q*e) - b*(b*r - q*c) + p*(b*e - d*c))
+      / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS beta_d1
+  FROM m
+"""
+
+_RIDGE_M = f"""
+  m AS (
+    SELECT CAST(n AS BIGINT) AS n, CAST({_RIDGE_LAM} AS BIGINT) AS lambda_q,
+      CAST(n AS DOUBLE) AS a, CAST(s0 AS DOUBLE) AS b,
+      CAST(s1 AS DOUBLE) AS c, CAST(s00 + {_RIDGE_LAM} AS DOUBLE) AS d,
+      CAST(s01 AS DOUBLE) AS e, CAST(s11 + {_RIDGE_LAM} AS DOUBLE) AS f,
+      CAST(sy AS DOUBLE) AS p, CAST(s0y AS DOUBLE) AS q,
+      CAST(s1y AS DOUBLE) AS r
+    FROM sums)
+"""
+
+
+@query(
+    "emb_ridge_normal_eq",
+    oracle=f"""
+    WITH feat AS (
+      SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+               AS q0,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT)
+               AS q1,
+             CAST(label AS BIGINT) AS y
+      FROM embeddings),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(q0) AS BIGINT) AS s0, CAST(sum(q1) AS BIGINT) AS s1,
+        CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(q0*q0) AS BIGINT) AS s00,
+        CAST(sum(q0*q1) AS BIGINT) AS s01,
+        CAST(sum(q1*q1) AS BIGINT) AS s11,
+        CAST(sum(q0*y) AS BIGINT) AS s0y,
+        CAST(sum(q1*y) AS BIGINT) AS s1y
+      FROM feat),
+    {_RIDGE_M}
+    {_RIDGE_SOLVE}
+    """,
+    tags=("emb", "B15", "regression", "normal-equations"),
+)
+def emb_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression by CLOSED-FORM normal equations over mergeable
+    integer sums — the distributed-training pattern for low-dimensional
+    models (calibration layers, per-segment bias correctors, DSIR-style
+    reweighters): one scan accumulates the 9 Gram/moment sums (exact
+    int64, map-side combinable — the same mergeable-state argument as
+    ``emb_covariance``), and the solve is O(1) driver-free arithmetic
+    on a single row. Features are two quantized embedding dimensions
+    (QUANT=10000, the corpus-wide convention), target is the label;
+    the ridge penalty λ lands on the feature diagonal only (the
+    intercept is never penalized — the textbook parameterization,
+    Hastie/Tibshirani/Friedman ESL §3.4.1). The 3×3 Cramer solve is a
+    SHARED SQL fragment evaluated by both engines, making every IEEE
+    operation order-identical — bitwise-equal betas with no tolerance.
+
+    Scale shape: ONE pass, one 9-column partial aggregate, a 1-row
+    solve. At 100 TB this is the cheapest trainable model that exists —
+    scan-bound, zero shuffle beyond the final 1-row merge. For p
+    features the sums are p(p+3)/2+1 columns; past p≈100 switch to the
+    Arrow Gram kernel (``operators/similarity.py::covariance_gram``)
+    and a driver-side Cholesky on the p×p matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.select(
+        F.round(F.element_at("embedding", 1).cast("double") * 10000)
+        .cast("long")
+        .alias("q0"),
+        F.round(F.element_at("embedding", 2).cast("double") * 10000)
+        .cast("long")
+        .alias("q1"),
+        F.col("label").cast("long").alias("y"),
+    ).createOrReplaceTempView("ridge_feat")
+    return spark.sql(f"""
+      WITH sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(q0) AS BIGINT) AS s0, CAST(sum(q1) AS BIGINT) AS s1,
+          CAST(sum(y) AS BIGINT) AS sy,
+          CAST(sum(q0*q0) AS BIGINT) AS s00,
+          CAST(sum(q0*q1) AS BIGINT) AS s01,
+          CAST(sum(q1*q1) AS BIGINT) AS s11,
+          CAST(sum(q0*y) AS BIGINT) AS s0y,
+          CAST(sum(q1*y) AS BIGINT) AS s1y
+        FROM ridge_feat),
+      {_RIDGE_M}
+      {_RIDGE_SOLVE}
+    """)

@@ -532,6 +532,8 @@ R15_ADDITIONS: tuple[str, ...] = (
     "scalar_time_funcs",
     "sql_parameterized_exec",
     "agg_approx_topk",
+    "emb_ridge_normal_eq",
+    "orders_feature_standardize",
 )
 
 

@@ -93,6 +93,8 @@ SENSITIVE = [
     "scalar_time_funcs",
     "sql_parameterized_exec",
     "agg_approx_topk",
+    "emb_ridge_normal_eq",
+    "orders_feature_standardize",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -396,3 +396,79 @@ def test_approx_topk_is_exact_below_capacity(spark):
     assert set(got) == set(want)
     for item, n in want.items():
         assert got[item] == (n, n, True)
+
+
+def test_ridge_matches_numpy_solve(spark):
+    """The Cramer solve must agree with numpy's linear solver on the same
+    normal equations — and fitting with lambda=0 on synthetic exact-linear
+    data is implicitly covered by the closed form."""
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"""SELECT CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT),
+          CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT),
+          CAST(label AS BIGINT)
+        FROM '{SF}/embeddings.parquet'"""
+    ).fetchall()
+    X = np.array([[1.0, q0, q1] for q0, q1, _ in rows])
+    y = np.array([float(v) for _, _, v in rows])
+    lam = 1000.0
+    M = X.T @ X + np.diag([0.0, lam, lam])
+    beta = np.linalg.solve(M, X.T @ y)
+    r = QUERIES["emb_ridge_normal_eq"].fn(spark, SF).collect()[0]
+    assert r.n == len(rows) and r.lambda_q == 1000
+    got = np.array([r.beta_intercept, r.beta_d0, r.beta_d1])
+    assert np.allclose(got, beta, rtol=1e-9, atol=1e-12)
+
+
+def test_feature_standardize_matches_python(spark):
+    import math
+    import statistics
+
+    rows = duckdb.sql(
+        f"""SELECT o_orderkey, o_orderpriority,
+          CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        FROM '{SF}/orders.parquet' WHERE o_orderkey < 8000"""
+    ).fetchall()
+    groups = defaultdict(list)
+    for k, pri, cents in rows:
+        groups[pri].append((k, int(cents)))
+    got = {
+        r.o_orderkey: r
+        for r in QUERIES["orders_feature_standardize"].fn(spark, SF).collect()
+    }
+    assert len(got) == len(rows)
+    for pri, members in groups.items():
+        cents = [c for _, c in members]
+        n, s = len(cents), sum(cents)
+        mu = s / n
+        sd = math.sqrt(
+            (sum(c * c for c in cents) * n - s * s) / (n * (n - 1))
+        )
+        assert math.isclose(
+            sd, statistics.stdev(cents), rel_tol=1e-12
+        )  # the integer-moment identity IS the sample stdev
+        mn, mx = min(cents), max(cents)
+        # deterministic decile assignment: rank in (cents, key) order
+        order = sorted(members, key=lambda t: (t[1], t[0]))
+        for rank, (k, c) in enumerate(order):
+            r = got[k]
+            assert math.isclose(r.z_price, (c - mu) / sd, rel_tol=1e-12)
+            assert math.isclose(
+                r.minmax_price, (c - mn) / (mx - mn), rel_tol=1e-12
+            )
+            # ntile(10): first (len % 10) bins get the extra row
+            base, extra = divmod(n, 10)
+            bin_edges, acc = [], 0
+            for b in range(10):
+                acc += base + (1 if b < extra else 0)
+                bin_edges.append(acc)
+            want_bin = next(
+                b + 1 for b, edge in enumerate(bin_edges) if rank < edge
+            )
+            assert r.decile == want_bin
+            assert (r.oh_urgent, r.oh_high, r.oh_medium) == (
+                int(pri == "1-URGENT"),
+                int(pri == "2-HIGH"),
+                int(pri == "3-MEDIUM"),
+            )
