@@ -238,6 +238,9 @@ HEADLINE = [
     "agg_approx_topk",
     "emb_ridge_normal_eq",
     "orders_feature_standardize",
+    "udf_arrow_scalar",
+    "udf_udtf_table_arg",
+    "sql_udf_functions",
 ]
 
 

@@ -534,6 +534,9 @@ R15_ADDITIONS: tuple[str, ...] = (
     "agg_approx_topk",
     "emb_ridge_normal_eq",
     "orders_feature_standardize",
+    "udf_arrow_scalar",
+    "udf_udtf_table_arg",
+    "sql_udf_functions",
 )
 
 

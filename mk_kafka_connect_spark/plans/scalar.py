@@ -1035,3 +1035,67 @@ def sql_parameterized_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
       USING 3
     """)
     return low.unionAll(high).unionAll(imm)
+
+
+@query(
+    "sql_udf_functions",
+    oracle="""
+    WITH priced AS (
+      SELECT l_orderkey, l_linenumber,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l_discount AS DECIMAL(18,2))), 2)
+             AS DOUBLE) AS net,
+        CASE WHEN l_quantity >= 40.0 THEN 'bulk'
+             WHEN l_quantity >= 15.0 THEN 'mid'
+             ELSE 'small' END AS qty_band
+      FROM lineitem WHERE l_orderkey < 3000)
+    SELECT qty_band,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(net AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS net_revenue
+    FROM priced GROUP BY 1
+    """,
+    tags=("scalar", "B12", "sql-udf"),
+)
+def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs — ``CREATE FUNCTION ... RETURNS ... RETURN``
+    (SQL:2016 / Spark 4.0): reusable logic declared IN SQL, so it
+    inlines into the calling plan as ordinary Catalyst expressions —
+    full codegen, pushdown, and constant folding, none of the Python
+    serialization tax of the B14 mechanisms (the decision rule the
+    docstring exists to state: if the logic is expressible as a SQL
+    expression, a SQL UDF beats every Python UDF flavor at any scale).
+    Covered: a scalar function (exact-decimal net price) and a scalar
+    CASE classifier (quantity banding), both applied in one rollup; the
+    oracle replays the bodies inline — equality proves the function
+    boundary is semantically transparent.
+
+    Scale shape: identical plan to the inlined query — the functions
+    dissolve at analysis time."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sqludf_lineitem"
+    )
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)
+      RETURNS DOUBLE
+      RETURN CAST(round(CAST(p AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(3,2))
+                           - CAST(d AS DECIMAL(18,2))), 2) AS DOUBLE)
+    """)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE)
+      RETURNS STRING
+      RETURN CASE WHEN q >= 40.0 THEN 'bulk'
+                  WHEN q >= 15.0 THEN 'mid'
+                  ELSE 'small' END
+    """)
+    return spark.sql("""
+      SELECT qty_band(l_quantity) AS qty_band,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(round(sum(CAST(net_price(l_extendedprice, l_discount)
+                            AS DECIMAL(18,2))), 2) AS DOUBLE)
+          AS net_revenue
+      FROM sqludf_lineitem WHERE l_orderkey < 3000
+      GROUP BY 1
+    """)

@@ -407,3 +407,153 @@ def udf_grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "label int, n_vecs long, dim int, sum_q long, mean_component double",
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      CAST(qty AS DOUBLE) * 2.5 AS scaled_qty,
+      (qty * qty + 7) % 97 AS hashed_qty
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+        CAST(round(CAST(l_quantity AS DECIMAL(18,2)), 0) AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey < 2000)
+    """,
+    tags=("udf", "B14", "arrow-udf"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrow_udf`` — Spark 4.1's Arrow-NATIVE scalar UDF, the eighth
+    and newest Python extension mechanism (after row UDF, pandas_udf,
+    grouped agg, applyInPandas, UDTF, mapInArrow, applyInArrow): the
+    kernel receives ``pyarrow.Array`` batches directly — no
+    pandas materialization at all, so the Python boundary cost drops to
+    Arrow buffer handoff plus the compute kernel (pyarrow.compute runs
+    vectorized C++). Arithmetic here is exact by construction: integer
+    quantities (JVM-side decimal round BEFORE the UDF — quantization
+    stays engine-side where it is codegen'd), an integer polynomial mod
+    in Arrow int64, and one exact double scale (qty·2.5 ≤ 125 — exactly
+    representable). The oracle replays both in SQL, pinning that the
+    Arrow path neither reorders nor rounds.
+
+    Scale shape: pushed key filter, then a map-only Arrow stage —
+    embarrassingly parallel, batch-sized Python overhead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    # NOTE: this module has `from __future__ import annotations`, which
+    # stringifies type hints — but arrow_udf's kind detection needs REAL
+    # pa.Array objects in __annotations__, so they are set explicitly.
+    def _scale(v):
+        return pc.multiply(pc.cast(v, pa.float64()), 2.5)
+
+    def _polymod(v):
+        sq = pc.add(pc.multiply(v, v), 7)
+        # pyarrow has no modulo kernel; exact int identity a % m = a - a//m*m
+        return pc.subtract(sq, pc.multiply(pc.divide(sq, 97), 97))
+
+    _scale.__annotations__ = {"v": pa.Array, "return": pa.Array}
+    _polymod.__annotations__ = {"v": pa.Array, "return": pa.Array}
+    a_scale = arrow_udf(_scale, "double")
+    a_polymod = arrow_udf(_polymod, "long")
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity").cast("decimal(18,2)"), 0)
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        a_scale("qty").alias("scaled_qty"),
+        a_polymod("qty").alias("hashed_qty"),
+    )
+
+
+@query(
+    "udf_udtf_table_arg",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, event_id, ts,
+        lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+          AS prev_ts,
+        row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+          AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE event_id < 3000)
+    SELECT event_type,
+      CAST(max(n) AS BIGINT) AS n_events,
+      CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS first_id,
+      CAST(max(CASE WHEN rn = n THEN event_id END) AS BIGINT) AS last_id,
+      CAST(max(CAST(floor(extract(epoch FROM ts))
+                    - floor(extract(epoch FROM prev_ts)) AS BIGINT))
+           AS BIGINT) AS max_gap_s
+    FROM seq GROUP BY event_type
+    """,
+    tags=("udf", "B14", "udtf", "table-argument"),
+)
+def udf_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic table function — a Python UDTF invoked with a TABLE
+    argument plus ``PARTITION BY ... ORDER BY ...`` (Spark 4's
+    SQL:2016 PTF surface, the SQL-native sibling of
+    ``applyInPandasWithState``): the engine feeds each event-type
+    partition to its own UDTF instance IN timestamp order, and the
+    Python class runs a genuinely sequential scan (first/last ids, max
+    inter-event gap — state a scalar SQL expression cannot carry) and
+    emits one summary row per partition from ``terminate()``. The
+    oracle replays the sequential logic with lag/row_number windows —
+    equality proves the engine delivered every partition complete and
+    ordered, the PTF contract.
+
+    Scale shape: one shuffle on the PARTITION BY key (exactly a
+    groupBy), per-partition Python iteration. Partition count bounds
+    parallelism — a PTF partitioned on a 5-value key is a 5-task
+    stage; production keys should be high-cardinality."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "event_type string, n_events bigint, first_id bigint,"
+        " last_id bigint, max_gap_s bigint"
+    ))
+    class PartitionProfile:
+        def __init__(self):
+            self.k = None
+            self.n = 0
+            self.first = None
+            self.last = None
+            self.prev_epoch = None
+            self.max_gap = None
+
+        def eval(self, row):
+            self.k = row["event_type"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_id"]
+            self.last = row["event_id"]
+            epoch = int(row["ts"].timestamp())
+            if self.prev_epoch is not None:
+                gap = epoch - self.prev_epoch
+                if self.max_gap is None or gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev_epoch = epoch
+
+        def terminate(self):
+            if self.n:
+                yield self.k, self.n, self.first, self.last, self.max_gap
+
+    spark.udtf.register("partition_profile", PartitionProfile)
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 3000
+    ).createOrReplaceTempView("_ptf_events")
+    return spark.sql("""
+      SELECT * FROM partition_profile(
+        TABLE(_ptf_events) PARTITION BY event_type ORDER BY (ts, event_id)
+      )
+    """)

@@ -95,6 +95,9 @@ SENSITIVE = [
     "agg_approx_topk",
     "emb_ridge_normal_eq",
     "orders_feature_standardize",
+    "udf_arrow_scalar",
+    "udf_udtf_table_arg",
+    "sql_udf_functions",
 ]
 
 SF = "/root/testdata/sf0.01"

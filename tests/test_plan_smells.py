@@ -34,6 +34,8 @@ ALLOWED = {
     "join_cross": "the B6 cross-join coverage query itself",
     "udf_row_python": "deliberate B14 row-UDF surface (paired with vectorized variants)",
     "udf_python_udtf": "deliberate B14 UDTF surface",
+    "udf_udtf_table_arg": "deliberate B14 PTF surface (UDTF with TABLE "
+    "argument is per-row Python by definition; partitions shuffle once)",
     # 1-row scalar broadcast: a BNLJ whose build side is a single
     # aggregate row IS the scalar-subquery plan — not a scale risk.
     "q22_global_sales_opportunity": "1-row average-threshold broadcast",

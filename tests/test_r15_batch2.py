@@ -472,3 +472,80 @@ def test_feature_standardize_matches_python(spark):
                 int(pri == "2-HIGH"),
                 int(pri == "3-MEDIUM"),
             )
+
+
+def test_arrow_scalar_udf_is_arrow_vectorized_and_exact(spark):
+    rows = QUERIES["udf_arrow_scalar"].fn(spark, SF)
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # Arrow path, not BatchEvalPython
+    assert "BatchEvalPython\n" not in plan
+    # (l_orderkey, l_linenumber) is NOT unique in this fixture — compare
+    # as sorted multisets keyed on the full row.
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.scaled_qty, r.hashed_qty)
+        for r in rows.collect()
+    )
+    src = duckdb.sql(
+        f"""SELECT l_orderkey, l_linenumber,
+          CAST(round(CAST(l_quantity AS DECIMAL(18,2)), 0) AS BIGINT)
+        FROM '{SF}/lineitem.parquet' WHERE l_orderkey < 2000"""
+    ).fetchall()
+    want = sorted(
+        (a, b, q * 2.5, (q * q + 7) % 97) for a, b, q in src
+    )
+    assert got == want
+
+
+def test_udtf_table_arg_receives_ordered_complete_partitions(spark):
+    """The PTF contract: each partition arrives complete and in ORDER BY
+    order — recomputed sequentially in plain Python."""
+    src = duckdb.sql(
+        f"""SELECT event_type, event_id, ts FROM '{SF}/events.parquet'
+        WHERE event_id < 3000 ORDER BY event_type, ts, event_id"""
+    ).fetchall()
+    want = {}
+    for et, eid, ts in src:
+        st = want.setdefault(et, {"n": 0, "first": eid, "last": eid,
+                                  "prev": None, "gap": None})
+        st["n"] += 1
+        st["last"] = eid
+        epoch = int(ts.timestamp())
+        if st["prev"] is not None:
+            g = epoch - st["prev"]
+            st["gap"] = g if st["gap"] is None else max(st["gap"], g)
+        st["prev"] = epoch
+    got = {
+        r.event_type: (r.n_events, r.first_id, r.last_id, r.max_gap_s)
+        for r in QUERIES["udf_udtf_table_arg"].fn(spark, SF).collect()
+    }
+    assert got == {
+        et: (st["n"], st["first"], st["last"], st["gap"])
+        for et, st in want.items()
+    }
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """A SQL UDF must dissolve into the plan — no Python eval node, and
+    the rollup equals the plain-Python recompute."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    df = QUERIES["sql_udf_functions"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python boundary at all
+    src = duckdb.sql(
+        f"""SELECT l_quantity, l_extendedprice, l_discount
+        FROM '{SF}/lineitem.parquet' WHERE l_orderkey < 3000"""
+    ).fetchall()
+    agg = defaultdict(lambda: [0, Decimal(0)])
+    for q, p, d in src:
+        band = "bulk" if q >= 40.0 else ("mid" if q >= 15.0 else "small")
+        net = (
+            Decimal(str(round(p, 2))) * (1 - Decimal(str(round(d, 2))))
+        ).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+        agg[band][0] += 1
+        agg[band][1] += net
+    got = {r.qty_band: (r.n, r.net_revenue) for r in df.collect()}
+    assert set(got) == set(agg)
+    for band, (n, tot) in agg.items():
+        assert got[band][0] == n
+        assert abs(got[band][1] - float(tot)) < 1e-6
