@@ -241,6 +241,8 @@ HEADLINE = [
     "udf_arrow_scalar",
     "udf_udtf_table_arg",
     "sql_udf_functions",
+    "sql_identifier_clause",
+    "scan_partition_pruning_static",
 ]
 
 

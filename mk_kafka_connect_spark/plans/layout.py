@@ -689,3 +689,71 @@ def scan_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# scan_partition_pruning_static — Hive-style partition layout + static prune
+# ---------------------------------------------------------------------------
+
+_PRUNE_YEARS = (1996, 1997)
+
+
+@query(
+    "scan_partition_pruning_static",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
+    FROM orders
+    WHERE year(o_orderdate) IN {_PRUNE_YEARS}
+    GROUP BY 1, 2
+    """,
+    tags=("layout", "B1", "partition-pruning"),
+)
+def scan_partition_pruning_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning over a Hive-style directory layout — the
+    most fundamental scan optimization at 100 TB and the B1 sibling of
+    the DYNAMIC case (``join_dpp_partitioned``): orders re-land
+    partitioned by year (``order_year=1995/part-*.parquet`` directories)
+    and a literal year predicate must be satisfied from DIRECTORY NAMES
+    alone — non-matching partitions are never listed into the scan, so
+    a 7-year estate answers a 2-year question at 2/7 the IO before a
+    single row is read. The contract test pins the mechanism: the
+    filtered scan's ``inputFiles()`` contains only the two matching
+    partition directories, and the plan carries the predicate as a
+    PartitionFilter (metadata-level), not a PushedFilter (row-group
+    level). Value equality over the original table proves pruning
+    never drops rows.
+
+    Scale shape: partition listing is O(matching dirs); the aggregate
+    is the ordinary map-side-combinable rollup. Partition-by-time is
+    the universal 100 TB layout this query certifies end-to-end."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import dec2, dsum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    root = tempfile.mkdtemp(prefix="prune_static_")
+    try:
+        o.write.partitionBy("order_year").mode("overwrite").parquet(root)
+        back = spark.read.parquet(root).filter(
+            F.col("order_year").isin(*_PRUNE_YEARS)
+        )
+        out = back.groupBy(
+            F.col("order_year").cast("int").alias("order_year"),
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec2("o_totalprice")).alias("total"),
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

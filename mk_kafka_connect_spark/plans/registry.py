@@ -537,6 +537,8 @@ R15_ADDITIONS: tuple[str, ...] = (
     "udf_arrow_scalar",
     "udf_udtf_table_arg",
     "sql_udf_functions",
+    "sql_identifier_clause",
+    "scan_partition_pruning_static",
 )
 
 

@@ -1099,3 +1099,47 @@ def sql_udf_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sqludf_lineitem WHERE l_orderkey < 3000
       GROUP BY 1
     """)
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority AS dim_value,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
+    FROM orders GROUP BY 1
+    """,
+    tags=("scalar", "B12", "sql-surface", "identifier"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``IDENTIFIER()`` clause (Spark 4.0) — parameterizing the parts
+    of a query a value marker canNOT reach: table and column NAMES. A
+    parameter bound into IDENTIFIER() is resolved as an identifier with
+    full injection safety (a name containing quotes or dots is one
+    weird identifier, never spliced SQL) — completing the
+    metadata-driven-pipeline story started by ``sql_parameterized_exec``
+    (values) for the reference's config-driven per-entity queries,
+    where entity → TABLE NAME and the rollup dimension comes from
+    config (SURVEY.md §1.2). Here both the source view and the grouping
+    column arrive as string arguments.
+
+    Scale shape: resolved at analysis time; the executed plan is the
+    ordinary pushed-scan + group-sized aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ident_orders"
+    )
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:dim) AS dim_value,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(round(sum(CAST(IDENTIFIER(:measure) AS DECIMAL(18,2))), 2)
+               AS DOUBLE) AS total
+        FROM IDENTIFIER(:tab) GROUP BY 1
+        """,
+        args={
+            "dim": "o_orderpriority",
+            "measure": "o_totalprice",
+            "tab": "ident_orders",
+        },
+    )

@@ -98,6 +98,8 @@ SENSITIVE = [
     "udf_arrow_scalar",
     "udf_udtf_table_arg",
     "sql_udf_functions",
+    "sql_identifier_clause",
+    "scan_partition_pruning_static",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -549,3 +549,91 @@ def test_sql_udf_inlines_into_codegen(spark):
     for band, (n, tot) in agg.items():
         assert got[band][0] == n
         assert abs(got[band][1] - float(tot)) < 1e-6
+
+
+def test_identifier_clause_binds_names_safely(spark):
+    """IDENTIFIER(:p) must resolve names (not splice SQL), and a hostile
+    name must fail resolution as ONE identifier rather than execute."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    load_table(spark, SF, "orders").createOrReplaceTempView("ident_orders")
+    # hostile "column name" must not become an expression
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT IDENTIFIER(:c) FROM ident_orders LIMIT 1",
+            args={"c": "o_orderkey; DROP VIEW ident_orders"},
+        ).collect()
+    # and the view must still exist afterwards
+    assert spark.sql("SELECT count(*) FROM ident_orders").collect()[0][0] > 0
+
+    got = {
+        r.dim_value: (r.n, r.total)
+        for r in QUERIES["sql_identifier_clause"].fn(spark, SF).collect()
+    }
+    want = {
+        pri: (n, tot)
+        for pri, n, tot in duckdb.sql(
+            f"""SELECT o_orderpriority, count(*),
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE)
+            FROM '{SF}/orders.parquet' GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_static_partition_pruning_reads_only_matching_dirs(spark, tmp_path):
+    """The pruning mechanism itself: with a literal partition predicate,
+    inputFiles() must contain ONLY the matching partition directories and
+    the plan must carry a metadata-level PartitionFilter."""
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    root = str(tmp_path / "orders_by_year")
+    load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).write.partitionBy("order_year").parquet(root)
+    pruned = spark.read.parquet(root).filter(
+        F.col("order_year").isin(1996, 1997)
+    )
+    # inputFiles() reflects the unfiltered relation; the EXECUTED read is
+    # what pruning governs — collect the files actually touched.
+    files = [
+        r.f
+        for r in pruned.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    assert files, "pruned scan read no files"
+    assert all(
+        "order_year=1996" in f or "order_year=1997" in f for f in files
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    got = {
+        (r.order_year, r.o_orderpriority): (r.n, r.total)
+        for r in QUERIES["scan_partition_pruning_static"]
+        .fn(spark, SF)
+        .collect()
+    }
+    want = {
+        (y, pri): (n, tot)
+        for y, pri, n, tot in duckdb.sql(
+            f"""SELECT CAST(year(o_orderdate) AS INTEGER), o_orderpriority,
+              count(*),
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE)
+            FROM '{SF}/orders.parquet'
+            WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    assert got == want
