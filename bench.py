@@ -243,6 +243,8 @@ HEADLINE = [
     "sql_udf_functions",
     "sql_identifier_clause",
     "scan_partition_pruning_static",
+    "events_hll_sliding_window",
+    "events_higher_moments",
 ]
 
 

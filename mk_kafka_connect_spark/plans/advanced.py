@@ -2109,3 +2109,114 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         (F.col("est_count") == F.col("exact_count")).alias("est_is_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_hll_sliding_window — preaggregated-sketch rollup over a time window
+# ---------------------------------------------------------------------------
+
+_HLLW = 24  # trailing window, hours
+
+
+@query(
+    "events_hll_sliding_window",
+    # Sketch estimates are engine-internal; the row carries the exact
+    # trailing distinct plus the 3-sigma bounds predicate (the
+    # agg_hll_sketch_merge convention).
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        user_id
+      FROM events),
+    hours AS (
+      SELECT h, count(*) OVER (ORDER BY h RANGE BETWEEN INTERVAL 23 HOURS
+                               PRECEDING AND CURRENT ROW) AS wh
+      FROM (SELECT DISTINCT h FROM pairs)),
+    contrib AS (
+      SELECT p.h + to_hours(o.off) AS win_h, p.user_id
+      FROM pairs p, (SELECT unnest(generate_series(0, {_HLLW - 1})) AS off) o),
+    exact AS (
+      SELECT c.win_h AS h, CAST(count(DISTINCT c.user_id) AS BIGINT)
+        AS exact_trailing
+      FROM contrib c JOIN hours hh ON c.win_h = hh.h
+      GROUP BY 1)
+    SELECT hh.h AS hour_ts,
+      CAST(hh.wh AS BIGINT) AS window_hours,
+      e.exact_trailing,
+      TRUE AS est_within_3sigma
+    FROM hours hh JOIN exact e ON hh.h = e.h
+    """,
+    tags=("events", "B7", "sketch", "sliding-window"),
+)
+def events_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct users via PREAGGREGATED HLL sketches — the
+    100 TB rolling-cardinality idiom this registry's exact variant
+    (``events_rolling_distinct_users``) cannot scale to: raw events
+    collapse once into hourly sketches (KB each), and every trailing
+    24-hour estimate is a WINDOW ``hll_union_agg`` over 24 sketch rows —
+    no re-touching of raw data, no distinct-expansion shuffle at query
+    time, and the same sketches serve any window length. The emitted row
+    carries the exact trailing count (computed independently by a
+    bounded ×24 contribution expansion — equi-grouped, never a range
+    join) and a 3σ bounds predicate on the sketch estimate
+    (lgConfigK=12 → rse ≈ 1.6%, 3σ ≈ 4.9%); at fixture cardinalities
+    the datasketches HLL is still in exact (coupon) mode, so the
+    predicate is tight, not vacuous. Window semantics are
+    CALENDAR-trailing (RANGE BETWEEN INTERVAL 23 HOURS PRECEDING) on
+    both legs, so sparse hours cannot skew the window — the rows-based
+    formulation would silently widen over gaps.
+
+    Scale shape: one scan → hourly (hour, user) dedup → hour-sized
+    sketch table; the window pass moves 720 sketch rows. The exact leg
+    costs ×24 row expansion and exists only to ground-truth the sketch
+    path."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).distinct()
+    sk = pairs.groupBy("h").agg(F.expr("hll_sketch_agg(user_id)").alias("s"))
+    # hour-grain sketch table is calendar-bounded (720 rows) — total-order
+    # windows go through bounded_window / its SQL equivalent.
+    est = sk.select(
+        "h",
+        F.expr(
+            "count(*) OVER (PARTITION BY pmod(hash(h), 1) ORDER BY h "
+            "RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW)"
+        ).alias("wh"),
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(s) OVER "
+            "(PARTITION BY pmod(hash(h), 1) ORDER BY h "
+            "RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW))"
+        ).alias("est"),
+    )
+    contrib = pairs.select(
+        F.expr(
+            f"explode(sequence(0, {_HLLW - 1}))"
+        ).alias("off"),
+        "h",
+        "user_id",
+    ).select(
+        (F.col("h") + F.expr("make_interval(0,0,0,0,off,0,0)")).alias(
+            "win_h"
+        ),
+        "user_id",
+    )
+    exact = (
+        contrib.join(
+            sk.select(F.col("h").alias("win_h")), "win_h"
+        )
+        .groupBy("win_h")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_trailing"))
+    )
+    return (
+        est.join(exact, est.h == exact.win_h)
+        .select(
+            F.col("h").alias("hour_ts"),
+            F.col("wh").cast("long").alias("window_hours"),
+            "exact_trailing",
+            (
+                F.abs(F.col("est") - F.col("exact_trailing"))
+                <= 0.049 * F.col("exact_trailing")
+            ).alias("est_within_3sigma"),
+        )
+    )

@@ -2120,3 +2120,97 @@ def orders_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binned.createOrReplaceTempView("binned")
     return spark.sql(_FEAT_PROJ)
+
+
+# ---------------------------------------------------------------------------
+# events_higher_moments — skewness / kurtosis / CV from shared moment sums
+# ---------------------------------------------------------------------------
+
+# Shared solve fragment: both engines evaluate the identical expression
+# tree over the exact decimal moment sums, so every IEEE operation is
+# order-identical. (CAST(DECIMAL(38,0) AS DOUBLE) is correctly rounded in
+# both engines — probed bit-identical up to 38 digits.)
+_MOM_SOLVE = """
+  SELECT event_type, n,
+    mu / 100 AS mean_value,
+    sqrt(r2 - mu * mu) / 100 AS std_value,
+    round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+      / ((r2 - mu * mu) * sqrt(r2 - mu * mu)), 9) AS skewness,
+    round((r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu)
+      / ((r2 - mu * mu) * (r2 - mu * mu)) - 3, 9) AS kurtosis_excess,
+    round(sqrt(r2 - mu * mu) / mu, 9) AS cv
+  FROM m
+"""
+
+_MOM_M = """
+  m AS (
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+    FROM sums)
+"""
+
+
+@query(
+    "events_higher_moments",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+        CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS DECIMAL(38,0))
+          AS c
+      FROM events),
+    sums AS (
+      SELECT event_type, count(*) AS n,
+        sum(c) AS s1, sum(c*c) AS s2, sum(c*c*c) AS s3,
+        sum(c*c*c*c) AS s4
+      FROM base GROUP BY 1),
+    {_MOM_M}
+    {_MOM_SOLVE}
+    """,
+    tags=("events", "B7", "statistics", "moments"),
+)
+def events_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness, excess kurtosis, and coefficient of variation per event
+    type — the distribution-SHAPE members the stats battery
+    (``agg_stats``: mean/stddev/min/max) does not cover, and the ones
+    monitoring actually needs (a metric whose mean is flat can still
+    fatten its tail — kurtosis sees it first). Built from exact
+    DECIMAL(38,0) power sums Σc..Σc⁴ over integer cents (c⁴ overflows
+    int64 within ~10⁵ rows at fixture magnitudes — the decimal lift is
+    mandatory, not defensive), then ONE shared SQL fragment computes the
+    population moments. The multi-term skew/kurtosis numerators proved
+    to differ in the final 2 ulps across engines (expression-rewrite
+    order inside the optimizers), so the three shape statistics are
+    rounded to 9 dp — the ln-rounding precedent of the scalar battery;
+    mean and std (single subtract/sqrt/divide chains) stay unrounded
+    and bit-exact. The
+    built-in ``skewness()``/``kurtosis()`` are deliberately NOT used:
+    Spark returns population moments where DuckDB bias-corrects, and a
+    cross-engine-checkable pipeline needs one stated definition
+    (population, the streaming-mergeable one) rather than whichever the
+    engine ships.
+
+    Scale shape: one scan, one map-side-combinable 5-column aggregate
+    per type, a |types|-row solve. The same sums merge across
+    shards/days — this is the mergeable-moments pattern
+    (``emb_ridge_normal_eq``'s argument, one degree higher)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value").cast("decimal(18,2)") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias(
+            "s4"
+        ),
+    )
+    sums.createOrReplaceTempView("sums")
+    return spark.sql(f"WITH {_MOM_M} {_MOM_SOLVE}")

@@ -100,6 +100,8 @@ SENSITIVE = [
     "sql_udf_functions",
     "sql_identifier_clause",
     "scan_partition_pruning_static",
+    "events_hll_sliding_window",
+    "events_higher_moments",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -637,3 +637,67 @@ def test_static_partition_pruning_reads_only_matching_dirs(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+def test_hll_sliding_window_exact_leg_and_sketch_bounds(spark):
+    """The exact trailing distinct must equal a plain-Python trailing-set
+    recompute, the window_hours ramp must be correct, and the sketch
+    estimate must sit inside its 3-sigma band everywhere."""
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP),
+          user_id FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    by_hour = defaultdict(set)
+    for h, u in rows:
+        by_hour[h].add(u)
+    hours = sorted(by_hour)
+    got = {
+        r.hour_ts: (r.window_hours, r.exact_trailing, r.est_within_3sigma)
+        for r in QUERIES["events_hll_sliding_window"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(hours)
+    from datetime import timedelta
+
+    for h in hours:
+        lo = h - timedelta(hours=23)
+        in_win = [g for g in hours if lo <= g <= h]
+        trailing = set()
+        for g in in_win:
+            trailing |= by_hour[g]
+        wh, exact, in_bounds = got[h]
+        assert wh == len(in_win)  # calendar-trailing present hours
+        assert exact == len(trailing)
+        assert in_bounds is True
+
+
+def test_higher_moments_match_python_recompute(spark):
+    import math
+
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+          CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    groups = defaultdict(list)
+    for et, c in rows:
+        groups[et].append(int(c))
+    got = {
+        r.event_type: r
+        for r in QUERIES["events_higher_moments"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(groups)
+    for et, cs in groups.items():
+        n = len(cs)
+        mu = sum(cs) / n
+        m2 = sum(c * c for c in cs) / n - mu * mu
+        m3 = sum((c - mu) ** 3 for c in cs) / n
+        m4 = sum((c - mu) ** 4 for c in cs) / n
+        r = got[et]
+        assert r.n == n
+        assert math.isclose(r.mean_value, mu / 100, rel_tol=1e-12)
+        assert math.isclose(r.std_value, math.sqrt(m2) / 100, rel_tol=1e-9)
+        assert math.isclose(r.skewness, m3 / m2**1.5, rel_tol=1e-6)
+        assert math.isclose(
+            r.kurtosis_excess, m4 / m2**2 - 3, rel_tol=1e-6
+        )
+        assert math.isclose(r.cv, math.sqrt(m2) / mu, rel_tol=1e-9)
