@@ -245,6 +245,7 @@ HEADLINE = [
     "scan_partition_pruning_static",
     "events_hll_sliding_window",
     "events_higher_moments",
+    "join_strategy_hints",
 ]
 
 

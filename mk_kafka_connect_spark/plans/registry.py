@@ -541,6 +541,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "scan_partition_pruning_static",
     "events_hll_sliding_window",
     "events_higher_moments",
+    "join_strategy_hints",
 )
 
 

@@ -1950,3 +1950,72 @@ def join_geo_gridblock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d2").cast("long").alias("max_d2"),
         F.sum("d2").cast("long").alias("sum_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_strategy_hints — the physical join-strategy hint surface
+# ---------------------------------------------------------------------------
+
+_HINT_ROLLUP = """
+    SELECT '{tag}' AS strategy, c_mktsegment,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 2
+"""
+
+
+@query(
+    "join_strategy_hints",
+    oracle=" UNION ALL ".join(
+        _HINT_ROLLUP.format(tag=t)
+        for t in ("broadcast", "merge", "shuffle_hash")
+    ),
+    tags=("join", "B6", "hints", "physical-strategy"),
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINTS — the explicit physical-plan steering surface
+    (``/*+ BROADCAST ⟋ MERGE ⟋ SHUFFLE_HASH */``, Spark 3.0+): the SAME
+    orders⋈customer rollup executed under all three strategies, tagged
+    and unioned. Value equality across the three legs (and against the
+    oracle) pins the semantic contract that a hint may change ONLY the
+    physical algorithm, never the result; the contract test pins the
+    mechanism — each leg's executed plan must actually contain its
+    BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin node. This is
+    the manual override for the cases Catalyst misestimates (a filtered
+    dim whose post-filter size the optimizer cannot see, the classic
+    100 TB case for forcing BROADCAST; conversely MERGE to protect
+    memory when the 'small' side is not).
+
+    Scale shape: three shuffles of the same aggregate by design — this
+    is a certification query for the hint plumbing, not a production
+    pattern (production picks ONE strategy)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+
+    def leg(tag: str, hint: str) -> DataFrame:
+        j = o.join(c.hint(hint), o.o_custkey == F.col("c_custkey"))
+        return (
+            j.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum(dec2("o_totalprice")).alias("total"),
+            )
+            .select(
+                F.lit(tag).alias("strategy"),
+                "c_mktsegment",
+                "n",
+                "total",
+            )
+        )
+
+    return (
+        leg("broadcast", "broadcast")
+        .unionAll(leg("merge", "merge"))
+        .unionAll(leg("shuffle_hash", "shuffle_hash"))
+    )

@@ -102,6 +102,7 @@ SENSITIVE = [
     "scan_partition_pruning_static",
     "events_hll_sliding_window",
     "events_higher_moments",
+    "join_strategy_hints",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -701,3 +701,42 @@ def test_higher_moments_match_python_recompute(spark):
             r.kurtosis_excess, m4 / m2**2 - 3, rel_tol=1e-6
         )
         assert math.isclose(r.cv, math.sqrt(m2) / mu, rel_tol=1e-9)
+
+
+def test_join_hints_steer_the_physical_strategy(spark):
+    """Each hint must produce its physical join node, and all three legs
+    must agree with each other and with a plain recompute."""
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.functions.exact import dec2, dsum
+
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    for hint, node in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        j = o.join(c.hint(hint), o.o_custkey == F.col("c_custkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, f"{hint} did not plan as {node}"
+
+    rows = QUERIES["join_strategy_hints"].fn(spark, SF).collect()
+    legs = defaultdict(dict)
+    for r in rows:
+        legs[r.strategy][r.c_mktsegment] = (r.n, r.total)
+    assert set(legs) == {"broadcast", "merge", "shuffle_hash"}
+    assert legs["broadcast"] == legs["merge"] == legs["shuffle_hash"]
+    want = {
+        seg: (n, tot)
+        for seg, n, tot in duckdb.sql(
+            f"""SELECT c_mktsegment, count(*),
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE)
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o_custkey = c_custkey
+            GROUP BY 1"""
+        ).fetchall()
+    }
+    assert legs["broadcast"] == want
