@@ -246,6 +246,7 @@ HEADLINE = [
     "events_hll_sliding_window",
     "events_higher_moments",
     "join_strategy_hints",
+    "streaming_hll_distinct_window",
 ]
 
 

@@ -542,6 +542,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "events_hll_sliding_window",
     "events_higher_moments",
     "join_strategy_hints",
+    "streaming_hll_distinct_window",
 )
 
 

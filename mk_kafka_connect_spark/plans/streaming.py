@@ -925,3 +925,57 @@ def cdc_incremental_cron_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(entities), exactly the reference's design. The final
     verification aggregate is not part of the production loop."""
     return _run_incremental_cron_replay(spark, sf_dir)
+
+
+@query(
+    "streaming_hll_distinct_window",
+    # Sketch estimates are engine-internal; the row carries the exact
+    # hourly distinct plus the 3-sigma bounds predicate (the
+    # agg_hll_sketch_merge convention, here under streaming execution).
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS wstart,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS est_within_3sigma
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "B13", "B7", "sketch"),
+)
+def streaming_hll_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregation UNDER STREAMING EXECUTION — hll_sketch_agg
+    inside a watermarked tumbling window, the real-time cardinality
+    dashboard pattern (distinct users per hour, state = one KB-sized
+    sketch per open window instead of a per-user dedup map — the state
+    store holds O(windows) bytes, not O(users), which is the whole
+    reason sketches exist in streaming). The drained estimates join the
+    batch-exact counts; every hour must sit inside the 3σ band
+    (lgConfigK=12 ≈ ±4.9%; at fixture cardinalities the sketch is still
+    in exact coupon mode, so the predicate is tight). Batch-equivalence
+    is the same oracle discipline as the rest of the B13 battery.
+
+    Scale shape: streaming shuffle keyed by window, mergeable sketch
+    partials map-side; the exact leg exists only to ground-truth the
+    estimate and runs as an ordinary batch aggregate."""
+    ev = SW.read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .select(
+            F.col("window.start").alias("wstart"),
+            F.expr("hll_sketch_estimate(sk)").alias("est"),
+        )
+    )
+    est = SW.run_to_memory(agg, "complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("wstart"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    )
+    return est.join(exact, "wstart").select(
+        "wstart",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.049 * F.col("exact_users")
+        ).alias("est_within_3sigma"),
+    )

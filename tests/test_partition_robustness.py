@@ -103,6 +103,7 @@ SENSITIVE = [
     "events_hll_sliding_window",
     "events_higher_moments",
     "join_strategy_hints",
+    "streaming_hll_distinct_window",
 ]
 
 SF = "/root/testdata/sf0.01"

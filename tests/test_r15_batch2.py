@@ -740,3 +740,25 @@ def test_join_hints_steer_the_physical_strategy(spark):
         ).fetchall()
     }
     assert legs["broadcast"] == want
+
+
+def test_streaming_hll_window_matches_batch_exact(spark):
+    """The streaming sketch estimates must cover every hour, equal the
+    batch-exact leg within the stated band everywhere, and the exact leg
+    must match a plain recompute."""
+    got = {
+        r.wstart: (r.exact_users, r.est_within_3sigma)
+        for r in QUERIES["streaming_hll_distinct_window"]
+        .fn(spark, SF)
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP),
+              count(DISTINCT user_id)
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for h, n in want.items():
+        assert got[h] == (n, True)
