@@ -247,6 +247,7 @@ HEADLINE = [
     "events_higher_moments",
     "join_strategy_hints",
     "streaming_hll_distinct_window",
+    "join_aqe_skew_split",
 ]
 
 

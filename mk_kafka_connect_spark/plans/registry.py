@@ -543,6 +543,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "events_higher_moments",
     "join_strategy_hints",
     "streaming_hll_distinct_window",
+    "join_aqe_skew_split",
 )
 
 

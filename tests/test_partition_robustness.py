@@ -104,6 +104,7 @@ SENSITIVE = [
     "events_higher_moments",
     "join_strategy_hints",
     "streaming_hll_distinct_window",
+    "join_aqe_skew_split",
 ]
 
 SF = "/root/testdata/sf0.01"

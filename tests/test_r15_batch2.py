@@ -762,3 +762,70 @@ def test_streaming_hll_window_matches_batch_exact(spark):
     assert set(got) == set(want)
     for h, n in want.items():
         assert got[h] == (n, True)
+
+
+def test_aqe_skew_split_actually_fires(spark):
+    """With the lowered thresholds and a multi-mapper fact, the skewed
+    sort-merge join's executed adaptive plan must mark the join
+    skew=true (the split fired), and the result must match a plain
+    recompute. Also pins the mapper-granularity constraint: the SAME
+    join with a single-mapper fact cannot split."""
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.plans.relational import (
+        _AQE_SKEW_CONFS,
+        _AQE_SKEW_MAPPERS,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    for k, v in _AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        def run(n_mappers):
+            li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+            if n_mappers:
+                li = li.repartition(n_mappers)
+            fact = li.select(
+                F.when(F.col("l_orderkey") % 5 != 0, F.lit(1))
+                .otherwise(1 + F.col("l_orderkey") % 100)
+                .alias("k"),
+                "l_extendedprice",
+            )
+            dim = load_table(
+                spark, "/root/testdata/sf0.01", "supplier"
+            ).select("s_suppkey", "s_nationkey")
+            j = fact.join(dim.hint("merge"), fact.k == dim.s_suppkey)
+            j.collect()
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        assert "skew=true" in run(_AQE_SKEW_MAPPERS), "skew split must fire"
+        # single map task -> nothing to split at mapper granularity
+        assert "skew=true" not in run(None)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    got = {
+        r.s_nationkey: (r.n, r.revenue)
+        for r in QUERIES["join_aqe_skew_split"].fn(spark, SF).collect()
+    }
+    want = {
+        g: (n, rev)
+        for g, n, rev in duckdb.sql(
+            f"""WITH fact AS (
+              SELECT CASE WHEN l_orderkey % 5 != 0 THEN 1
+                          ELSE 1 + l_orderkey % 100 END AS k,
+                     l_extendedprice
+              FROM '{SF}/lineitem.parquet')
+            SELECT s.s_nationkey, count(*),
+              CAST(round(sum(CAST(f.l_extendedprice AS DECIMAL(18,2))), 2)
+                   AS DOUBLE)
+            FROM fact f JOIN '{SF}/supplier.parquet' s ON f.k = s.s_suppkey
+            GROUP BY 1"""
+        ).fetchall()
+    }
+    assert got == want
