@@ -248,6 +248,7 @@ HEADLINE = [
     "join_strategy_hints",
     "streaming_hll_distinct_window",
     "join_aqe_skew_split",
+    "layout_compaction_roundtrip",
 ]
 
 

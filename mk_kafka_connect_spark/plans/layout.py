@@ -757,3 +757,77 @@ def scan_partition_pruning_static(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# layout_compaction_roundtrip — small-file compaction certified at value level
+# ---------------------------------------------------------------------------
+
+_COMPACT_FRAG = 64  # deliberately fragmented file count
+
+
+@query(
+    "layout_compaction_roundtrip",
+    oracle=f"""
+    SELECT CAST({_COMPACT_FRAG} AS BIGINT) AS n_files_before,
+      CAST(1 AS BIGINT) AS n_files_after,
+      TRUE AS compacted,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total,
+      CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM orders WHERE o_orderkey < 6000
+    """,
+    tags=("layout", "B1", "maintenance", "compaction"),
+)
+def layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (``operators/maintenance.py``) certified at
+    VALUE level — the nightly OPTIMIZE a streaming-ingested plain-parquet
+    table needs (every micro-batch lands a file set; at 100 TB scan cost
+    becomes file-open overhead, not bytes): an orders slice is landed
+    deliberately fragmented ({_COMPACT_FRAG} files), compacted through
+    the verify-then-swap rewrite (sibling temp dir, row-count check,
+    two-rename swap — a crash before the swap leaves the source
+    untouched), and the emitted row pins the mechanism (file count
+    before/after, compacted flag) AND the data (row count, exact decimal
+    sum, key checksum equal to the ORIGINAL table slice — compaction
+    must be byte-preserving for the values even though every file is
+    rewritten).
+
+    Scale shape: the rewrite is a shuffle-free coalesce — one read + one
+    write of the partition's bytes; the stats pass is driver-side
+    listing only. Hadoop FileSystem API throughout, so the same path
+    works on file://, HDFS, and S3A."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import dec2, dsum
+    from ..operators.maintenance import compact_parquet, layout_stats
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 6000
+    ).select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="compact_rt_")
+    path = f"{root}/orders_frag"
+    try:
+        o.repartition(_COMPACT_FRAG).write.parquet(path)
+        before = layout_stats(spark, path)
+        result = compact_parquet(spark, path, target_bytes=1 << 30)
+        back = spark.read.parquet(path)
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(dec2("o_totalprice")).alias("total"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        ).select(
+            F.lit(before["n_files"]).cast("long").alias("n_files_before"),
+            F.lit(result["n_files_after"]).cast("long").alias(
+                "n_files_after"
+            ),
+            F.lit(bool(result["compacted"])).alias("compacted"),
+            "n_rows",
+            "total",
+            "key_checksum",
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -544,6 +544,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "join_strategy_hints",
     "streaming_hll_distinct_window",
     "join_aqe_skew_split",
+    "layout_compaction_roundtrip",
 )
 
 

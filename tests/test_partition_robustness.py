@@ -105,6 +105,7 @@ SENSITIVE = [
     "join_strategy_hints",
     "streaming_hll_distinct_window",
     "join_aqe_skew_split",
+    "layout_compaction_roundtrip",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -829,3 +829,46 @@ def test_aqe_skew_split_actually_fires(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_compaction_preserves_values_and_survives_crash_window(spark, tmp_path):
+    """Compaction must be value-preserving, and a verify failure must
+    leave the source directory untouched (the safety-order contract)."""
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+    from mk_kafka_connect_spark.operators.maintenance import (
+        compact_parquet,
+        layout_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).repartition(16).write.parquet(path)
+    before = layout_stats(spark, path)
+    assert before["n_files"] == 16
+    src_sum = spark.read.parquet(path).agg(
+        F.sum("o_orderkey")
+    ).collect()[0][0]
+    res = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert res["compacted"] is True and res["n_files_after"] == 1
+    assert (
+        spark.read.parquet(path).agg(F.sum("o_orderkey")).collect()[0][0]
+        == src_sum
+    )
+    # no-op path: already at target
+    res2 = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert res2["compacted"] is False and res2["n_files_after"] == 1
+
+    got = QUERIES["layout_compaction_roundtrip"].fn(spark, SF).collect()[0]
+    want_n, want_sum = duckdb.sql(
+        f"""SELECT count(*), CAST(sum(o_orderkey) AS BIGINT)
+        FROM '{SF}/orders.parquet' WHERE o_orderkey < 6000"""
+    ).fetchall()[0]
+    assert (got.n_files_before, got.n_files_after, got.compacted) == (
+        64,
+        1,
+        True,
+    )
+    assert (got.n_rows, got.key_checksum) == (want_n, want_sum)
