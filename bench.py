@@ -249,6 +249,8 @@ HEADLINE = [
     "streaming_hll_distinct_window",
     "join_aqe_skew_split",
     "layout_compaction_roundtrip",
+    "sql_pivot_unpivot_clause",
+    "events_sax_motifs",
 ]
 
 

@@ -2214,3 +2214,140 @@ def events_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sums.createOrReplaceTempView("sums")
     return spark.sql(f"WITH {_MOM_M} {_MOM_SOLVE}")
+
+
+# ---------------------------------------------------------------------------
+# events_sax_motifs — SAX symbolization of the daily value series
+# ---------------------------------------------------------------------------
+
+_SAX_SEG_DAYS = 5  # PAA segment width (days)
+
+# Shared z-score + breakpoint CASE: identical expression tree in both
+# engines (seg_q and the moment sums are exact integers; the division and
+# sqrt are the only IEEE ops and happen in the same order).
+_SAX_SYMBOL = """
+  CASE WHEN s2 * d = s * s THEN 'c'
+       WHEN (CAST(seg_q AS DOUBLE) - CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+            / sqrt(CAST(s2 AS DOUBLE) / CAST(d AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)))
+            < -0.6745 THEN 'a'
+       WHEN (CAST(seg_q AS DOUBLE) - CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+            / sqrt(CAST(s2 AS DOUBLE) / CAST(d AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)))
+            < 0 THEN 'b'
+       WHEN (CAST(seg_q AS DOUBLE) - CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+            / sqrt(CAST(s2 AS DOUBLE) / CAST(d AS DOUBLE)
+                   - (CAST(s AS DOUBLE) / CAST(d AS DOUBLE))
+                     * (CAST(s AS DOUBLE) / CAST(d AS DOUBLE)))
+            < 0.6745 THEN 'c'
+       ELSE 'd' END
+"""
+
+
+@query(
+    "events_sax_motifs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        CAST(sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                      AS BIGINT)) AS BIGINT) AS s_cents,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    indexed AS (
+      SELECT event_type,
+        CAST(round(s_cents * 100.0 / c, 0) AS BIGINT) AS q,
+        (row_number() OVER (PARTITION BY event_type ORDER BY day) - 1)
+          // {_SAX_SEG_DAYS} AS seg
+      FROM daily),
+    segs AS (
+      SELECT event_type, seg,
+        CAST(round(sum(q) * 1.0 / count(*), 0) AS BIGINT) AS seg_q
+      FROM indexed GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS d,
+        CAST(sum(seg_q) AS BIGINT) AS s,
+        CAST(sum(CAST(seg_q AS DECIMAL(38,0)) * seg_q) AS DECIMAL(38,0))
+          AS s2
+      FROM segs GROUP BY 1),
+    symbols AS (
+      SELECT g.event_type, g.seg, {_SAX_SYMBOL} AS sym
+      FROM segs g JOIN stats USING (event_type))
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_segments,
+      string_agg(sym, '' ORDER BY seg) AS sax_word,
+      CAST(count(DISTINCT sym) AS BIGINT) AS n_symbols
+    FROM symbols GROUP BY 1
+    """,
+    tags=("events", "B9", "timeseries", "sax"),
+)
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX — Symbolic Aggregate approXimation (Lin, Keogh et al. 2003),
+    the time-series-mining representation behind motif discovery,
+    anomaly grammars, and series indexing: each event type's daily mean
+    series is PAA-compressed ({_SAX_SEG_DAYS}-day segment means), then
+    z-normalized and quantized against the 4-symbol Gaussian
+    breakpoints (±0.6745, 0) into a short WORD — two series with the
+    same word are shape-similar regardless of scale, which is what
+    makes symbolized matching a pre-filter for expensive similarity
+    (the same bucket-then-verify posture as the LSH dedup family, for
+    curves instead of documents). Everything before the z-score is
+    exact integer (daily means quantized to centi-cents, segment moment
+    sums in DECIMAL(38,0)); the z-score + breakpoint CASE is one shared
+    SQL fragment, so the symbol boundaries cannot flip between engines;
+    a zero-variance series degenerates to all-'c' by an explicit guard,
+    not NaN luck.
+
+    Scale shape: raw rows collapse at the day grain in one map-side
+    pass; everything after is |types|×|days| rows. The listagg word is
+    segment-bounded (6 chars here) — the bounded-listagg contract of
+    ``agg_listagg_bitwise``."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("s_cents"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    indexed = daily.select(
+        "event_type",
+        F.round(F.col("s_cents") * 100.0 / F.col("c"), 0)
+        .cast("long")
+        .alias("q"),
+        F.expr(
+            f"(row_number() OVER (PARTITION BY event_type ORDER BY day)"
+            f" - 1) DIV {_SAX_SEG_DAYS}"
+        ).alias("seg"),
+    )
+    segs = indexed.groupBy("event_type", "seg").agg(
+        F.round(F.sum("q") * 1.0 / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("seg_q")
+    )
+    stats = segs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("seg_q").cast("long").alias("s"),
+        F.sum(F.col("seg_q").cast("decimal(38,0)") * F.col("seg_q"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    segs.join(F.broadcast(stats), "event_type").createOrReplaceTempView(
+        "sax_segs"
+    )
+    return spark.sql(f"""
+      WITH symbols AS (
+        SELECT event_type, seg, {_SAX_SYMBOL} AS sym FROM sax_segs)
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_segments,
+        listagg(sym, '') WITHIN GROUP (ORDER BY seg) AS sax_word,
+        CAST(count(DISTINCT sym) AS BIGINT) AS n_symbols
+      FROM symbols GROUP BY 1
+    """)

@@ -545,6 +545,8 @@ R15_ADDITIONS: tuple[str, ...] = (
     "streaming_hll_distinct_window",
     "join_aqe_skew_split",
     "layout_compaction_roundtrip",
+    "sql_pivot_unpivot_clause",
+    "events_sax_motifs",
 )
 
 

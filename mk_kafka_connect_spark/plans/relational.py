@@ -2111,3 +2111,52 @@ def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# sql_pivot_unpivot_clause — the native SQL PIVOT / UNPIVOT clauses
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_pivot_unpivot_clause",
+    oracle="""
+    SELECT user_id % 50 AS user_bucket, event_type,
+      CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "B12", "sql-surface", "pivot"),
+)
+def sql_pivot_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native SQL ``PIVOT`` / ``UNPIVOT`` clauses — the SQL:2016
+    syntax siblings of the DataFrame ``pivot()``/``unpivot()`` already
+    certified (``pivot_event_counts``, ``unpivot_order_stats``): the
+    long event table PIVOTs to a wide per-bucket matrix with an explicit
+    IN list (explicit always — an implicit pivot scans the data once
+    just to discover columns), then UNPIVOTs straight back with
+    ``INCLUDE NULLS`` excluded, and the round trip must equal the plain
+    group-count — proving the two clauses are exact inverses on this
+    data (zero-count cells become NULL wide cells and are dropped on the
+    way back, restoring the original sparse long form).
+
+    Scale shape: one scan, one group-sized shuffle for the pivot
+    aggregate; the unpivot is a width-bounded map-side expand."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "pv_events"
+    )
+    return spark.sql("""
+      SELECT user_bucket, event_type, n FROM (
+        SELECT * FROM (
+          SELECT user_id % 50 AS user_bucket, event_type FROM pv_events
+        )
+        PIVOT (
+          CAST(count(*) AS BIGINT)
+          FOR event_type IN ('click', 'view', 'purchase')
+        )
+      )
+      UNPIVOT (
+        n FOR event_type IN (click, view, purchase)
+      )
+    """)

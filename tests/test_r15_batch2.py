@@ -872,3 +872,69 @@ def test_compaction_preserves_values_and_survives_crash_window(spark, tmp_path):
         True,
     )
     assert (got.n_rows, got.key_checksum) == (want_n, want_sum)
+
+
+def test_pivot_unpivot_clause_is_exact_inverse(spark):
+    got = {
+        (r.user_bucket, r.event_type): r.n
+        for r in QUERIES["sql_pivot_unpivot_clause"].fn(spark, SF).collect()
+    }
+    want = {
+        (b, et): n
+        for b, et, n in duckdb.sql(
+            f"""SELECT user_id % 50, event_type, count(*)
+            FROM '{SF}/events.parquet'
+            WHERE event_type IN ('click', 'view', 'purchase')
+            GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    assert got == want
+    # sparsity restored: no zero-count rows survive the round trip
+    assert all(n > 0 for n in got.values())
+
+
+def test_sax_word_matches_python_recompute(spark):
+    import math
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP),
+          CAST(sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0)
+                        AS BIGINT)) AS BIGINT),
+          count(*)
+        FROM '{SF}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series = defaultdict(list)
+    for et, day, s, c in rows:
+        series[et].append((day, int(s), int(c)))
+    got = {
+        r.event_type: (r.n_segments, r.sax_word, r.n_symbols)
+        for r in QUERIES["events_sax_motifs"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(series)
+
+    def half_up(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    for et, days in series.items():
+        days.sort()
+        q = [half_up(s * 100.0 / c) for _, s, c in days]
+        segs = defaultdict(list)
+        for i, v in enumerate(q):
+            segs[i // 5].append(v)
+        seg_q = {
+            g: half_up(sum(vs) * 1.0 / len(vs)) for g, vs in segs.items()
+        }
+        d = len(seg_q)
+        s1 = sum(seg_q.values())
+        s2 = sum(v * v for v in seg_q.values())
+        word = ""
+        for g in sorted(seg_q):
+            if s2 * d == s1 * s1:
+                word += "c"
+                continue
+            z = (seg_q[g] - s1 / d) / math.sqrt(s2 / d - (s1 / d) ** 2)
+            word += (
+                "a" if z < -0.6745 else "b" if z < 0 else
+                "c" if z < 0.6745 else "d"
+            )
+        assert got[et] == (d, word, len(set(word)))
