@@ -251,6 +251,7 @@ HEADLINE = [
     "layout_compaction_roundtrip",
     "sql_pivot_unpivot_clause",
     "events_sax_motifs",
+    "events_fdr_bh",
 ]
 
 

@@ -1425,3 +1425,166 @@ def emb_ridge_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
       {_RIDGE_M}
       {_RIDGE_SOLVE}
     """)
+
+
+# ---------------------------------------------------------------------------
+# events_fdr_bh — Benjamini–Hochberg FDR over a battery of Welch tests
+# ---------------------------------------------------------------------------
+
+_FDR_Q = 0.05  # controlled false-discovery rate
+
+# Welch z from exact integer moment sums — shared IEEE expression tree.
+_FDR_Z = """
+  (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+   - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+  / sqrt(
+      ((CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE))
+        / CAST(na AS DOUBLE)
+      + ((CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+          / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE))
+        / CAST(nb AS DOUBLE))
+"""
+
+# Two-sided normal tail p = erfc(|z|/sqrt(2)) via the Abramowitz–Stegun
+# 7.1.26 polynomial (|error| < 1.5e-7), rounded to 8 dp because exp() may
+# differ in the last ulp across libm implementations (the ln-rounding
+# precedent). Both engines evaluate this identical text.
+_FDR_P = """
+  round(
+    (0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+     - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 2)
+     + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 3)
+     - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 4)
+     + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))), 5))
+    * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0))), 8)
+"""
+
+
+def _fdr_oracle() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT t, bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(c) AS BIGINT) AS s,
+        CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s2
+      FROM (
+        SELECT event_type AS t, user_id % 5 AS bucket,
+          CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+          + CASE WHEN event_type = 'click' AND user_id % 5 IN (0, 1)
+                 THEN 5000 ELSE 0 END AS c
+        FROM events)
+      GROUP BY 1, 2),
+    tests AS (
+      SELECT a.t AS type_a, b.t AS type_b, a.bucket,
+        a.n AS na, a.s AS sa, a.s2 AS s2a,
+        b.n AS nb, b.s AS sb, b.s2 AS s2b
+      FROM cells a JOIN cells b ON a.bucket = b.bucket AND a.t < b.t),
+    scored AS (
+      SELECT type_a, type_b, bucket, z, {_FDR_P} AS p
+      FROM (SELECT *, {_FDR_Z} AS z FROM tests)),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY p, type_a, type_b, bucket)
+          AS rn,
+        count(*) OVER () AS m
+      FROM scored),
+    stepped AS (
+      SELECT *,
+        max(CASE WHEN p * m <= rn * {_FDR_Q} THEN p END)
+          OVER () AS p_star
+      FROM ranked)
+    SELECT type_a, type_b, bucket,
+      round(z, 8) AS z, p, CAST(rn AS BIGINT) AS p_rank,
+      COALESCE(p <= p_star, FALSE) AS rejected
+    FROM stepped
+    """
+
+
+@query(
+    "events_fdr_bh",
+    oracle=_fdr_oracle(),
+    tags=("events", "B15", "inference", "multiple-testing"),
+)
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (B&H 1995) over a battery of 50
+    simultaneous Welch tests — the multiple-testing correction every
+    experimentation platform needs once it runs MANY comparisons (at
+    q=0.05, ~2.5 of 50 null tests 'succeed' by luck; BH caps the
+    EXPECTED false-discovery fraction instead of Bonferroni's
+    power-destroying family-wise bound): every event-type pair × user
+    bucket is tested for a value-distribution mean shift, p-values come
+    from the Abramowitz–Stegun normal tail (shared fragment, rounded
+    8 dp — the deterministic-special-function device), and the step-up
+    rule rejects everything below the LARGEST p satisfying
+    p·m ≤ rank·q. The fixture's value column is
+    type-independent (all-null battery), so a deterministic +50.00 shift
+    is PLANTED on the click cells of two buckets — the same
+    staged-defect discipline as dq_corrupt_record_quarantine — making
+    the 8 click-pair tests in those buckets true effects: both the
+    rejection and acceptance paths execute for real.
+
+    Determinism: all moments are exact integers (Σc² in DECIMAL(38,0));
+    z and p are shared IEEE expression trees; the BH threshold compares
+    the SAME rounded p on both engines, so the step-up cutoff cannot
+    flip. Ranking tie-breaks on the full test identity.
+
+    Scale shape: one scan → |types×buckets| moment cells (map-side),
+    a cell-level self-join (domain-sized), and windows over the 50-row
+    test table (bounded_window discipline). The raw data is touched
+    exactly once regardless of how many tests the battery grows to."""
+    ev = load_table(spark, sf_dir, "events")
+    c = F.round(F.col("value").cast("decimal(18,2)") * 100, 0).cast(
+        "long"
+    ) + F.when(
+        (F.col("event_type") == "click") & (F.col("user_id") % 5 < 2),
+        F.lit(5000),
+    ).otherwise(F.lit(0))
+    cells = ev.select(
+        F.col("event_type").alias("t"),
+        (F.col("user_id") % 5).alias("bucket"),
+        c.alias("c"),
+    ).groupBy("t", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    a = cells.select(
+        F.col("t").alias("type_a"),
+        "bucket",
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("s2").alias("s2a"),
+    )
+    b = cells.select(
+        F.col("t").alias("type_b"),
+        "bucket",
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("s2").alias("s2b"),
+    )
+    tests = a.join(F.broadcast(b), "bucket").filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    tests.createOrReplaceTempView("fdr_tests")
+    return spark.sql(f"""
+      WITH scored AS (
+        SELECT type_a, type_b, bucket, z, {_FDR_P} AS p
+        FROM (SELECT *, {_FDR_Z} AS z FROM fdr_tests)),
+      ranked AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY pmod(hash(bucket), 1)
+                             ORDER BY p, type_a, type_b, bucket) AS rn,
+          count(*) OVER (PARTITION BY pmod(hash(bucket), 1)) AS m
+        FROM scored),
+      stepped AS (
+        SELECT *,
+          max(CASE WHEN p * m <= rn * {_FDR_Q} THEN p END)
+            OVER (PARTITION BY pmod(hash(bucket), 1)) AS p_star
+        FROM ranked)
+      SELECT type_a, type_b, bucket,
+        round(z, 8) AS z, p, CAST(rn AS BIGINT) AS p_rank,
+        COALESCE(p <= p_star, FALSE) AS rejected
+      FROM stepped
+    """)

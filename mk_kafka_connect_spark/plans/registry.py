@@ -547,6 +547,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "layout_compaction_roundtrip",
     "sql_pivot_unpivot_clause",
     "events_sax_motifs",
+    "events_fdr_bh",
 )
 
 

@@ -108,6 +108,7 @@ SENSITIVE = [
     "layout_compaction_roundtrip",
     "sql_pivot_unpivot_clause",
     "events_sax_motifs",
+    "events_fdr_bh",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -938,3 +938,72 @@ def test_sax_word_matches_python_recompute(spark):
                 "c" if z < 0.6745 else "d"
             )
         assert got[et] == (d, word, len(set(word)))
+
+
+def test_fdr_bh_matches_python_stepup(spark):
+    """Plain-Python BH over plain-Python Welch tests (scipy-free normal
+    tail via the same A&S polynomial): ranks, threshold, and rejection
+    set must match, and the rejected set must be exactly the planted
+    click-shift tests at this scale."""
+    import math
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, user_id % 5,
+          CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        FROM '{SF}/events.parquet'"""
+    ).fetchall()
+    cells = defaultdict(list)
+    for t, b, c in rows:
+        c = int(c) + (5000 if t == "click" and b in (0, 1) else 0)
+        cells[(t, b)].append(c)
+
+    def p_from_z(z):
+        x = abs(z) / math.sqrt(2.0)
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            0.254829592 * t
+            - 0.284496736 * t**2
+            + 1.421413741 * t**3
+            - 1.453152027 * t**4
+            + 1.061405429 * t**5
+        )
+        return round(poly * math.exp(-x * x), 8)
+
+    tests = []
+    types = sorted({t for t, _ in cells})
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            for b in range(5):
+                A, B = cells[(ta, b)], cells[(tb, b)]
+                na, nb = len(A), len(B)
+                ma, mb = sum(A) / na, sum(B) / nb
+                va = (sum(c * c for c in A) - sum(A) ** 2 / na) / (na - 1)
+                vb = (sum(c * c for c in B) - sum(B) ** 2 / nb) / (nb - 1)
+                z = (ma - mb) / math.sqrt(va / na + vb / nb)
+                tests.append((ta, tb, b, p_from_z(z)))
+    tests.sort(key=lambda t: (t[3], t[0], t[1], t[2]))
+    m = len(tests)
+    p_star = None
+    for k, (_, _, _, p) in enumerate(tests, 1):
+        if p * m <= k * 0.05:
+            p_star = p
+    want_rejected = {
+        (ta, tb, b) for ta, tb, b, p in tests
+        if p_star is not None and p <= p_star
+    }
+    got = {
+        (r.type_a, r.type_b, r.bucket): (r.p, r.p_rank, r.rejected)
+        for r in QUERIES["events_fdr_bh"].fn(spark, SF).collect()
+    }
+    assert len(got) == m
+    for k, (ta, tb, b, p) in enumerate(tests, 1):
+        gp, grank, grej = got[(ta, tb, b)]
+        assert math.isclose(gp, p, abs_tol=2e-8)
+        assert grank == k
+        assert grej == ((ta, tb, b) in want_rejected)
+    # the planted effects are the only rejections, and there ARE some
+    assert want_rejected
+    assert all(
+        ("click" in (ta, tb)) and b in (0, 1)
+        for ta, tb, b in want_rejected
+    )
