@@ -252,6 +252,7 @@ HEADLINE = [
     "sql_pivot_unpivot_clause",
     "events_sax_motifs",
     "events_fdr_bh",
+    "sql_filter_window_clause",
 ]
 
 

@@ -548,6 +548,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "sql_pivot_unpivot_clause",
     "events_sax_motifs",
     "events_fdr_bh",
+    "sql_filter_window_clause",
 )
 
 

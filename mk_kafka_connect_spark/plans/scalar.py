@@ -1143,3 +1143,65 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tab": "ident_orders",
         },
     )
+
+
+@query(
+    "sql_filter_window_clause",
+    oracle="""
+    WITH sliced AS (
+      SELECT event_type, user_id, value,
+        CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+          AS cents,
+        row_number() OVER w AS rn,
+        sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT))
+          OVER w AS run_cents
+      FROM events WHERE event_id < 2000
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(count(*) FILTER (WHERE value > 100.0) AS BIGINT) AS n_high,
+      CAST(sum(cents) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+        AS cents_even,
+      CAST(max(rn) AS BIGINT) AS max_rn,
+      CAST(max(run_cents) AS BIGINT) AS final_run_cents
+    FROM sliced GROUP BY 1
+    """,
+    tags=("scalar", "B12", "sql-surface", "filter-clause"),
+)
+def sql_filter_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two SQL:2003/2011 clauses the battery had exercised only on the
+    ORACLE side, now certified engine-side: the aggregate ``FILTER
+    (WHERE ...)`` clause (per-aggregate predicates without CASE-WHEN
+    contortions — and unlike ``CASE WHEN ... END``, FILTER keeps
+    count()'s null-semantics exact) and the named ``WINDOW w AS (...)``
+    clause (one definition shared by many window expressions — the
+    drift-proof form when a query carries five frames over the same
+    partitioning). The windowed running sum's per-partition maximum
+    must equal the group total, proving the named window bound to the
+    same partitioning the aggregate used.
+
+    Scale shape: pushed key filter, one partitioned window pass, one
+    group-sized aggregate — both clauses are pure parser surface over
+    plans already certified elsewhere."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "fw_events"
+    )
+    return spark.sql("""
+      WITH sliced AS (
+        SELECT event_type, user_id, value,
+          CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+            AS cents,
+          row_number() OVER w AS rn,
+          sum(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT))
+            OVER w AS run_cents
+        FROM fw_events WHERE event_id < 2000
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (WHERE value > 100.0) AS BIGINT) AS n_high,
+        CAST(sum(cents) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+          AS cents_even,
+        CAST(max(rn) AS BIGINT) AS max_rn,
+        CAST(max(run_cents) AS BIGINT) AS final_run_cents
+      FROM sliced GROUP BY 1
+    """)

@@ -109,6 +109,7 @@ SENSITIVE = [
     "sql_pivot_unpivot_clause",
     "events_sax_motifs",
     "events_fdr_bh",
+    "sql_filter_window_clause",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -1007,3 +1007,29 @@ def test_fdr_bh_matches_python_stepup(spark):
         ("click" in (ta, tb)) and b in (0, 1)
         for ta, tb, b in want_rejected
     )
+
+
+def test_filter_clause_matches_python_and_window_binds(spark):
+    rows = QUERIES["sql_filter_window_clause"].fn(spark, SF).collect()
+    src = duckdb.sql(
+        f"""SELECT event_type, user_id, value,
+          CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+        FROM '{SF}/events.parquet' WHERE event_id < 2000"""
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for et, uid, v, cents in src:
+        a = agg[et]
+        a[0] += 1
+        a[1] += 1 if v > 100.0 else 0
+        a[2] += int(cents) if uid % 2 == 0 else 0
+        a[3] += int(cents)
+    got = {
+        r.event_type: (r.n, r.n_high, r.cents_even, r.max_rn,
+                       r.final_run_cents)
+        for r in rows
+    }
+    assert set(got) == set(agg)
+    for et, (n, nh, ce, tot) in agg.items():
+        # max_rn == n and final running sum == group total: the named
+        # window bound to the same partitioning as the aggregate.
+        assert got[et] == (n, nh, ce, n, tot)
