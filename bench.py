@@ -253,6 +253,7 @@ HEADLINE = [
     "events_sax_motifs",
     "events_fdr_bh",
     "sql_filter_window_clause",
+    "docs_url_canonical_dedup",
 ]
 
 

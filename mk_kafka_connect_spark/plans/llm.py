@@ -3333,3 +3333,124 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("hit")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# docs_url_canonical_dedup — URL canonicalization dedup for web corpora
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END
+        || CASE WHEN doc_id % 2 = 0
+                THEN upper('cdn' || CAST((doc_id // 4) % 10 AS VARCHAR))
+                ELSE 'cdn' || CAST((doc_id // 4) % 10 AS VARCHAR) END
+        || '.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+        || CASE WHEN doc_id % 4 = 1
+                THEN '?utm_source=feed&utm_campaign=x'
+                WHEN doc_id % 4 = 2 THEN '?utm_medium=rss'
+                WHEN doc_id % 4 = 3 THEN '#section-2'
+                ELSE '' END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+        lower(regexp_replace(regexp_replace(url,
+            '#.*$', ''), '\\?utm_[a-z_]+=[^&#]*(&utm_[a-z_]+=[^&#]*)*$', ''))
+          AS curl
+      FROM raw),
+    clusters AS (
+      SELECT curl,
+        CAST(count(*) AS BIGINT) AS n_dups,
+        CAST(min(doc_id) AS BIGINT) AS keeper
+      FROM canon GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_canonical,
+      CAST(sum(n_dups) AS BIGINT) AS n_raw,
+      CAST(sum(CASE WHEN n_dups > 1 THEN n_dups - 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(sum(keeper) AS BIGINT) AS keeper_checksum
+    FROM clusters
+    """,
+    tags=("docs", "B15", "dedup", "url-canonicalization"),
+)
+def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the FIRST dedup pass of every web
+    crawl corpus (CommonCrawl-style pipelines drop ~urls-level dups
+    before any content hashing: it is free compared to MinHash): raw
+    URLs arrive with the classic noise planted deterministically
+    (scheme/host case variants, ``utm_*`` tracking query params,
+    fragments — four docs share each canonical target by
+    construction), are canonicalized by pure string rewrites
+    (lowercase scheme+host — here the whole URL is case-insensitive by
+    construction — strip fragments, strip tracking-only query strings),
+    and grouped into duplicate clusters with a deterministic
+    min-doc-id keeper. Output is the corpus-level dedup ledger:
+    canonical count, raw count, removed count, keeper checksum.
+
+    Scale shape: one scan, per-row codegen'd regex rewrites, one
+    canonical-key groupBy — identical cost class to dedup_exact; the
+    canonical URL is the cheapest blocking key the heavier content
+    tiers (MinHash, SimHash, semantic) then refine.
+
+    Lineage: URL normalization rules follow RFC 3986 §6 plus the
+    de-facto tracking-param strip every crawler ships."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://")).otherwise(
+                F.lit("https://")
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.upper(
+                    F.concat(
+                        F.lit("cdn"),
+                        F.expr("CAST((doc_id DIV 4) % 10 AS STRING)"),
+                    )
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("cdn"),
+                    F.expr("CAST((doc_id DIV 4) % 10 AS STRING)"),
+                )
+            ),
+            F.lit(".example.com/docs/"),
+            F.expr("CAST(doc_id DIV 4 AS STRING)"),
+            F.when(
+                F.col("doc_id") % 4 == 1,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            )
+            .when(F.col("doc_id") % 4 == 2, F.lit("?utm_medium=rss"))
+            .when(F.col("doc_id") % 4 == 3, F.lit("#section-2"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    curl = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), r"#.*$", ""),
+            r"\?utm_[a-z_]+=[^&#]*(&utm_[a-z_]+=[^&#]*)*$",
+            "",
+        )
+    )
+    clusters = (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+    )
+    return clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.sum("n_dups").cast("long").alias("n_raw"),
+        F.sum(
+            F.when(F.col("n_dups") > 1, F.col("n_dups") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.sum("keeper").cast("long").alias("keeper_checksum"),
+    )

@@ -549,6 +549,7 @@ R15_ADDITIONS: tuple[str, ...] = (
     "events_sax_motifs",
     "events_fdr_bh",
     "sql_filter_window_clause",
+    "docs_url_canonical_dedup",
 )
 
 

@@ -110,6 +110,7 @@ SENSITIVE = [
     "events_sax_motifs",
     "events_fdr_bh",
     "sql_filter_window_clause",
+    "docs_url_canonical_dedup",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -1033,3 +1033,33 @@ def test_filter_clause_matches_python_and_window_binds(spark):
         # max_rn == n and final running sum == group total: the named
         # window bound to the same partitioning as the aggregate.
         assert got[et] == (n, nh, ce, n, tot)
+
+
+def test_url_canonical_dedup_matches_python(spark):
+    import re
+
+    src = duckdb.sql(
+        f"SELECT doc_id, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    clusters = defaultdict(list)
+    for doc_id, source in src:
+        scheme = "HTTPS://" if doc_id % 3 == 0 else "https://"
+        base = f"cdn{(doc_id // 4) % 10}"
+        host = base.upper() if doc_id % 2 == 0 else base
+        tail = {
+            1: "?utm_source=feed&utm_campaign=x",
+            2: "?utm_medium=rss",
+            3: "#section-2",
+            0: "",
+        }[doc_id % 4]
+        url = f"{scheme}{host}.example.com/docs/{doc_id // 4}{tail}"
+        c = re.sub(r"#.*$", "", url)
+        c = re.sub(r"\?utm_[a-z_]+=[^&#]*(&utm_[a-z_]+=[^&#]*)*$", "", c)
+        clusters[c.lower()].append(doc_id)
+    r = QUERIES["docs_url_canonical_dedup"].fn(spark, SF).collect()[0]
+    assert r.n_canonical == len(clusters)
+    assert r.n_raw == len(src)
+    assert r.n_removed == sum(len(v) - 1 for v in clusters.values() if len(v) > 1)
+    assert r.keeper_checksum == sum(min(v) for v in clusters.values())
+    # the planted variants actually collide: ~4 raw urls per canonical
+    assert r.n_removed > 0 and r.n_canonical < r.n_raw
