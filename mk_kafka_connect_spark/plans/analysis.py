@@ -1960,9 +1960,11 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     is carried as the INTEGER window sum t25 (cents × 25), the
     detrended series as the integer 25·cents − t25, and the seasonal
     as an integer-sum/count pair; each output is ONE division of
-    exactly-represented integers, bit-identical cross-engine. The
-    series is gap-free by fixture construction (720 dense hours);
-    rows-based windows state the contract.
+    exactly-represented integers, bit-identical cross-engine. Window
+    semantics are ROWS over the hours PRESENT in each type's series
+    (equal to calendar-trailing when the series is dense, as at
+    sf0.01+; a sparse series averages over its own observed hours —
+    the stated contract, not an accident).
 
     Scale shape: one scan → hour-grain aggregate (map-side
     combinable), one partitioned 25-row sliding window, one

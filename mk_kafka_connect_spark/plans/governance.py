@@ -2301,9 +2301,11 @@ _TCLOSE_T = 0.25  # release threshold on the ordered EMD
       FROM filled),
     scored AS (
       SELECT seg, nat, k,
-        CAST(sum(abs(CAST(cumc AS DECIMAL(38,0)) * n_total
-                     - CAST(cumg AS DECIMAL(38,0)) * k)) AS DOUBLE)
-        / CAST(CAST(k AS DECIMAL(38,0)) * n_total * (n_bands - 1) AS DOUBLE)
+        CASE WHEN n_bands = 1 THEN 0.0 ELSE
+          CAST(sum(abs(CAST(cumc AS DECIMAL(38,0)) * n_total
+                       - CAST(cumg AS DECIMAL(38,0)) * k)) AS DOUBLE)
+          / CAST(CAST(k AS DECIMAL(38,0)) * n_total * (n_bands - 1)
+                 AS DOUBLE) END
           AS t_closeness
       FROM cum GROUP BY seg, nat, k, n_total, n_bands)
     SELECT seg AS c_mktsegment, nat AS c_nationkey, k AS k_size,
@@ -2329,6 +2331,10 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-product |cumc·N − cumg·k| in DECIMAL(38,0) (no per-band
     division — overflow-proof at any scale), summed exactly, with ONE
     double division per class at the end.
+
+    Degenerate guard: a single-band domain (every row in one
+    sensitive band) defines t = 0 explicitly — the (bands − 1)
+    normalizer would otherwise divide by zero on such inputs.
 
     Scale shape: two map-side-combinable groupBys off one scan, a
     domain-sized frame (classes × bands, built by explode(sequence)
@@ -2397,14 +2403,16 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("cumg").cast("decimal(38,0)") * F.col("k")
     )
     scored = cum.groupBy("seg", "nat", "k", "n_total", "n_bands").agg(
-        (
+        F.when(F.max("n_bands") == 1, F.lit(0.0))
+        .otherwise(
             F.sum(term).cast("double")
             / (
                 F.col("k").cast("decimal(38,0)")
                 * F.col("n_total")
                 * (F.col("n_bands") - 1)
             ).cast("double")
-        ).alias("t_closeness")
+        )
+        .alias("t_closeness")
     )
     return scored.select(
         F.col("seg").alias("c_mktsegment"),

@@ -1479,7 +1479,8 @@ def _fdr_oracle() -> str:
       SELECT a.t AS type_a, b.t AS type_b, a.bucket,
         a.n AS na, a.s AS sa, a.s2 AS s2a,
         b.n AS nb, b.s AS sb, b.s2 AS s2b
-      FROM cells a JOIN cells b ON a.bucket = b.bucket AND a.t < b.t),
+      FROM cells a JOIN cells b ON a.bucket = b.bucket AND a.t < b.t
+      WHERE a.n > 1 AND b.n > 1),
     scored AS (
       SELECT type_a, type_b, bucket, z, {_FDR_P} AS p
       FROM (SELECT *, {_FDR_Z} AS z FROM tests)),
@@ -1523,6 +1524,10 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 8 click-pair tests in those buckets true effects: both the
     rejection and acceptance paths execute for real.
 
+    Degenerate guard: a cell with fewer than 2 observations has no
+    sample variance and its tests are excluded (Welch is undefined
+    there), so m adapts to the testable battery.
+
     Determinism: all moments are exact integers (Σc² in DECIMAL(38,0));
     z and p are shared IEEE expression trees; the BH threshold compares
     the SAME rounded p on both engines, so the step-up cutoff cannot
@@ -1565,7 +1570,9 @@ def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").alias("s2b"),
     )
     tests = a.join(F.broadcast(b), "bucket").filter(
-        F.col("type_a") < F.col("type_b")
+        (F.col("type_a") < F.col("type_b"))
+        & (F.col("na") > 1)
+        & (F.col("nb") > 1)
     )
     tests.createOrReplaceTempView("fdr_tests")
     return spark.sql(f"""
