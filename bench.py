@@ -254,6 +254,8 @@ HEADLINE = [
     "events_fdr_bh",
     "sql_filter_window_clause",
     "docs_url_canonical_dedup",
+    "multimodal_magic_bytes",
+    "agg_hll_sketch_persist",
 ]
 
 

@@ -2220,3 +2220,77 @@ def events_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_3sigma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_sketch_persist — sketches as a STORED table (continuous aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hll_sketch_persist",
+    # Sketch bytes are engine-internal; the row carries the exact daily
+    # distinct plus the 3-sigma bounds predicate (house convention).
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS est_within_3sigma
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "B7", "sketch", "persistence"),
+)
+def agg_hll_sketch_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches as a PERSISTED table — the continuous-aggregate
+    pattern that makes sketch rollups operational at 100 TB: hourly
+    sketches land in parquet as a binary column (KBs per hour instead
+    of the raw key stream), a LATER session reads the sketch table
+    back and answers the daily-distinct question by ``hll_union_agg``
+    over 24 stored rows — the raw events are never re-scanned, and the
+    same stored sketches serve daily, weekly, or all-time unions. This
+    completes the sketch story: mergeability in-query
+    (``agg_hll_sketch_merge``), over windows
+    (``events_hll_sliding_window``), under streaming
+    (``streaming_hll_distinct_window``), and now across the
+    WRITE/READ boundary — pinning that Spark's datasketches binary
+    representation survives a parquet round trip bit-intact (estimates
+    after the round trip equal the in-memory path; the 3σ bounds
+    predicate against the exact count is the certified output).
+
+    Scale shape: one raw scan EVER (at sketch-build time); every query
+    thereafter touches only the hour-grain sketch table. The daily
+    union shuffles |hours| KB-sized rows."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    root = tempfile.mkdtemp(prefix="hll_store_")
+    try:
+        pairs.groupBy("h").agg(
+            F.expr("hll_sketch_agg(user_id)").alias("sk")
+        ).write.parquet(f"{root}/hourly_sketches")
+        stored = spark.read.parquet(f"{root}/hourly_sketches")
+        daily_est = (
+            stored.groupBy(F.date_trunc("day", "h").alias("day"))
+            .agg(
+                F.expr(
+                    "hll_sketch_estimate(hll_union_agg(sk))"
+                ).alias("est")
+            )
+        )
+        exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.countDistinct("user_id").cast("long").alias("exact_users")
+        )
+        out = daily_est.join(exact, "day").select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.049 * F.col("exact_users")
+            ).alias("est_within_3sigma"),
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

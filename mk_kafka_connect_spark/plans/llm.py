@@ -3454,3 +3454,90 @@ def docs_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.sum("keeper").cast("long").alias("keeper_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_magic_bytes — container-format sniffing on the binary column
+# ---------------------------------------------------------------------------
+
+# (magic-prefix hex, detected format) — the standard file signatures.
+_MAGICS = (
+    ("89504E470D0A1A0A", "png"),
+    ("FFD8FF", "jpeg"),
+    ("25504446", "pdf"),
+    ("504B0304", "zip"),
+)
+
+
+@query(
+    "multimodal_magic_bytes",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+          WHEN 2 THEN 'pdf' WHEN 3 THEN 'zip'
+          ELSE 'unknown' END AS fmt,
+        CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+      FROM documents)
+    SELECT fmt AS detected,
+      CAST(count(*) AS BIGINT) AS n_blobs,
+      CAST(sum(body_bytes
+               + CASE fmt WHEN 'png' THEN 8 WHEN 'jpeg' THEN 3
+                          WHEN 'pdf' THEN 4 WHEN 'zip' THEN 4
+                          ELSE 0 END) AS BIGINT) AS total_bytes,
+      CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM tagged GROUP BY 1
+    """,
+    tags=("multimodal", "B15", "binary", "mime-sniffing"),
+)
+def multimodal_magic_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-format sniffing by MAGIC BYTES — the first branch of
+    every multimodal ingest (the upload's extension and Content-Type
+    LIE; the leading bytes do not): blobs are staged with REAL file
+    signatures (PNG's 8-byte \\x89PNG\\r\\n\\x1a\\n, JPEG's FFD8FF,
+    %PDF, PK\\x03\\x04 — one per doc_id class, a fifth class left
+    signature-less) prepended to the document bytes, and detection is
+    pure JVM binary-prefix comparison (``substring`` on the binary
+    column against ``unhex`` literals, first match wins in signature
+    order, 'unknown' otherwise) — no Python, no decode, exactly what
+    the router in front of the decode kernels
+    (``operators/multimodal.py``) does to dispatch format-specific
+    decoders. Per detected format: blob count, total bytes (body +
+    signature — pinning that detection read the REAL prefix), id
+    checksum.
+
+    Scale shape: one scan, codegen'd per-row prefix compares, one
+    |formats|-sized aggregate. Binary payloads never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = (
+        F.when(F.col("doc_id") % 5 == 0, F.unhex(F.lit(_MAGICS[0][0])))
+        .when(F.col("doc_id") % 5 == 1, F.unhex(F.lit(_MAGICS[1][0])))
+        .when(F.col("doc_id") % 5 == 2, F.unhex(F.lit(_MAGICS[2][0])))
+        .when(F.col("doc_id") % 5 == 3, F.unhex(F.lit(_MAGICS[3][0])))
+        .otherwise(F.lit(b""))
+    )
+    blobs = d.select(
+        "doc_id",
+        F.concat(sig, F.encode("text", "UTF-8")).alias("blob"),
+    )
+    detect = F.lit("unknown")
+    for hexsig, fmt in reversed(_MAGICS):
+        n = len(hexsig) // 2
+        detect = F.when(
+            F.expr(f"substring(blob, 1, {n})") == F.unhex(F.lit(hexsig)),
+            F.lit(fmt),
+        ).otherwise(detect)
+    return (
+        blobs.select(
+            "doc_id",
+            detect.alias("detected"),
+            F.length("blob").alias("blob_bytes"),
+        )
+        .groupBy("detected")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blobs"),
+            F.sum("blob_bytes").cast("long").alias("total_bytes"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )

@@ -550,6 +550,8 @@ R15_ADDITIONS: tuple[str, ...] = (
     "events_fdr_bh",
     "sql_filter_window_clause",
     "docs_url_canonical_dedup",
+    "multimodal_magic_bytes",
+    "agg_hll_sketch_persist",
 )
 
 

@@ -1063,3 +1063,81 @@ def test_url_canonical_dedup_matches_python(spark):
     assert r.keeper_checksum == sum(min(v) for v in clusters.values())
     # the planted variants actually collide: ~4 raw urls per canonical
     assert r.n_removed > 0 and r.n_canonical < r.n_raw
+
+
+def test_magic_bytes_detection_matches_python(spark):
+    sigs = {
+        0: (bytes.fromhex("89504E470D0A1A0A"), "png"),
+        1: (bytes.fromhex("FFD8FF"), "jpeg"),
+        2: (bytes.fromhex("25504446"), "pdf"),
+        3: (bytes.fromhex("504B0304"), "zip"),
+    }
+    src = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for doc_id, text in src:
+        sig, fmt = sigs.get(doc_id % 5, (b"", "unknown"))
+        blob = sig + text.encode("utf-8")
+        # detect from the BYTES, independently of how they were staged
+        det = "unknown"
+        for s, f in [sigs[k] for k in sorted(sigs)]:
+            if blob.startswith(s):
+                det = f
+                break
+        assert det == fmt  # staged signature must be detectable
+        a = agg[det]
+        a[0] += 1
+        a[1] += len(blob)
+        a[2] += doc_id
+    got = {
+        r.detected: (r.n_blobs, r.total_bytes, r.id_checksum)
+        for r in QUERIES["multimodal_magic_bytes"].fn(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    assert set(got) == {"png", "jpeg", "pdf", "zip", "unknown"}
+
+
+def test_hll_sketch_survives_parquet_roundtrip(spark, tmp_path):
+    """The stored-sketch estimate must equal the in-memory union exactly
+    (bit-intact serialization), and the certified rows must match the
+    exact daily distincts."""
+    from pyspark.sql import functions as F
+
+    from mk_kafka_connect_spark.catalog import load_table
+
+    pairs = load_table(spark, SF, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    )
+    sk = pairs.groupBy("h").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    mem = {
+        r.day: r.est
+        for r in sk.groupBy(F.date_trunc("day", "h").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    }
+    path = str(tmp_path / "sketches")
+    sk.write.parquet(path)
+    stored = {
+        r.day: r.est
+        for r in spark.read.parquet(path)
+        .groupBy(F.date_trunc("day", "h").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    }
+    assert stored == mem  # parquet round trip is bit-intact
+
+    got = {
+        r.day: (r.exact_users, r.est_within_3sigma)
+        for r in QUERIES["agg_hll_sketch_persist"].fn(spark, SF).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP),
+              count(DISTINCT user_id)
+            FROM '{SF}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == {d: (n, True) for d, n in want.items()}
