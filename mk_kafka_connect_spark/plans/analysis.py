@@ -2318,7 +2318,6 @@ def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_cents"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
-    wd = W.partitionBy("event_type").orderBy("day")
     indexed = daily.select(
         "event_type",
         F.round(F.col("s_cents") * 100.0 / F.col("c"), 0)
