@@ -575,16 +575,35 @@ def _r15_front() -> tuple[str, ...]:
     return tuple((head + fill)[:DRIVER_WINDOW])
 
 
-CERTIFICATION_FRONT: tuple[str, ...] = _r15_front()
+# ---------------------------------------------------------------------------
+# Round-16 rotation (VERDICT r15 "Next round" #1). CORRECTNESS_r15 certified
+# exactly _r15_front() 50/50 green, which consumed the r15-rewritten
+# re-certs, the whole round-6 staleness pool, and the first two r15
+# additions. That leaves exactly 43 registry entries with NO driver row
+# ever — the round-15 addition overflow — plus the 49-query round-8
+# evidence pool untouched. The r16 window pins the 43 orphans first
+# (closing driver coverage to 334/334 ever-certified, and flipping
+# A16/A17/A18 via rest_config_fanout_probe), then backfills its 7
+# remaining slots from the round-8 pool. Derivations recomputed from
+# CORRECTNESS_r01–r15 by tests/test_registry_rotation.py.
+# ---------------------------------------------------------------------------
+def _r16_front() -> tuple[str, ...]:
+    certified_r15 = set(_r15_front())
+    head = [n for n in R15_ADDITIONS if n not in certified_r15]
+    fill = [n for n in R8_STALE_FILL if n not in certified_r15 and n not in head]
+    return tuple((head + fill)[:DRIVER_WINDOW])
+
+
+CERTIFICATION_FRONT: tuple[str, ...] = _r16_front()
 
 
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
 
     Re-cert overflow (stale queries that did not fit the window) queues
-    directly behind it — the r8-evidence pool left over after the r15
-    fill, then round-15 addition overflow — so the r16 window head is
-    already staged; everything else follows in registration order.
+    directly behind it — the round-8-evidence pool left over after the
+    r16 fill — so the r17 window head is already staged; everything
+    else follows in registration order.
     """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up = [

@@ -1,13 +1,15 @@
-"""Guard the driver-certification rotation (round 15).
+"""Guard the driver-certification rotation (round 16).
 
 The driver hash-checks only the FIRST 50 entries of the exposed query
-dict per round. CORRECTNESS_r14 certified exactly ``_r14_front()``
-50/50 green — closing 289/289 ever-certified. The r15 front pins, in
-order: the three queries whose code or oracle was rewritten AFTER their
-newest driver row (stale-by-code evidence), the 45 queries whose newest
-green evidence is still round 6, round-15 additions, then backfill from
-the 49-query round-8 evidence pool. Every pool is recomputed here from
-the artifact files so the pin cannot drift.
+dict per round. CORRECTNESS_r15 certified exactly ``_r15_front()``
+50/50 green — consuming the rewritten re-certs, the whole round-6
+staleness pool, and the first two round-15 additions. That leaves
+exactly 43 registry entries with NO driver row ever (the round-15
+addition overflow) plus the untouched 49-query round-8 evidence pool.
+The r16 front pins the 43 orphans first — closing driver coverage to
+334/334 ever-certified — then backfills its 7 remaining slots from the
+round-8 pool. Every pool is recomputed here from the artifact files so
+the pin cannot drift.
 """
 
 from __future__ import annotations
@@ -21,28 +23,26 @@ from mk_kafka_connect_spark.plans.registry import (
     CERTIFICATION_FRONT,
     DRIVER_WINDOW,
     QUERIES,
-    R6_STALE_FILL,
     R8_STALE_FILL,
     R15_ADDITIONS,
-    R15_REWRITTEN_RECERTS,
-    _r14_front,
+    _r15_front,
     certification_order,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Artifacts that existed when the r15 front was pinned (r1..r14; the r7
+# Artifacts that existed when the r16 front was pinned (r1..r15; the r7
 # and r12 drivers never ran, so those files are legitimately absent).
 # Later rounds append artifacts; the derivation stays frozen on this
 # evidence.
-_PRE_R15_ARTIFACTS = tuple(
-    f"CORRECTNESS_r{n:02d}.json" for n in range(1, 15)
+_PRE_R16_ARTIFACTS = tuple(
+    f"CORRECTNESS_r{n:02d}.json" for n in range(1, 16)
 )
 
 
 def _latest_green_round() -> dict[str, int]:
     latest: dict[str, int] = {}
-    for fname in _PRE_R15_ARTIFACTS:
+    for fname in _PRE_R16_ARTIFACTS:
         path = os.path.join(REPO, fname)
         if not os.path.exists(path):
             continue
@@ -63,47 +63,41 @@ def _latest_green_round() -> dict[str, int]:
     return latest
 
 
-def test_r14_window_matches_r14_front():
-    # The premise of the rotation: the r14 driver certified exactly the
-    # pinned _r14_front() set, all green.
-    path = os.path.join(REPO, "CORRECTNESS_r14.json")
+def test_r15_window_matches_r15_front():
+    # The premise of the rotation: the r15 driver certified exactly the
+    # pinned _r15_front() set, all green.
+    path = os.path.join(REPO, "CORRECTNESS_r15.json")
     with open(path) as f:
         rows = json.load(f)
-    assert set(rows) == set(_r14_front())
+    assert set(rows) == set(_r15_front())
     bad = {
         n: r
         for n, r in rows.items()
         if not (r.get("rows_match") and r.get("schema_match") and not r.get("err"))
     }
-    assert not bad, f"r14 rows not green: {sorted(bad)}"
+    assert not bad, f"r15 rows not green: {sorted(bad)}"
 
 
-def test_every_query_certified_ever():
-    # r14 closed full coverage: every registered query outside this
-    # round's additions has at least one green driver row.
+def test_orphan_pool_is_exactly_r15_addition_overflow():
+    # The only queries with no driver row ever are the 43 round-15
+    # additions that did not fit the r15 window; the r16 head must be
+    # exactly that pool, in R15_ADDITIONS order.
     latest = _latest_green_round()
-    orphans = sorted(
-        n for n in QUERIES if n not in latest and n not in R15_ADDITIONS
+    orphans = [n for n in QUERIES if n not in latest]
+    expected_head = [n for n in R15_ADDITIONS if n not in set(_r15_front())]
+    assert sorted(orphans) == sorted(expected_head), (
+        f"orphan pool drifted from evidence: "
+        f"missing={sorted(set(orphans) - set(expected_head))} "
+        f"extra={sorted(set(expected_head) - set(orphans))}"
     )
-    assert not orphans, f"queries with no driver row ever: {orphans}"
-
-
-def test_r6_remaining_pool_matches_artifacts():
-    # The r14 fill recertified 5 of the 50 r6-pool queries; exactly 45
-    # remain with newest evidence = round 6, and they are exactly the
-    # R6_STALE_FILL members outside the r14 window.
-    latest = _latest_green_round()
-    r6 = [n for n in QUERIES if latest.get(n) == 6]
-    expected = [n for n in R6_STALE_FILL if n not in set(_r14_front())]
-    assert r6 == expected, (
-        f"r6 remaining pool drifted from evidence: "
-        f"missing={sorted(set(r6) - set(expected))} "
-        f"extra={sorted(set(expected) - set(r6))}"
-    )
-    assert len(r6) == 45
+    assert len(orphans) == 43
+    assert list(CERTIFICATION_FRONT[: len(expected_head)]) == expected_head
 
 
 def test_r8_fill_pool_matches_artifacts():
+    # The round-8 evidence pool was untouched by r13-r15 windows; it is
+    # still the 49 queries whose newest green row is round 8, and it
+    # supplies the r16 backfill.
     latest = _latest_green_round()
     r8 = [n for n in QUERIES if latest.get(n) == 8]
     assert r8 == list(R8_STALE_FILL), (
@@ -111,24 +105,17 @@ def test_r8_fill_pool_matches_artifacts():
         f"missing={sorted(set(r8) - set(R8_STALE_FILL))} "
         f"extra={sorted(set(R8_STALE_FILL) - set(r8))}"
     )
+    assert len(r8) == 49
 
 
-def test_front_is_recerts_then_r6_pool_then_additions_then_fill():
-    head = list(R15_REWRITTEN_RECERTS)
-    head += [
-        n
-        for n in R6_STALE_FILL
-        if n not in set(_r14_front()) and n not in head
-    ]
-    head += [n for n in R15_ADDITIONS if n not in head]
-    fill = [n for n in R8_STALE_FILL if n not in head]
+def test_front_is_orphans_then_r8_fill():
+    certified_r15 = set(_r15_front())
+    head = [n for n in R15_ADDITIONS if n not in certified_r15]
+    fill = [n for n in R8_STALE_FILL if n not in certified_r15 and n not in head]
     expected = tuple((head + fill)[:DRIVER_WINDOW])
     assert CERTIFICATION_FRONT == expected
-    # The stale-by-code re-certs must never be displaced by additions
-    # or fill.
-    assert list(CERTIFICATION_FRONT[: len(R15_REWRITTEN_RECERTS)]) == list(
-        R15_REWRITTEN_RECERTS
-    )
+    # The never-certified orphans must never be displaced by fill.
+    assert list(CERTIFICATION_FRONT[: len(head)]) == head
 
 
 def test_front_fills_driver_window_exactly():
@@ -140,22 +127,20 @@ def test_front_fills_driver_window_exactly():
     assert not dangling, f"front names not in registry: {dangling}"
     dangling = [
         n
-        for n in (*R15_REWRITTEN_RECERTS, *R15_ADDITIONS, *R8_STALE_FILL)
+        for n in (*R15_ADDITIONS, *R8_STALE_FILL)
         if n not in QUERIES
     ]
     assert not dangling, f"pinned names not in registry: {dangling}"
 
 
-def test_front_differs_from_r14_window():
+def test_front_differs_from_r15_window():
     # The r5/r6 (and again r11) failure mode: two rounds burned the
-    # driver window on the same 50 names. The ONLY r14-window queries
-    # allowed back are the stale-by-code re-certs (their code/oracle
-    # changed after the r14 row was recorded).
-    repeats = set(_r14_front()) & set(CERTIFICATION_FRONT)
-    allowed = set(R15_REWRITTEN_RECERTS)
-    assert repeats <= allowed, (
-        f"r15 front repeats r14 window beyond the rewritten re-certs: "
-        f"{sorted(repeats - allowed)}"
+    # driver window on the same 50 names. Nothing in the r16 window may
+    # repeat the r15 window — the orphans were never sampled and the r8
+    # pool predates it.
+    repeats = set(_r15_front()) & set(CERTIFICATION_FRONT)
+    assert not repeats, (
+        f"r16 front repeats r15 window: {sorted(repeats)}"
     )
 
 
@@ -168,11 +153,11 @@ def test_fill_overflow_queues_directly_behind_window():
         if n in QUERIES and n not in front
     ]
     behind = order[DRIVER_WINDOW : DRIVER_WINDOW + len(overflow)]
-    assert behind == overflow, "fill overflow must head the r16 queue"
+    assert behind == overflow, "fill overflow must head the r17 queue"
 
 
 def test_window_queries_all_have_oracles():
-    # Every r15 window query claims a full DuckDB value-hash oracle —
+    # Every r16 window query claims a full DuckDB value-hash oracle —
     # a rows-only driver row would not discharge the certification debt.
     missing = [n for n in CERTIFICATION_FRONT if QUERIES[n].oracle is None]
     assert not missing, f"window queries without oracle SQL: {missing}"
