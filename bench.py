@@ -256,6 +256,9 @@ HEADLINE = [
     "docs_url_canonical_dedup",
     "multimodal_magic_bytes",
     "agg_hll_sketch_persist",
+    # r16: opens the Catalyst-pushdown-through-Python-DataSource family
+    # (the only r16 full-tier addition per the BASELINE.md tier policy).
+    "rest_filter_pushdown",
 ]
 
 

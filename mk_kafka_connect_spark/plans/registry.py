@@ -597,6 +597,13 @@ def _r16_front() -> tuple[str, ...]:
 CERTIFICATION_FRONT: tuple[str, ...] = _r16_front()
 
 
+# Round-16 additions: zero driver rows by definition; they queue behind
+# the r8-pool leftovers for the r17 window via certification_order().
+R16_ADDITIONS: tuple[str, ...] = (
+    "rest_filter_pushdown",
+)
+
+
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
 
@@ -608,7 +615,7 @@ def certification_order() -> list[str]:
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up = [
         n
-        for n in (*R15_ADDITIONS, *R8_STALE_FILL)
+        for n in (*R15_ADDITIONS, *R8_STALE_FILL, *R16_ADDITIONS)
         if n in QUERIES and n not in front
     ]
     pinned = set(front) | set(next_up)

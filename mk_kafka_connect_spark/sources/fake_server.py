@@ -60,6 +60,14 @@ class FakeRestServer:
                 where = qs.get("where", [None])[0]
                 if where:
                     rows = [r for r in rows if outer._match(r, where)]
+                # Projection pushdown (CO-README:150-176): fields=a,b
+                # trims every served payload to the requested columns.
+                fields = qs.get("fields", [None])[0]
+                if fields:
+                    keep = fields.split(",")
+                    rows = [
+                        {k: r[k] for k in keep if k in r} for r in rows
+                    ]
                 order = qs.get("order", [None])[0]
                 if order:
                     field = order.split(":")[0]

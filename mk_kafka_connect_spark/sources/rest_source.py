@@ -19,11 +19,30 @@ SURVEY.md §1.2):
 
     entity string, key string, payload string (raw JSON),
     _ingestion_timestamp long (epoch ms, Task.java:427),
-    _load_mode string (INITIAL_LOAD | INCREMENTAL_LOAD)
+    _load_mode string (INITIAL_LOAD | INCREMENTAL_LOAD),
+    _event_datetime string (the entity's incremental datetime field,
+    verbatim as served — the typed projection of the value the
+    reference uses as its windowing key, Task.java:245-262)
 
 Rows missing their id field are DROPPED, like ``Task.java:396-401``.
 Scale: each entity partition streams pages through a generator — no page
 list materialization; per-executor memory is one page (≤500 rows).
+
+Planner-level pushdown (Spark 4.1 ``pushFilters``): the reference pushes
+its datetime window and entity selection into the API URL from connector
+state (``ApiClient.java:91-112``); here a user-written ``.filter()`` on
+the relation reaches the fetch the Catalyst way —
+
+* ``entity = 'x'`` / ``entity IN (...)`` prunes input partitions (whole
+  entities are never fetched);
+* ``_event_datetime >= lo`` / ``< hi`` tighten the half-open GTE/LT
+  window ``build_url`` already emits, so the server trims the pages.
+
+Datetime filters are re-returned to Spark (partial pushdown): the server
+compares lexicographically on the raw string exactly like Spark does,
+but NULL ``_event_datetime`` rows would survive a server-side ``where``
+while Spark's ternary logic drops them — returning the filter keeps the
+semantics Catalyst-defined while the fetch still shrinks.
 """
 
 from __future__ import annotations
@@ -35,7 +54,13 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
@@ -57,22 +82,29 @@ REST_SCHEMA = StructType(
         StructField("payload", StringType()),
         StructField("_ingestion_timestamp", LongType()),
         StructField("_load_mode", StringType()),
+        StructField("_event_datetime", StringType()),
     ]
 )
 
 
-def _record_row(entity: str, rec: dict, id_field: str, load_mode: str):
+def _record_row(
+    entity: str, rec: dict, id_field: str, load_mode: str, datetime_field: str
+):
     """createSourceRecord (Task.java:394-449): extract key, drop keyless
-    rows, wrap payload as JSON, stamp metadata."""
+    rows, wrap payload as JSON, stamp metadata; surface the incremental
+    datetime field as a typed column so Catalyst filters on it are
+    pushable."""
     rid = rec.get(id_field)
     if rid is None:
         return None  # Task.java:396-401 — skip records without an id
+    dt = rec.get(datetime_field)
     return (
         entity,
         json.dumps({id_field: rid}),  # key map, Task.java:431-432
         json.dumps(rec, sort_keys=True),
         int(time.time() * 1000),  # _ingestion_timestamp, Task.java:427
         load_mode,
+        None if dt is None else str(dt),
     )
 
 
@@ -88,17 +120,87 @@ class _RestBatchReader(DataSourceReader):
     def __init__(self, cfg: RestSourceConfig, options: dict):
         self.cfg = cfg
         self.options = options
+        # Pushdown state, mutated by pushFilters() before partitions()
+        # (the documented Spark 4.1 contract: pushFilters may modify self
+        # and the result is visible to partitions()/read()).
+        self._pushed_start: str | None = None
+        self._pushed_end: str | None = None
+        self._pushed_entities: set[str] | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Catalyst-side parity with ApiClient.java:91-112: entity
+        equality prunes partitions; ``_event_datetime`` bounds tighten
+        the GTE/LT window in the fetch URL. Datetime filters are
+        re-returned (partial pushdown — Spark keeps NULL semantics);
+        entity filters are consumed (partition pruning is exact)."""
+        remaining: list[Filter] = []
+        for f in filters:
+            attr = tuple(f.attribute) if hasattr(f, "attribute") else None
+            if attr == ("entity",) and isinstance(f, EqualTo) and isinstance(f.value, str):
+                keep = {f.value}
+                self._pushed_entities = (
+                    keep if self._pushed_entities is None
+                    else self._pushed_entities & keep
+                )
+                continue  # exact: consumed
+            if (
+                attr == ("entity",)
+                and isinstance(f, In)
+                and all(isinstance(v, str) for v in f.value)
+            ):
+                keep = set(f.value)
+                self._pushed_entities = (
+                    keep if self._pushed_entities is None
+                    else self._pushed_entities & keep
+                )
+                continue  # exact: consumed
+            if attr == ("_event_datetime",) and isinstance(getattr(f, "value", None), str):
+                # GT is fetched as GTE (superset); Spark re-applies the
+                # strict bound since every datetime filter is returned.
+                if isinstance(f, (GreaterThanOrEqual, GreaterThan)):
+                    self._pushed_start = (
+                        f.value
+                        if self._pushed_start is None
+                        else max(self._pushed_start, f.value)
+                    )
+                elif isinstance(f, LessThan):
+                    self._pushed_end = (
+                        f.value
+                        if self._pushed_end is None
+                        else min(self._pushed_end, f.value)
+                    )
+            remaining.append(f)
+        return iter(remaining)
+
+    @staticmethod
+    def _tighter(a: str | None, b: str | None, pick) -> str | None:
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return pick(a, b)
 
     def partitions(self) -> Sequence[InputPartition]:
-        # One partition per entity (A17 fan-out done Spark-natively).
+        # One partition per entity (A17 fan-out done Spark-natively),
+        # window-tightened and entity-pruned by any pushed filters.
+        entities = [
+            e
+            for e in self.cfg.entities
+            if self._pushed_entities is None or e in self._pushed_entities
+        ]
+        end = self._tighter(
+            self.options.get("end_datetime"), self._pushed_end, min
+        )
         return [
             _EntityPartition(
                 e,
-                self.cfg.initial_datetimes.get(e),
-                self.options.get("end_datetime"),
+                self._tighter(
+                    self.cfg.initial_datetimes.get(e), self._pushed_start, max
+                ),
+                end,
                 0,
             )
-            for e in self.cfg.entities
+            for e in entities
         ]
 
     def read(self, partition: _EntityPartition) -> Iterator[tuple]:
@@ -121,7 +223,9 @@ class _RestBatchReader(DataSourceReader):
             start_offset=partition.offset,
         ):
             for rec in page.records:
-                row = _record_row(e, rec, cfg.id_field(e), "INITIAL_LOAD")
+                row = _record_row(
+                    e, rec, cfg.id_field(e), "INITIAL_LOAD", cfg.datetime_field(e)
+                )
                 if row is not None:
                     yield row
 
@@ -182,7 +286,9 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
                 start_offset=int(st.get("current_offset", 0)),
             ):
                 for rec in page.records:
-                    row = _record_row(e, rec, cfg.id_field(e), mode)
+                    row = _record_row(
+                        e, rec, cfg.id_field(e), mode, cfg.datetime_field(e)
+                    )
                     if row is not None:
                         rows.append(row)
         return rows
@@ -283,6 +389,12 @@ def register(spark) -> None:
     from ..session import ship_package
 
     registered = getattr(spark, "_mkkc_rest_source_registered", False)
+
+    # _RestBatchReader implements pushFilters; Spark REFUSES to plan a
+    # pushdown-capable Python DataSource while the feature flag is off
+    # (DATA_SOURCE_PUSHDOWN_DISABLED), so enabling it here is part of
+    # registering the source. Runtime-settable SQL conf.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
     ship_package(spark)  # task workers unpickle the reader by reference
     cloudpickle.register_pickle_by_value(sys.modules[__name__])

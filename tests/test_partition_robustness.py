@@ -113,6 +113,7 @@ SENSITIVE = [
     "docs_url_canonical_dedup",
     "multimodal_magic_bytes",
     "agg_hll_sketch_persist",
+    "rest_filter_pushdown",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -25,6 +25,7 @@ from mk_kafka_connect_spark.plans.registry import (
     QUERIES,
     R8_STALE_FILL,
     R15_ADDITIONS,
+    R16_ADDITIONS,
     _r15_front,
     certification_order,
 )
@@ -80,17 +81,19 @@ def test_r15_window_matches_r15_front():
 
 def test_orphan_pool_is_exactly_r15_addition_overflow():
     # The only queries with no driver row ever are the 43 round-15
-    # additions that did not fit the r15 window; the r16 head must be
-    # exactly that pool, in R15_ADDITIONS order.
+    # additions that did not fit the r15 window, plus this round's own
+    # additions (queued for r17); the r16 head must be exactly the r15
+    # overflow, in R15_ADDITIONS order.
     latest = _latest_green_round()
     orphans = [n for n in QUERIES if n not in latest]
     expected_head = [n for n in R15_ADDITIONS if n not in set(_r15_front())]
-    assert sorted(orphans) == sorted(expected_head), (
+    expected = expected_head + list(R16_ADDITIONS)
+    assert sorted(orphans) == sorted(expected), (
         f"orphan pool drifted from evidence: "
-        f"missing={sorted(set(orphans) - set(expected_head))} "
-        f"extra={sorted(set(expected_head) - set(orphans))}"
+        f"missing={sorted(set(orphans) - set(expected))} "
+        f"extra={sorted(set(expected) - set(orphans))}"
     )
-    assert len(orphans) == 43
+    assert len(expected_head) == 43
     assert list(CERTIFICATION_FRONT[: len(expected_head)]) == expected_head
 
 
