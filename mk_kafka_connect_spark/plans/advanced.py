@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.bounded import bounded_window
 from ..functions.exact import SQL_DSUM, dec2, dsum, one_minus
+from .materialize import materialize_result
 from .registry import query
 
 
@@ -2291,6 +2292,6 @@ def agg_hll_sketch_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.049 * F.col("exact_users")
             ).alias("est_within_3sigma"),
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)

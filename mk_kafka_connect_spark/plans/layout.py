@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.bounded import bounded_window
+from .materialize import materialize_result
 from .registry import query
 
 _BITS = 16
@@ -377,7 +378,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum(dec2("o_totalprice")).alias("revenue"),
             )
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -456,7 +457,7 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum(dec2("l_extendedprice")).alias("revenue"),
             )
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -534,7 +535,7 @@ def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum(dec2("l_extendedprice")).alias("revenue"),
             )
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -614,7 +615,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum(dec2("l_quantity")).alias("total_qty"),
             )
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -684,9 +685,7 @@ def scan_binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        return spark.createDataFrame(
-            manifest.collect(), schema=manifest.schema
-        )
+        return materialize_result(spark, manifest)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -754,7 +753,7 @@ def scan_partition_pruning_static(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n"),
             dsum(dec2("o_totalprice")).alias("total"),
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -828,6 +827,6 @@ def layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
             "key_checksum",
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)

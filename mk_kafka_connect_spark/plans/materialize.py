@@ -1,0 +1,43 @@
+"""Driver-side result materialization with an explicit size contract.
+
+Several registry queries compute their result inside a ``finally``-cleaned
+scope (a temp-dir warehouse, a streaming memory sink, a conf override) and
+must return a DataFrame that outlives that scope. The idiom is a
+driver-side copy — ``createDataFrame(df.collect(), df.schema)`` — which is
+only sound while the result is state- or group-sized. This helper is the
+ONE allowed spelling of that idiom (``tests/test_plan_smells.py`` fails on
+any direct use in a plan module): it fails loudly past a row ceiling so
+the harness pattern can never silently ship into a data-sized path and
+OOM the driver at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["MATERIALIZE_ROW_CEILING", "materialize_result"]
+
+# Generous for every current use (the largest materialized result is
+# ~4k rows at sf0.1) yet far below driver-memory danger; a query whose
+# final state legitimately outgrows this should persist to parquet and
+# re-read instead of materializing.
+MATERIALIZE_ROW_CEILING = 100_000
+
+
+def materialize_result(
+    spark: SparkSession,
+    df: DataFrame,
+    *,
+    ceiling: int = MATERIALIZE_ROW_CEILING,
+) -> DataFrame:
+    """Copy a SMALL result through the driver so it survives the teardown
+    of whatever it was computed from. Raises if the result is not small —
+    the contract that keeps this harness idiom out of data-sized paths."""
+    rows = df.collect()
+    if len(rows) > ceiling:
+        raise ValueError(
+            f"materialize_result: {len(rows)} rows exceeds the "
+            f"{ceiling}-row driver-side ceiling — this result is "
+            "data-sized; persist it to parquet and re-read instead"
+        )
+    return spark.createDataFrame(rows, schema=df.schema)

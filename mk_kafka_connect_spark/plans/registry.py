@@ -603,6 +603,21 @@ R16_ADDITIONS: tuple[str, ...] = (
     "rest_filter_pushdown",
 )
 
+# Queries whose code changed in round 16 AFTER their newest driver row
+# (the materialize_result refactor swapped their result-materialization
+# wrapper — mechanically identical, but the discipline is evidence-based,
+# not intent-based): stale-by-code, so they head the r17 queue.
+R16_REWRITTEN_RECERTS: tuple[str, ...] = (
+    "scan_schema_evolution",
+    "join_dpp_partitioned",
+    "scan_csv_json_roundtrip",
+    "streaming_cdc_scd1",
+    "streaming_cdc_scd2",
+    "streaming_ivm_orders",
+    "streaming_topk_per_window",
+    "streaming_topic_fanout",
+)
+
 
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
@@ -613,11 +628,16 @@ def certification_order() -> list[str]:
     else follows in registration order.
     """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
-    next_up = [
-        n
-        for n in (*R15_ADDITIONS, *R8_STALE_FILL, *R16_ADDITIONS)
-        if n in QUERIES and n not in front
-    ]
+    next_up: list[str] = []
+    for n in (
+        *R16_REWRITTEN_RECERTS,
+        *R15_ADDITIONS,
+        *R8_STALE_FILL,
+        *R16_ADDITIONS,
+    ):
+        # dedup: a stale-by-code re-cert may also sit in an older pool
+        if n in QUERIES and n not in front and n not in next_up:
+            next_up.append(n)
     pinned = set(front) | set(next_up)
     return front + next_up + [n for n in QUERIES if n not in pinned]
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.exact import SQL_DAVG, SQL_DSUM, davg, dec2, dsum, one_minus, one_plus
+from .materialize import materialize_result
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -2104,7 +2105,7 @@ def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum(dec2("l_extendedprice")).alias("revenue"),
             )
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return materialize_result(spark, out)
     finally:
         for k, v in old.items():
             if v is None:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.exact import dec2
 from ..streaming import windows as SW
+from .materialize import materialize_result
 from .registry import query
 
 
@@ -441,7 +442,7 @@ def streaming_cdc_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_foreach_batch(stream, apply, f"{root}/ckpt")
         final = read_final(spark).select("user_id", "event_id", "value")
-        return spark.createDataFrame(final.collect(), schema=final.schema)
+        return materialize_result(spark, final)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -500,7 +501,7 @@ def streaming_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         final = read_final(spark).select(
             "user_id", "event_id", "value", "valid_from", "valid_to", "is_current"
         )
-        return spark.createDataFrame(final.collect(), schema=final.schema)
+        return materialize_result(spark, final)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -556,7 +557,7 @@ def streaming_ivm_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rows").alias("n_orders"),
             F.round(F.col("tot"), 2).cast("double").alias("total_spent"),
         )
-        return spark.createDataFrame(final.collect(), schema=final.schema)
+        return materialize_result(spark, final)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -701,7 +702,7 @@ def _run_topic_fanout(
                 F.col("id_checksum").cast("long").alias("id_checksum"),
             )
         )
-        return spark.createDataFrame(final.collect(), schema=final.schema)
+        return materialize_result(spark, final)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -868,7 +869,7 @@ def _run_incremental_cron_replay(
                 F.countDistinct("wstart").cast("long").alias("n_windows"),
             )
         )
-        return spark.createDataFrame(final.collect(), schema=final.schema)
+        return materialize_result(spark, final)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

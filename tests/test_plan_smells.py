@@ -299,3 +299,24 @@ def test_exchange_reuse_backs_scan_allowlist(spark, name):
         f"{name}: no ReusedExchange in the executed plan — the SCAN_ALLOWED "
         f"'exchange-reused' justification no longer holds; re-audit the plan."
     )
+
+
+def test_no_direct_collect_into_createdataframe():
+    """The driver-side result-materialization idiom
+    (createDataFrame(df.collect(), ...)) silently assumes a driver-sized
+    result; plans/materialize.py::materialize_result is its ONE allowed
+    spelling (explicit row ceiling, fails loudly on data-sized results).
+    Any direct use in an engine module is a scale smell."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "mk_kafka_connect_spark"
+    pat = re.compile(r"createDataFrame\(\s*[\w.]+\.collect\(\)", re.S)
+    offenders = [
+        str(p.relative_to(pkg.parent))
+        for p in sorted(pkg.rglob("*.py"))
+        if p.name != "materialize.py" and pat.search(p.read_text())
+    ]
+    assert not offenders, (
+        f"direct collect-into-createDataFrame in {offenders}; "
+        "use plans.materialize.materialize_result"
+    )

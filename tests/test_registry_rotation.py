@@ -26,6 +26,7 @@ from mk_kafka_connect_spark.plans.registry import (
     R8_STALE_FILL,
     R15_ADDITIONS,
     R16_ADDITIONS,
+    R16_REWRITTEN_RECERTS,
     _r15_front,
     certification_order,
 )
@@ -148,15 +149,33 @@ def test_front_differs_from_r15_window():
 
 
 def test_fill_overflow_queues_directly_behind_window():
+    # r17 priority: stale-by-code re-certs first (code changed after
+    # their newest driver row), then the r8-pool leftovers, then this
+    # round's never-certified additions.
     order = certification_order()
     front = set(CERTIFICATION_FRONT)
-    overflow = [
-        n
-        for n in (*R15_ADDITIONS, *R8_STALE_FILL)
-        if n in QUERIES and n not in front
-    ]
+    overflow: list[str] = []
+    for n in (
+        *R16_REWRITTEN_RECERTS,
+        *R15_ADDITIONS,
+        *R8_STALE_FILL,
+        *R16_ADDITIONS,
+    ):
+        if n in QUERIES and n not in front and n not in overflow:
+            overflow.append(n)
     behind = order[DRIVER_WINDOW : DRIVER_WINDOW + len(overflow)]
     assert behind == overflow, "fill overflow must head the r17 queue"
+    assert list(R16_REWRITTEN_RECERTS) == overflow[: len(R16_REWRITTEN_RECERTS)]
+
+
+def test_r16_rewritten_recerts_are_outside_window_with_older_rows():
+    # Membership criterion: a driver row exists, but the round-16
+    # materialize_result refactor touched the query after it.
+    latest = _latest_green_round()
+    for n in R16_REWRITTEN_RECERTS:
+        assert n in QUERIES
+        assert n not in set(CERTIFICATION_FRONT)
+        assert latest.get(n), f"{n} has no driver row — belongs in additions"
 
 
 def test_window_queries_all_have_oracles():
