@@ -259,6 +259,7 @@ HEADLINE = [
     # r16: opens the Catalyst-pushdown-through-Python-DataSource family
     # (the only r16 full-tier addition per the BASELINE.md tier policy).
     "rest_filter_pushdown",
+    "rest_stream_sink_e2e",
 ]
 
 

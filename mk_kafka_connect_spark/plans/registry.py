@@ -601,6 +601,7 @@ CERTIFICATION_FRONT: tuple[str, ...] = _r16_front()
 # the r8-pool leftovers for the r17 window via certification_order().
 R16_ADDITIONS: tuple[str, ...] = (
     "rest_filter_pushdown",
+    "rest_stream_sink_e2e",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row

@@ -266,6 +266,94 @@ def rest_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rest_stream_sink_e2e",
+    # Same envelope expectations as the batch round trip: the streaming
+    # write must deliver exactly the 200 source rows (no drops from an
+    # epoch boundary, no duplicates from micro-batch replay) for the
+    # read-back hash to match.
+    oracle="""
+    SELECT
+      '{"event_id": "' || CAST(event_id AS VARCHAR) || '"}' AS key,
+      '{"event_id": "' || CAST(event_id AS VARCHAR)
+        || '", "event_type": "' || event_type
+        || '", "user_id": "' || CAST(user_id AS VARCHAR) || '"}' AS payload,
+      'INITIAL_LOAD' AS _load_mode
+    FROM events WHERE event_id < 200
+    """,
+    tags=("rest", "sink", "streaming", "A10", "A12", "B13"),
+)
+def rest_stream_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sink→source round trip through real HTTP: 200 fixture
+    events staged as a 4-file parquet stream (maxFilesPerTrigger=2 → 2
+    micro-batches) are written through the ``rest_sink`` DataSource's
+    DataSourceStreamWriter — per-task batched/throttled/retried POSTs
+    plus a driver-side per-epoch commit marker to ``{entity}__commits``,
+    the streaming analogue of the reference's offset flush
+    (``Task.java:267-291``) — then read back through ``paginated_rest``
+    with the usual keying. The runtime guard checks the marker log:
+    every epoch's marker present, marked record counts summing to the
+    source row count, so a silently dropped or double-committed epoch
+    fails even before the row hash does. Scale: the data path is
+    executor-side and epoch-incremental (state is one marker per epoch);
+    a fresh entity namespace per call keeps reruns independent."""
+    import shutil
+    import tempfile
+
+    srv = _events_server(spark, sf_dir)
+    register(spark)
+    register_sink(spark)
+    entity = f"st_{uuid.uuid4().hex[:10]}"
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select(
+            F.col("event_id").cast("string").alias("event_id"),
+            "event_type",
+            F.col("user_id").cast("string").alias("user_id"),
+        )
+    )
+    n_src = rows.count()
+    root = tempfile.mkdtemp(prefix="rest_stream_sink_")
+    try:
+        src = f"{root}/src"
+        rows.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id string, event_type string, user_id string"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("rest_sink")
+            .option("url", srv.url)
+            .option("entity", entity)
+            .option("batch.size", "50")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("rest_stream_sink_e2e: streaming write stalled")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    markers = list(srv.posted.get(f"{entity}__commits", []))
+    assert markers, "no epoch commit markers were posted"
+    assert sum(m["n_records"] for m in markers) == n_src, markers
+    assert len({m["batch_id"] for m in markers}) == len(markers), markers
+    df = (
+        spark.read.format("paginated_rest")
+        .option("url", srv.url)
+        .option("entities", entity)
+        .option("batch.size", "100")
+        .option("entity.id.fields", f"{entity}:event_id")
+        .load()
+    )
+    return df.select("key", "payload", "_load_mode")
+
+
+@query(
     "kafka_file_roundtrip",
     # Spark's to_json emits no spaces; the key/value byte contracts are
     # stated literally. _ingestion_timestamp (wall clock) is serialized

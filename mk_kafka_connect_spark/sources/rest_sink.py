@@ -27,7 +27,12 @@ import urllib.request
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 from .rest_client import BACKOFF_CAP_S, RATE_LIMIT_WAIT_S, RateLimitError
@@ -59,9 +64,9 @@ class _RestSinkWriter(DataSourceWriter):
 
     # -- one POST with the shared retry contract --------------------------
 
-    def _post_once(self, body: bytes) -> None:
+    def _post_once(self, body: bytes, entity: str | None = None) -> None:
         req = urllib.request.Request(
-            f"{self.url}/{self.entity}",
+            f"{self.url}/{entity or self.entity}",
             data=body,
             headers={"Content-Type": "application/json"},
             method="POST",
@@ -74,14 +79,16 @@ class _RestSinkWriter(DataSourceWriter):
                 raise RateLimitError(self.url) from e
             raise
 
-    def _post_with_retry(self, body: bytes, rng_seed: int) -> None:
+    def _post_with_retry(
+        self, body: bytes, rng_seed: int, entity: str | None = None
+    ) -> None:
         import random
 
         rng = random.Random(rng_seed)  # deterministic jitter per batch
         last: Exception | None = None
         for attempt in range(self.max_retries + 1):
             try:
-                self._post_once(body)
+                self._post_once(body, entity)
                 return
             except RateLimitError as e:
                 last = e
@@ -132,9 +139,38 @@ class _RestSinkWriter(DataSourceWriter):
         pass  # at-least-once: partial POSTs may have landed; consumer upserts
 
 
+class _RestStreamSinkWriter(_RestSinkWriter, DataSourceStreamWriter):
+    """Micro-batch streaming flavor of the sink: ``write`` (per-task
+    batched, throttled, retried POSTs) is inherited verbatim; ``commit``
+    runs on the driver once every task of an epoch succeeded and POSTs a
+    commit marker ``{batch_id, n_records, n_requests}`` to
+    ``{url}/{entity}__commits`` — the streaming analogue of Kafka
+    Connect's offset flush (``Task.java:267-291``): consumers that want
+    effectively-once read the data entity joined against the marker log
+    and drop rows from unmarked (aborted / replayed-then-superseded)
+    epochs, the same at-least-once + idempotent-apply contract as the
+    batch sink. ``abort`` posts nothing: an epoch with no marker is
+    invisible to marker-joining consumers no matter how many of its
+    partition POSTs landed."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        marker = {
+            "batch_id": batchId,
+            "n_records": sum(m.n_records for m in messages if m),
+            "n_requests": sum(m.n_requests for m in messages if m),
+        }
+        body = json.dumps({"records": [marker]}).encode()
+        self._post_with_retry(body, rng_seed=batchId, entity=f"{self.entity}__commits")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        pass  # no marker — the epoch never becomes visible to consumers
+
+
 class RestSinkDataSource(DataSource):
     """``df.write.format("rest_sink").option("url", ...).option("entity",
-    ...).save()`` — batched, throttled, retrying POSTs."""
+    ...).save()`` — batched, throttled, retrying POSTs. Also usable as a
+    STREAMING sink (``df.writeStream.format("rest_sink")``): same write
+    path per micro-batch plus a per-epoch commit marker."""
 
     @classmethod
     def name(cls) -> str:
@@ -143,9 +179,25 @@ class RestSinkDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _RestSinkWriter(dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return _RestStreamSinkWriter(dict(self.options))
+
 
 def register_sink(spark) -> None:
+    import sys
+
+    from pyspark import cloudpickle
+
+    from . import rest_client as _rest_client
     from ..session import ship_package
 
-    ship_package(spark)  # workers unpickle the writer by reference
-    spark.dataSource.register(RestSinkDataSource)
+    registered = getattr(spark, "_mkkc_rest_sink_registered", False)
+    ship_package(spark)  # batch-task workers unpickle the writer by reference
+    # The STREAMING commit path runs in a helper process that ignores
+    # addPyFile (same failure mode as the stream reader, see
+    # rest_source.register): serialize these modules by value.
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_rest_client)
+    if not registered:
+        spark.dataSource.register(RestSinkDataSource)
+        spark._mkkc_rest_sink_registered = True

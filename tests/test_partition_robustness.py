@@ -114,6 +114,7 @@ SENSITIVE = [
     "multimodal_magic_bytes",
     "agg_hll_sketch_persist",
     "rest_filter_pushdown",
+    "rest_stream_sink_e2e",
 ]
 
 SF = "/root/testdata/sf0.01"

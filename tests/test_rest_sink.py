@@ -84,3 +84,71 @@ def test_rest_sink_batch_size_validation():
         _RestSinkWriter({"url": "http://x", "batch.size": "501"})
     with pytest.raises(ValueError):
         _RestSinkWriter({})
+
+
+# --- streaming flavor (DataSourceStreamWriter) -------------------------------
+
+
+def test_stream_sink_commit_posts_epoch_marker():
+    from mk_kafka_connect_spark.sources.rest_sink import (
+        _RestStreamSinkWriter,
+        _SinkCommit,
+    )
+
+    with FakeRestServer({}) as srv:
+        w = _RestStreamSinkWriter({"url": srv.url, "entity": "ev"})
+        w.commit([_SinkCommit(3, 1), None, _SinkCommit(7, 2)], batchId=5)
+        markers = srv.posted["ev__commits"]
+    assert markers == [{"batch_id": 5, "n_records": 10, "n_requests": 3}]
+
+
+def test_stream_sink_abort_posts_nothing():
+    from mk_kafka_connect_spark.sources.rest_sink import (
+        _RestStreamSinkWriter,
+        _SinkCommit,
+    )
+
+    with FakeRestServer({}) as srv:
+        w = _RestStreamSinkWriter({"url": srv.url, "entity": "ev"})
+        w.abort([_SinkCommit(3, 1)], batchId=9)
+        posted = dict(srv.posted)
+        reqs = list(srv.requests)
+    assert posted == {} and reqs == []
+
+
+def test_stream_sink_end_to_end_microbatches(spark):
+    """availableNow drain over a 3-file source: every row POSTed exactly
+    once across epochs, one marker per non-empty epoch, batch ids unique."""
+    import shutil
+    import tempfile
+
+    register_sink(spark)
+    root = tempfile.mkdtemp(prefix="stream_sink_test_")
+    try:
+        spark.createDataFrame(
+            [Row(id=str(i), name=f"r{i}") for i in range(30)]
+        ).repartition(3).write.mode("overwrite").parquet(f"{root}/src")
+        stream = (
+            spark.readStream.schema("id string, name string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/src")
+        )
+        with FakeRestServer({}) as srv:
+            q = (
+                stream.writeStream.format("rest_sink")
+                .option("url", srv.url)
+                .option("entity", "cust")
+                .option("batch.size", "7")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            rows = list(srv.posted.get("cust", []))
+            markers = list(srv.posted.get("cust__commits", []))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert sorted(r["id"] for r in rows) == sorted(str(i) for i in range(30))
+    assert sum(m["n_records"] for m in markers) == 30
+    ids = [m["batch_id"] for m in markers]
+    assert len(set(ids)) == len(ids) and len(markers) >= 2
