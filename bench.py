@@ -260,6 +260,8 @@ HEADLINE = [
     # (the only r16 full-tier addition per the BASELINE.md tier policy).
     "rest_filter_pushdown",
     "rest_stream_sink_e2e",
+    "scan_xml_roundtrip",
+    "streaming_state_introspection",
 ]
 
 

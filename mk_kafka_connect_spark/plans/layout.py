@@ -830,3 +830,90 @@ def layout_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return materialize_result(spark, out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# scan_xml_roundtrip — the XML file source (native in Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, r_name,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total_acctbal
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+    tags=("layout", "B1", "xml", "formats"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scans certified end-to-end at VALUE level — Spark 4 ships the
+    (formerly spark-xml) reader/writer natively, completing B1's format
+    surface (Parquet + CSV + JSON + ORC + XML + binaryFile): the
+    customer dimension denormalized against nation/region re-lands as
+    one ``<customer>`` element per row with a NESTED ``<nation>``
+    element (struct → child-element mapping, the shape real XML feeds
+    arrive in), is read back with a DECLARED schema including the
+    nested struct, and rolled up by segment × region. Oracle equality
+    over the original parquet proves the text round trip is lossless
+    for longs, doubles, strings, and nesting.
+
+    Scale: XML is an interchange format, not an analytics layout — rows
+    must be token-scanned (no column pruning, no predicate pushdown,
+    splittability only at rowTag boundaries), so the engine's posture is
+    ingest-once-to-parquet; this query certifies the ingest leg. The
+    denormalizing join broadcasts the 5/25-row region/nation dims."""
+    import shutil
+    import tempfile
+
+    from ..functions.exact import dec2, dsum
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load_table(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.struct(
+                F.col("n_name").alias("n_name"),
+                F.col("r_name").alias("r_name"),
+            ).alias("nation"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="xmlfmt_")
+    try:
+        (
+            cust.write.mode("overwrite")
+            .option("rootTag", "customers")
+            .option("rowTag", "customer")
+            .format("xml")
+            .save(f"{root}/cust_xml")
+        )
+        back = (
+            spark.read.schema(
+                "c_custkey long, c_mktsegment string, c_acctbal double,"
+                " nation struct<n_name: string, r_name: string>"
+            )
+            .option("rowTag", "customer")
+            .format("xml")
+            .load(f"{root}/cust_xml")
+        )
+        out = (
+            back.groupBy("c_mktsegment", F.col("nation.r_name").alias("r_name"))
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                dsum(dec2("c_acctbal")).alias("total_acctbal"),
+            )
+        )
+        return materialize_result(spark, out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

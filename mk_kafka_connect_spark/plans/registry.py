@@ -36,6 +36,8 @@ __all__ = [
     "R15_REWRITTEN_RECERTS",
     "R8_STALE_FILL",
     "R15_ADDITIONS",
+    "R16_ADDITIONS",
+    "R16_REWRITTEN_RECERTS",
     "certification_order",
 ]
 
@@ -602,6 +604,8 @@ CERTIFICATION_FRONT: tuple[str, ...] = _r16_front()
 R16_ADDITIONS: tuple[str, ...] = (
     "rest_filter_pushdown",
     "rest_stream_sink_e2e",
+    "scan_xml_roundtrip",
+    "streaming_state_introspection",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row

@@ -980,3 +980,70 @@ def streaming_hll_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame
             <= 0.049 * F.col("exact_users")
         ).alias("est_within_3sigma"),
     )
+
+
+@query(
+    "streaming_state_introspection",
+    # After a full AvailableNow drain of dropDuplicates(["user_id"]),
+    # the dedupe operator's state store holds exactly one key per
+    # distinct user — the state data source makes that auditable.
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_id < 2000
+    """,
+    tags=("streaming", "B13", "observability", "statestore"),
+)
+def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INTROSPECTION (Spark 4 state data source): run a
+    streaming dedup over a bounded events slice, then read the
+    checkpoint's state back through ``format("statestore")`` and prove
+    it holds exactly the distinct dedup keys — the audit path an
+    operator on a 1000-executor cluster uses to answer "what is this
+    stateful query actually holding?" without touching the query. The
+    runtime guard cross-checks ``format("state-metadata")``: one
+    ``dedupe`` operator, state spread over the session's shuffle
+    partitions.
+
+    Scale: the state read is a parallel scan over the store's partition
+    files (one task per state partition) — no driver materialization of
+    state; the drained result itself is never collected, only the
+    key column is returned. Watermark-less dedup state grows with
+    distinct keys, which is the point of auditing it."""
+    import shutil
+    import tempfile
+
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("user_id")
+    )
+    root = tempfile.mkdtemp(prefix="state_introspect_")
+    try:
+        src = f"{root}/src"
+        ckpt = f"{root}/ckpt"
+        keys.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .dropDuplicates(["user_id"])
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_state_introspection: drain stalled")
+        meta = spark.read.format("state-metadata").load(ckpt)
+        ops = [r["operatorName"] for r in meta.select("operatorName").collect()]
+        assert ops == ["dedupe"], ops
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(F.col("key.user_id").alias("user_id"))
+        )
+        return materialize_result(spark, state)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

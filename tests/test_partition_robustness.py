@@ -115,6 +115,8 @@ SENSITIVE = [
     "agg_hll_sketch_persist",
     "rest_filter_pushdown",
     "rest_stream_sink_e2e",
+    "scan_xml_roundtrip",
+    "streaming_state_introspection",
 ]
 
 SF = "/root/testdata/sf0.01"
