@@ -262,6 +262,8 @@ HEADLINE = [
     "rest_stream_sink_e2e",
     "scan_xml_roundtrip",
     "streaming_state_introspection",
+    "sql_session_variables",
+    "udf_udtf_dynamic_schema",
 ]
 
 

@@ -606,6 +606,8 @@ R16_ADDITIONS: tuple[str, ...] = (
     "rest_stream_sink_e2e",
     "scan_xml_roundtrip",
     "streaming_state_introspection",
+    "sql_session_variables",
+    "udf_udtf_dynamic_schema",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row

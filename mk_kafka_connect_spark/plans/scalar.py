@@ -1205,3 +1205,59 @@ def sql_filter_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(max(run_cents) AS BIGINT) AS final_run_cents
       FROM sliced GROUP BY 1
     """)
+
+
+@query(
+    "sql_session_variables",
+    # The oracle inlines each SET VAR's defining scalar subquery; both
+    # bounds are exact cross-engine (IEEE halving of an exact max;
+    # timestamp minus a whole-day interval).
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS total
+    FROM orders
+    WHERE o_totalprice < (SELECT max(o_totalprice) / 2 FROM orders)
+      AND o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 400 DAY
+                          FROM orders)
+    GROUP BY 1
+    """,
+    tags=("scalar", "B12", "sql-surface", "session-variables"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 ``DECLARE VARIABLE`` /
+    ``SET VAR``): two variables are DECLARED, then SET from scalar
+    subqueries over the data itself (a data-derived price cap and a
+    trailing-400-day cutoff), then referenced by NAME in a filtered
+    rollup — the stateful-session idiom scripting pipelines use to
+    thread one computed bound through many statements without
+    re-deriving or string-splicing it. The oracle inlines the defining
+    subqueries; equality proves SET VAR captured the VALUE once (typed,
+    evaluated at set time), not a re-evaluated expression.
+
+    Scale shape: each SET VAR is one scalar aggregate job; the final
+    query is an ordinary pushed-filter group-sized rollup — variables
+    live on the driver session and cost nothing at execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sv_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_cap DOUBLE")
+    spark.sql("DECLARE OR REPLACE VARIABLE sv_cutoff TIMESTAMP")
+    spark.sql("SET VAR sv_cap = (SELECT max(o_totalprice) / 2 FROM sv_orders)")
+    spark.sql(
+        "SET VAR sv_cutoff = (SELECT max(o_orderdate) - INTERVAL 400 DAY"
+        " FROM sv_orders)"
+    )
+    out = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18, 2))) AS dtotal
+        FROM sv_orders
+        WHERE o_totalprice < sv_cap AND o_orderdate >= sv_cutoff
+        GROUP BY 1
+        """
+    )
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.col("dtotal").cast("double").alias("total"),
+    )

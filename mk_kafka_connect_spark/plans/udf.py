@@ -557,3 +557,82 @@ def udf_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         TABLE(_ptf_events) PARTITION BY event_type ORDER BY (ts, event_id)
       )
     """)
+
+
+@query(
+    "udf_udtf_dynamic_schema",
+    # The oracle replays the chunk-boundary arithmetic ((i*L)//n via
+    # integer division) per chunk index; codepoint-based substring and
+    # ascii() agree across engines.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents WHERE doc_id < 2000 AND length(text) >= 3),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+        substring(text, (i * L) // 3 + 1,
+                  ((i + 1) * L) // 3 - (i * L) // 3) AS chunk
+      FROM d, (SELECT unnest([0, 1, 2]) AS i))
+    SELECT chunk_idx,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(length(chunk)) AS BIGINT) AS total_chars,
+      CAST(sum(ascii(chunk)) AS BIGINT) AS first_cp_sum
+    FROM c GROUP BY 1
+    """,
+    tags=("udf", "B14", "udtf", "dynamic-schema"),
+)
+def udf_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with an ``analyze()``-derived OUTPUT SCHEMA (Spark 4's
+    polymorphic-output surface — the schema is computed at plan time
+    from the call's constant argument, not declared in a returnType):
+    ``split_fixed(text, n)`` yields one row of n chunk columns, so
+    ``split_fixed(text, 3)`` plans as (chunk_0, chunk_1, chunk_2) while
+    the SAME class called with another n would plan a different relation
+    — the mechanism behind schema-bearing generators like dynamic pivot
+    or per-config feature expansion. Applied as a LATERAL correlated
+    call over the documents table, then unpivoted and aggregated per
+    chunk position. The oracle replays the integer chunk arithmetic —
+    equality proves analyze-time schema, eval-time values, and the
+    lateral correlation all line up.
+
+    Scale shape: one Python-worker pass over the rows (Arrow-batched),
+    no shuffle until the final 3-group rollup; n is plan-constant so the
+    schema never varies at runtime."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text, n):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"chunk_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            L = len(text)
+            bounds = [i * L // n for i in range(n + 1)]
+            yield tuple(text[bounds[i]: bounds[i + 1]] for i in range(n))
+
+    spark.udtf.register("split_fixed", SplitFixed)
+    load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 2000) & (F.length("text") >= 3)
+    ).select("doc_id", "text").createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        """
+        WITH chunks AS (
+          SELECT s.chunk_0, s.chunk_1, s.chunk_2
+          FROM _chunk_docs d, LATERAL split_fixed(d.text, 3) s),
+        unpiv AS (
+          SELECT stack(3, 0, chunk_0, 1, chunk_1, 2, chunk_2)
+                 AS (chunk_idx, chunk)
+          FROM chunks)
+        SELECT chunk_idx, count(*) AS n_docs,
+               sum(length(chunk)) AS total_chars,
+               sum(ascii(chunk)) AS first_cp_sum
+        FROM unpiv GROUP BY 1
+        """
+    )

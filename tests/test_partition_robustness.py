@@ -117,6 +117,8 @@ SENSITIVE = [
     "rest_stream_sink_e2e",
     "scan_xml_roundtrip",
     "streaming_state_introspection",
+    "sql_session_variables",
+    "udf_udtf_dynamic_schema",
 ]
 
 SF = "/root/testdata/sf0.01"
