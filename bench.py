@@ -264,6 +264,7 @@ HEADLINE = [
     "streaming_state_introspection",
     "sql_session_variables",
     "udf_udtf_dynamic_schema",
+    "multimodal_image_dims",
 ]
 
 

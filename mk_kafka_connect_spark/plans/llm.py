@@ -3541,3 +3541,104 @@ def multimodal_magic_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_image_dims — header-field extraction from the binary column
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_dims",
+    # The oracle recomputes the staged dimensions from the doc_id
+    # formula alone — it never touches bytes — so equality certifies the
+    # Spark side PARSED the container headers correctly rather than
+    # remembering the formula.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS container,
+        16 + (doc_id * 7) % 1009 AS w,
+        16 + (doc_id * 13) % 997 AS h
+      FROM documents)
+    SELECT container,
+      CAST(count(*) AS BIGINT) AS n_images,
+      CAST(sum(w) AS BIGINT) AS sum_width,
+      CAST(sum(h) AS BIGINT) AS sum_height,
+      CAST(sum(w * h) AS BIGINT) AS total_pixels,
+      CAST(max(w) AS BIGINT) AS max_width
+    FROM dims GROUP BY 1
+    """,
+    tags=("multimodal", "B15", "binary", "header-parse"),
+)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image DIMENSIONS from container headers, parsed JVM-side — the
+    second branch of multimodal ingest after magic-byte routing
+    (multimodal_magic_bytes): width/height live at fixed offsets in the
+    container header (PNG IHDR: big-endian u32 at bytes 17-24; GIF
+    logical screen descriptor: little-endian u16 at bytes 7-10), so
+    resolution filtering — the cheapest multimodal quality gate, "drop
+    icons and banners before paying for decode" — needs byte-slicing
+    arithmetic, not a codec. Blobs are staged with REAL headers (PNG
+    signature + IHDR length/tag + BE dims; GIF89a + LE dims) whose
+    dimensions derive from a doc_id formula, then parsed back with pure
+    ``substring``/``hex``/``conv`` column expressions — endianness and
+    offsets done in codegen'd JVM expressions, zero Python.
+
+    Scale shape: one scan, per-row fixed-offset slices (no regex, no
+    decode), a 2-group rollup. At 100 TB the header slice reads only the
+    leading bytes of each blob's first parquet page when the binary
+    column is stored with page-level stats; bodies never shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + (F.col("doc_id") * 7) % 1009).alias("w"),
+        (F.lit(16) + (F.col("doc_id") * 13) % 997).alias("h"),
+        F.encode("text", "UTF-8").alias("body"),
+    )
+
+    def be(col, nbytes):  # big-endian fixed width
+        return F.unhex(F.lpad(F.hex(col), 2 * nbytes, "0"))
+
+    def le16(col):  # little-endian u16: low byte first
+        return F.concat(be(col % 256, 1), be(F.floor(col / 256).cast("long"), 1))
+
+    png_hdr = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # signature
+        F.unhex(F.lit("0000000D")),          # IHDR chunk length (13)
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        be(F.col("w"), 4),
+        be(F.col("h"), 4),
+    )
+    gif_hdr = F.concat(
+        F.encode(F.lit("GIF89a"), "UTF-8"),
+        le16(F.col("w")),
+        le16(F.col("h")),
+    )
+    blobs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.concat(png_hdr, F.col("body")))
+        .otherwise(F.concat(gif_hdr, F.col("body")))
+        .alias("blob"),
+    )
+    is_png = F.expr("substring(blob, 1, 8)") == F.unhex(F.lit("89504E470D0A1A0A"))
+
+    def be_u32(pos):
+        return F.conv(F.hex(F.expr(f"substring(blob, {pos}, 4)")), 16, 10).cast("long")
+
+    def le_u16(pos):
+        lo = F.conv(F.hex(F.expr(f"substring(blob, {pos}, 1)")), 16, 10).cast("long")
+        hi = F.conv(F.hex(F.expr(f"substring(blob, {pos + 1}, 1)")), 16, 10).cast("long")
+        return hi * 256 + lo
+
+    parsed = blobs.select(
+        F.when(is_png, F.lit("png")).otherwise(F.lit("gif")).alias("container"),
+        F.when(is_png, be_u32(17)).otherwise(le_u16(7)).alias("w"),
+        F.when(is_png, be_u32(21)).otherwise(le_u16(9)).alias("h"),
+    )
+    return parsed.groupBy("container").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        F.sum("w").cast("long").alias("sum_width"),
+        F.sum("h").cast("long").alias("sum_height"),
+        F.sum(F.col("w") * F.col("h")).cast("long").alias("total_pixels"),
+        F.max("w").cast("long").alias("max_width"),
+    )

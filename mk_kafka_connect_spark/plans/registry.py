@@ -608,6 +608,7 @@ R16_ADDITIONS: tuple[str, ...] = (
     "streaming_state_introspection",
     "sql_session_variables",
     "udf_udtf_dynamic_schema",
+    "multimodal_image_dims",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row

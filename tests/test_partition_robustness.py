@@ -119,6 +119,7 @@ SENSITIVE = [
     "streaming_state_introspection",
     "sql_session_variables",
     "udf_udtf_dynamic_schema",
+    "multimodal_image_dims",
 ]
 
 SF = "/root/testdata/sf0.01"
