@@ -265,6 +265,7 @@ HEADLINE = [
     "sql_session_variables",
     "udf_udtf_dynamic_schema",
     "multimodal_image_dims",
+    "sql_lateral_column_alias",
 ]
 
 

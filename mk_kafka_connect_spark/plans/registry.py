@@ -609,6 +609,7 @@ R16_ADDITIONS: tuple[str, ...] = (
     "sql_session_variables",
     "udf_udtf_dynamic_schema",
     "multimodal_image_dims",
+    "sql_lateral_column_alias",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row

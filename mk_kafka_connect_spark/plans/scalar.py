@@ -1261,3 +1261,65 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("dtotal").cast("double").alias("total"),
     )
+
+
+@query(
+    "sql_lateral_column_alias",
+    # DuckDB also resolves same-SELECT alias references, so the oracle
+    # states the identical chain; the chain runs in exact DECIMAL
+    # on both sides, so sums are order-independent and bit-equal.
+    oracle="""
+    WITH rows_chained AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS gross,
+        gross * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+          AS disc_price,
+        disc_price * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
+          AS charge,
+        CASE WHEN charge > gross THEN 1 ELSE 0 END AS tax_exceeds
+      FROM lineitem WHERE l_quantity < 24.0)
+    SELECT l_returnflag, l_linestatus,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(disc_price), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(round(sum(charge), 2) AS DOUBLE) AS sum_charge,
+      CAST(sum(tax_exceeds) AS BIGINT) AS n_tax_exceeds_discount
+    FROM rows_chained GROUP BY 1, 2
+    """,
+    tags=("scalar", "B12", "sql-surface", "lateral-alias"),
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4+/4): a SELECT item references an
+    alias defined EARLIER IN THE SAME SELECT — ``disc_price`` builds on
+    ``gross``, ``charge`` on ``disc_price``, and a flag on ``charge`` —
+    the derived-measure chain every pricing/metrics query wants without
+    nesting three subqueries or repeating the expression (the classic
+    pre-3.4 workarounds, both of which desync the moment one formula
+    changes). The rollup then aggregates the chained measures per
+    returnflag × linestatus. Catalyst inlines the alias chain at
+    analysis — the physical plan is identical to the written-out
+    expressions, which is what oracle equality (stated with the same
+    chain on the DuckDB side) certifies.
+
+    Scale shape: pure row-local projection chain inside one codegen'd
+    stage, then a group-sized aggregate — no extra shuffle, no
+    subquery re-scan."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lca_li")
+    return spark.sql(
+        """
+        WITH rows_chained AS (
+          SELECT l_returnflag, l_linestatus,
+            CAST(l_extendedprice AS DECIMAL(18,2)) AS gross,
+            gross * (CAST(1 AS DECIMAL(3,2))
+                     - CAST(l_discount AS DECIMAL(3,2))) AS disc_price,
+            disc_price * (CAST(1 AS DECIMAL(3,2))
+                          + CAST(l_tax AS DECIMAL(3,2))) AS charge,
+            CASE WHEN charge > gross THEN 1 ELSE 0 END AS tax_exceeds
+          FROM lca_li WHERE l_quantity < 24.0)
+        SELECT l_returnflag, l_linestatus,
+          count(*) AS n,
+          CAST(round(sum(disc_price), 2) AS DOUBLE) AS sum_disc_price,
+          CAST(round(sum(charge), 2) AS DOUBLE) AS sum_charge,
+          sum(tax_exceeds) AS n_tax_exceeds_discount
+        FROM rows_chained GROUP BY 1, 2
+        """
+    )

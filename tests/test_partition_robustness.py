@@ -120,6 +120,7 @@ SENSITIVE = [
     "sql_session_variables",
     "udf_udtf_dynamic_schema",
     "multimodal_image_dims",
+    "sql_lateral_column_alias",
 ]
 
 SF = "/root/testdata/sf0.01"
