@@ -266,6 +266,11 @@ HEADLINE = [
     "udf_udtf_dynamic_schema",
     "multimodal_image_dims",
     "sql_lateral_column_alias",
+    # streaming_join_state_introspection stays OUT of the full tier: it
+    # is the joinSide flavor of the state-introspection family already
+    # represented by streaming_state_introspection, and its 4-store
+    # symmetric-hash-join drain costs ~14 s of pure machinery
+    # (BASELINE.md tier policy: same family -> per-addition bench only).
 ]
 
 

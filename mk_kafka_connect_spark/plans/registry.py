@@ -610,6 +610,7 @@ R16_ADDITIONS: tuple[str, ...] = (
     "udf_udtf_dynamic_schema",
     "multimodal_image_dims",
     "sql_lateral_column_alias",
+    "streaming_join_state_introspection",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row

@@ -1047,3 +1047,114 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
         return materialize_result(spark, state)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "streaming_join_state_introspection",
+    # No-eviction watermarks (delay far beyond the data span) make the
+    # buffered state equal each side's ENTIRE input — the oracle is each
+    # side's slice, so equality certifies the joinSide read path,
+    # key/value schema mapping, and buffer completeness. Eviction
+    # semantics themselves are certified by the stream-stream join
+    # matrix (sentinel-flushed outer modes).
+    oracle="""
+    SELECT 'left' AS side,
+      CAST(count(*) AS BIGINT) AS n_buffered,
+      CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE event_id < 3000 AND event_type = 'view'
+    UNION ALL
+    SELECT 'right' AS side,
+      CAST(count(*) AS BIGINT) AS n_buffered,
+      CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE event_id < 3000 AND event_type = 'click'
+    """,
+    tags=("streaming", "B13", "observability", "statestore", "join"),
+)
+def streaming_join_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream JOIN state introspection — the joinSide flavor of
+    the state data source (companion to streaming_state_introspection's
+    dedup store): drain a views ⋈ clicks symmetric hash join, then read
+    BOTH buffers back with ``format("statestore").option("joinSide",
+    ...)`` and prove each holds exactly its side's input (watermark
+    delay is set beyond the data span so nothing evicts — buffered ≡
+    ingested). The runtime guard pins the metadata shape: one
+    ``symmetricHashJoin`` operator backed by the four per-side
+    keyToNumValues / keyWithIndexToValue stores.
+
+    Scale: on a real cluster this is THE way to answer "which side of
+    the join is holding the 2 TB of state" — a parallel scan over state
+    partition files, never a driver collect; here the two side reads
+    aggregate to one row each before returning."""
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    root = tempfile.mkdtemp(prefix="join_state_")
+    try:
+        for side, etype in (("l", "view"), ("r", "click")):
+            ev.filter(F.col("event_type") == etype).drop("event_type").write.mode(
+                "overwrite"
+            ).parquet(f"{root}/{side}")
+        schema = "event_id long, user_id long, ts timestamp"
+        views = (
+            spark.readStream.schema(schema).parquet(f"{root}/l")
+            .withWatermark("ts", "3650 days")
+        )
+        clicks = (
+            spark.readStream.schema(schema).parquet(f"{root}/r")
+            .withWatermark("ts", "3650 days")
+            .withColumnsRenamed(
+                {"event_id": "r_event_id", "user_id": "r_user_id", "ts": "r_ts"}
+            )
+        )
+        joined = views.join(
+            clicks,
+            (F.col("user_id") == F.col("r_user_id"))
+            & F.col("r_ts").between(
+                F.col("ts") - F.expr("interval 3650 days"),
+                F.col("ts") + F.expr("interval 3650 days"),
+            ),
+        )
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_join_state_introspection: drain stalled")
+        meta = spark.read.format("state-metadata").load(f"{root}/ckpt")
+        stores = sorted(
+            (r["operatorName"], r["stateStoreName"])
+            for r in meta.select("operatorName", "stateStoreName").collect()
+        )
+        assert stores == [
+            ("symmetricHashJoin", "left-keyToNumValues"),
+            ("symmetricHashJoin", "left-keyWithIndexToValue"),
+            ("symmetricHashJoin", "right-keyToNumValues"),
+            ("symmetricHashJoin", "right-keyWithIndexToValue"),
+        ], stores
+        sides = []
+        for side, idcol in (("left", "event_id"), ("right", "r_event_id")):
+            st = (
+                spark.read.format("statestore")
+                .option("joinSide", side)
+                .load(f"{root}/ckpt")
+            )
+            sides.append(
+                st.select(
+                    F.lit(side).alias("side"),
+                    F.col(f"value.{idcol}").alias("event_id"),
+                ).groupBy("side").agg(
+                    F.count(F.lit(1)).cast("long").alias("n_buffered"),
+                    F.sum("event_id").cast("long").alias("id_checksum"),
+                )
+            )
+        return materialize_result(spark, sides[0].unionAll(sides[1]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

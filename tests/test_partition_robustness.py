@@ -121,6 +121,7 @@ SENSITIVE = [
     "udf_udtf_dynamic_schema",
     "multimodal_image_dims",
     "sql_lateral_column_alias",
+    "streaming_join_state_introspection",
 ]
 
 SF = "/root/testdata/sf0.01"
