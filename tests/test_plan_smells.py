@@ -36,6 +36,9 @@ ALLOWED = {
     "udf_python_udtf": "deliberate B14 UDTF surface",
     "udf_udtf_table_arg": "deliberate B14 PTF surface (UDTF with TABLE "
     "argument is per-row Python by definition; partitions shuffle once)",
+    "udf_udtf_dynamic_schema": "deliberate B14 UDTF surface (lateral "
+    "analyze-time-schema UDTF is per-row Python by definition; bounded "
+    "2000-doc slice, no shuffle before the 3-group rollup)",
     # 1-row scalar broadcast: a BNLJ whose build side is a single
     # aggregate row IS the scalar-subquery plan — not a scale risk.
     "q22_global_sales_opportunity": "1-row average-threshold broadcast",
