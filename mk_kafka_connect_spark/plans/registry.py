@@ -611,6 +611,7 @@ R16_ADDITIONS: tuple[str, ...] = (
     "multimodal_image_dims",
     "sql_lateral_column_alias",
     "streaming_join_state_introspection",
+    "udf_pandas_iter_scalar",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row

@@ -9,6 +9,8 @@ built-ins ≫ pandas_udf ≫ row UDF.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -635,4 +637,63 @@ def udf_udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(ascii(chunk)) AS first_cp_sum
         FROM unpiv GROUP BY 1
         """
+    )
+
+
+@query(
+    "udf_pandas_iter_scalar",
+    # The oracle replays the lookup as a CASE expression; cent
+    # quantization before the decimal sum keeps totals order-independent.
+    oracle="""
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(round(sum(CAST(round(value *
+        CASE event_type
+          WHEN 'view' THEN 0.25 WHEN 'click' THEN 0.5
+          WHEN 'signup' THEN 2.0 WHEN 'purchase' THEN 4.0
+          ELSE 1.0 END, 2) AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS weighted_total
+    FROM events WHERE event_id < 5000
+    GROUP BY 1
+    """,
+    tags=("udf", "B14", "pandas", "scalar-iter"),
+)
+def udf_pandas_iter_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF (SCALAR_ITER) — the
+    load-state-once-per-worker surface: the function body runs ONCE per
+    Python worker, builds its expensive state (here a weight table;
+    in production a tokenizer or an ONNX session) BEFORE the loop, then
+    streams Arrow batches through it — the only scalar-UDF shape whose
+    amortized initialization survives a million-batch 100 TB scan
+    (`@pandas_udf` per-batch closures re-enter the function for every
+    batch; this one pays setup once per task). The kernel mirrors the
+    oracle's CASE lookup exactly; a cent quantization before the
+    decimal sum keeps the rollup order-independent.
+
+    Scale shape: one codegen'd scan feeding Arrow batches to Python,
+    group-sized aggregate after; parallelism = input partitions."""
+    @pandas_udf(T.DoubleType())
+    def weighted(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        import numpy as np
+
+        # once-per-worker "model load"
+        weights = {"view": 0.25, "click": 0.5, "signup": 2.0, "purchase": 4.0}
+        for etype, value in batches:
+            w = etype.map(weights).fillna(1.0)
+            raw = value * w
+            # half-away-from-zero, matching SQL round()
+            yield np.floor(raw * 100 + 0.5) / 100
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+    from ..functions.exact import dec2, dsum
+
+    return (
+        ev.select("event_type", weighted("event_type", "value").alias("wv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            dsum(dec2("wv")).alias("weighted_total"),
+        )
     )

@@ -122,6 +122,7 @@ SENSITIVE = [
     "multimodal_image_dims",
     "sql_lateral_column_alias",
     "streaming_join_state_introspection",
+    "udf_pandas_iter_scalar",
 ]
 
 SF = "/root/testdata/sf0.01"
