@@ -1,7 +1,9 @@
-"""UDF surface (SURVEY.md §2.B B14): the seven Python extension mechanisms —
-row UDF, vectorized pandas_udf, grouped applyInPandas, a pandas
-grouped-aggregate UDF, a Python UDTF, a raw-Arrow mapInArrow batch
-iterator, and a grouped applyInArrow — each oracle-checked. The
+"""UDF surface (SURVEY.md §2.B B14): the Python extension mechanisms —
+row UDF, vectorized pandas_udf, iterator-of-series pandas_udf
+(SCALAR_ITER), grouped applyInPandas, a pandas grouped-aggregate UDF,
+Python UDTFs (fixed, TABLE-argument PTF, and analyze-time dynamic
+schema), a raw-Arrow mapInArrow batch iterator, an arrow_udf scalar,
+and a grouped applyInArrow — each oracle-checked. The
 reference's entire UDF story is one SMT (``StringCast.java``); the engine
 exposes the general machinery with the performance ranking made explicit:
 built-ins ≫ pandas_udf ≫ row UDF.
