@@ -327,6 +327,49 @@ _patch_oracle("docs_nb_quality_classifier", _sql_nb_oracle())
 _LM_SCALE = 1_000_000  # int64 quantization of per-bigram log-probs
 
 
+def _wordlm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, lang) exact-integer LM score table shared by the
+    cross-entropy gate and the CCNet bucket query: n_bigrams + the
+    1e-6-quantized sum of Laplace-smoothed bigram log-probs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    ex = docs.filter(F.size(words(F.col("text"))) >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(shingles("text", 2)).alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        md5_mod(F.col("bg")).alias("h12"),
+        md5_mod(F.substring_index(F.col("bg"), " ", 1)).alias("h1"),
+    )
+    c12 = ex.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = ex.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    return (
+        ex.join(c12, "h12")
+        .join(c1, "h1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                (_lnq(F.col("c12") + 1) - _lnq(F.col("c1") + F.col("v")))
+                * _LM_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("lnp_q"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lnp_q").alias("sum_q"),
+        )
+    )
+
+
 def _register_wordlm_xent() -> None:
     @query(
         "docs_wordlm_xent",
@@ -363,43 +406,7 @@ def _register_wordlm_xent() -> None:
         through ~1e9-token corpora per language; past that, shard the
         cross-multiplication or lift it to decimal(38,0).
         """
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", "text"
-        )
-        ex = docs.filter(F.size(words(F.col("text"))) >= 2).select(
-            "doc_id",
-            "lang",
-            F.explode(shingles("text", 2)).alias("bg"),
-        ).select(
-            "doc_id",
-            "lang",
-            md5_mod(F.col("bg")).alias("h12"),
-            md5_mod(F.substring_index(F.col("bg"), " ", 1)).alias("h1"),
-        )
-        c12 = ex.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
-        c1 = ex.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
-        vocab = c1.agg(F.count(F.lit(1)).alias("v"))
-        scored = (
-            ex.join(c12, "h12")
-            .join(c1, "h1")
-            .crossJoin(F.broadcast(vocab))
-            .select(
-                "doc_id",
-                "lang",
-                F.round(
-                    (_lnq(F.col("c12") + 1) - _lnq(F.col("c1") + F.col("v")))
-                    * _LM_SCALE,
-                    0,
-                )
-                .cast("long")
-                .alias("lnp_q"),
-            )
-            .groupBy("doc_id", "lang")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-                F.sum("lnp_q").alias("sum_q"),
-            )
-        )
+        scored = _wordlm_scored(spark, sf_dir)
         lang_tot = scored.groupBy("lang").agg(
             F.sum("n_bigrams").alias("lang_n"),
             F.sum("sum_q").alias("lang_sum"),
@@ -422,7 +429,10 @@ def _register_wordlm_xent() -> None:
 _register_wordlm_xent()
 
 
-def _sql_wordlm_oracle() -> str:
+def _sql_wordlm_scored_ctes() -> str:
+    """The shared WITH-chain producing the per-(doc, lang) scored table
+    (mirrors _wordlm_scored) — reused by the xent and CCNet-bucket
+    oracles."""
     lnq = "round(ln(CAST({x} AS DOUBLE)), 8)"
     return f"""
     WITH ex AS (
@@ -443,7 +453,11 @@ def _sql_wordlm_oracle() -> str:
           - {lnq.format(x='c1.c1 + vocab.v')}
         ) * {_LM_SCALE}, 0) AS BIGINT)) AS sum_q
       FROM ex JOIN c12 USING (h12) JOIN c1 USING (h1), vocab
-      GROUP BY ex.doc_id, ex.lang),
+      GROUP BY ex.doc_id, ex.lang)"""
+
+
+def _sql_wordlm_oracle() -> str:
+    return f"""{_sql_wordlm_scored_ctes()},
     lt AS (
       SELECT lang, sum(n_bigrams) AS lang_n, sum(sum_q) AS lang_sum
       FROM scored GROUP BY lang)
@@ -455,6 +469,94 @@ def _sql_wordlm_oracle() -> str:
 
 
 _patch_oracle("docs_wordlm_xent", _sql_wordlm_oracle())
+
+
+def _register_ccnet_buckets() -> None:
+    @query(
+        "docs_ccnet_buckets",
+        oracle=None,  # patched below
+        tags=("text", "B15", "quality", "language-model", "curation"),
+    )
+    def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.4):
+        within each language, documents are ranked by LM cross-entropy
+        (ascending — fluent text first) and cut into terciles with
+        ntile(3): head = keep, middle = maybe, tail = drop. This is THE
+        published recipe for LM-quality-stratified corpus selection; the
+        per-bucket rollup (doc count, bigram mass, xent range) is what a
+        curation run reports before choosing which buckets feed
+        training. Built on the same exact-integer scored table as
+        docs_wordlm_xent (shared _wordlm_scored helper): the rank order
+        is the double xent (one IEEE division per doc, identical cross-
+        engine) with doc_id as the unique tie-break, so the tercile
+        boundaries are deterministic.
+
+        Scale shape: the LM scoring's vocabulary-bounded shuffles, then
+        ONE per-language window sort for ntile (at 100 TB: range-
+        partition by (lang, xent) so the sort is distributed; a
+        quantile-sketch cut would avoid the full sort at the cost of
+        approximate boundaries — the exact tercile is the declared
+        semantics here), then a 15-row rollup."""
+        from pyspark.sql import Window
+
+        scored = _wordlm_scored(spark, sf_dir)
+        xent = (
+            -F.col("sum_q").cast("double")
+            / (F.col("n_bigrams") * F.lit(_LM_SCALE))
+        ).alias("xent")
+        ranked = scored.select("doc_id", "lang", "n_bigrams", xent).withColumn(
+            "tercile",
+            F.ntile(3).over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("xent").asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        return (
+            ranked.select(
+                "lang",
+                F.when(F.col("tercile") == 1, F.lit("head"))
+                .when(F.col("tercile") == 2, F.lit("middle"))
+                .otherwise(F.lit("tail"))
+                .alias("bucket"),
+                "n_bigrams",
+                "xent",
+            )
+            .groupBy("lang", "bucket")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+                F.round(F.min("xent"), 8).alias("min_xent"),
+                F.round(F.max("xent"), 8).alias("max_xent"),
+            )
+        )
+
+
+_register_ccnet_buckets()
+
+
+def _sql_ccnet_oracle() -> str:
+    return f"""{_sql_wordlm_scored_ctes()},
+    ranked AS (
+      SELECT doc_id, lang, n_bigrams,
+        -CAST(sum_q AS DOUBLE) / (n_bigrams * {_LM_SCALE}) AS xent,
+        ntile(3) OVER (PARTITION BY lang
+                       ORDER BY -CAST(sum_q AS DOUBLE)
+                                / (n_bigrams * {_LM_SCALE}) ASC,
+                                doc_id ASC) AS tercile
+      FROM scored)
+    SELECT lang,
+      CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+      round(min(xent), 8) AS min_xent,
+      round(max(xent), 8) AS max_xent
+    FROM ranked GROUP BY 1, 2
+    """
+
+
+_patch_oracle("docs_ccnet_buckets", _sql_ccnet_oracle())
 
 
 # ---------------------------------------------------------------------------

@@ -612,13 +612,17 @@ R16_ADDITIONS: tuple[str, ...] = (
     "sql_lateral_column_alias",
     "streaming_join_state_introspection",
     "udf_pandas_iter_scalar",
+    "docs_ccnet_buckets",
 )
 
 # Queries whose code changed in round 16 AFTER their newest driver row
 # (the materialize_result refactor swapped their result-materialization
-# wrapper — mechanically identical, but the discipline is evidence-based,
-# not intent-based): stale-by-code, so they head the r17 queue.
+# wrapper; docs_wordlm_xent had its scored-table computation extracted
+# into the shared _wordlm_scored helper — mechanically identical, but
+# the discipline is evidence-based, not intent-based): stale-by-code,
+# so they head the r17 queue.
 R16_REWRITTEN_RECERTS: tuple[str, ...] = (
+    "docs_wordlm_xent",
     "scan_schema_evolution",
     "join_dpp_partitioned",
     "scan_csv_json_roundtrip",

@@ -123,6 +123,7 @@ SENSITIVE = [
     "sql_lateral_column_alias",
     "streaming_join_state_introspection",
     "udf_pandas_iter_scalar",
+    "docs_ccnet_buckets",
 ]
 
 SF = "/root/testdata/sf0.01"
