@@ -106,6 +106,8 @@ ALLOWED = {
     "class prior, unseen-bucket Laplace floor, confusion-matrix total)",
     "docs_wordlm_xent": "1-row vocabulary-size broadcast (Laplace "
     "smoothing denominator V)",
+    "docs_ccnet_buckets": "1-row vocabulary-size broadcast (shared "
+    "_wordlm_scored LM table, same Laplace denominator V)",
     "dedup_semantic_kmeans": "8-row centroid broadcast per Lloyd "
     "round (SemDeDup assignment; k rows, never data-sized)",
     "er_fellegi_sunter": "1-row m/u-weight broadcast (four quantized "
