@@ -38,6 +38,8 @@ __all__ = [
     "R15_ADDITIONS",
     "R16_ADDITIONS",
     "R16_REWRITTEN_RECERTS",
+    "R17_ADDITIONS",
+    "R18_STALE_HEAD",
     "certification_order",
 ]
 
@@ -596,7 +598,8 @@ def _r16_front() -> tuple[str, ...]:
     return tuple((head + fill)[:DRIVER_WINDOW])
 
 
-CERTIFICATION_FRONT: tuple[str, ...] = _r16_front()
+# CERTIFICATION_FRONT is assigned below, after the round-17 pools —
+# _r17_front() needs R16_REWRITTEN_RECERTS / R16_ADDITIONS in scope.
 
 
 # Round-16 additions: zero driver rows by definition; they queue behind
@@ -620,7 +623,14 @@ R16_ADDITIONS: tuple[str, ...] = (
 # wrapper; docs_wordlm_xent had its scored-table computation extracted
 # into the shared _wordlm_scored helper — mechanically identical, but
 # the discipline is evidence-based, not intent-based): stale-by-code,
-# so they head the r17 queue.
+# so they head the r17 window. Corrected in round 17 per ADVICE r16:
+# the original list named streaming_topk_per_window (whose body the
+# r16 diff never touched — its newest row, r11, is merely old, not
+# stale-by-code) and omitted cdc_incremental_cron_replay, whose
+# backing helper _run_incremental_cron_replay DID receive the
+# materialize_result swap (streaming.py:869) after its r15 row. The
+# QUERY_FINGERPRINTS.json ledger + tests/test_stale_by_code.py now
+# derive this set mechanically so it cannot drift again.
 R16_REWRITTEN_RECERTS: tuple[str, ...] = (
     "docs_wordlm_xent",
     "scan_schema_evolution",
@@ -629,22 +639,70 @@ R16_REWRITTEN_RECERTS: tuple[str, ...] = (
     "streaming_cdc_scd1",
     "streaming_cdc_scd2",
     "streaming_ivm_orders",
-    "streaming_topk_per_window",
+    "cdc_incremental_cron_replay",
     "streaming_topic_fanout",
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-17 rotation (VERDICT r16 "Next round" #1). CORRECTNESS_r16
+# certified exactly _r16_front() 50/50 green — consuming the 43
+# never-certified r15-addition orphans (restoring 334/334
+# ever-certified) plus the 7 stalest r8-pool queries. The r17 window
+# pins the 20 priority queries first: the 9 stale-by-code
+# R16_REWRITTEN_RECERTS (code changed after their newest driver row by
+# the materialize_result refactor) and the 11 never-certified
+# R16_ADDITIONS — restoring both every-query-ever-certified AND
+# every-driver-row-current-code — then backfills its 30 remaining
+# slots from the 41-query r8-evidence pool leftover (42 minus
+# streaming_cdc_scd1, which the recert head already carries). The 11
+# pool queries that do not fit are pinned at the head of the r18 queue
+# (R18_STALE_HEAD below) so the r8 pool provably drains to zero next
+# round. Derivations recomputed from CORRECTNESS_r01–r16 by
+# tests/test_registry_rotation.py.
+# ---------------------------------------------------------------------------
+def _r17_front() -> tuple[str, ...]:
+    consumed = set(_r15_front()) | set(_r16_front())
+    head = list(R16_REWRITTEN_RECERTS)
+    head += [n for n in R16_ADDITIONS if n not in head]
+    fill = [n for n in R8_STALE_FILL if n not in consumed and n not in head]
+    return tuple((head + fill)[:DRIVER_WINDOW])
+
+
+# The r8-pool leftover after the r17 fill — scheduled at the head of
+# the r18 window (VERDICT r16 "Next round" #2) so the last
+# 8-round-old evidence is gone within two rounds. Derived, not typed:
+# tests/test_registry_rotation.py recomputes it from the artifacts.
+def _r18_stale_head() -> tuple[str, ...]:
+    consumed = set(_r15_front()) | set(_r16_front()) | set(_r17_front())
+    return tuple(n for n in R8_STALE_FILL if n not in consumed)
+
+
+R18_STALE_HEAD: tuple[str, ...] = _r18_stale_head()
+
+
+# Round-17 additions: zero driver rows by definition; they queue
+# behind the r18 stale head via certification_order().
+R17_ADDITIONS: tuple[str, ...] = ()
+
+
+CERTIFICATION_FRONT: tuple[str, ...] = _r17_front()
 
 
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
 
-    Re-cert overflow (stale queries that did not fit the window) queues
-    directly behind it — the round-8-evidence pool left over after the
-    r16 fill — so the r17 window head is already staged; everything
+    The r18 window head is already staged directly behind it: the
+    r8-evidence pool leftover that did not fit the r17 fill
+    (R18_STALE_HEAD — the last queries anywhere with 8-round-old
+    evidence), then this round's never-certified additions; everything
     else follows in registration order.
     """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up: list[str] = []
     for n in (
+        *R18_STALE_HEAD,
+        *R17_ADDITIONS,
         *R16_REWRITTEN_RECERTS,
         *R15_ADDITIONS,
         *R8_STALE_FILL,
