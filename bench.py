@@ -402,6 +402,14 @@ def _fixture_hashes(sf_dir: str) -> dict[str, str]:
     return hashes
 
 
+def _host_load() -> dict[str, float]:
+    try:
+        l1, l5, l15 = os.getloadavg()
+        return {"load1": round(l1, 2), "load5": round(l5, 2), "load15": round(l15, 2)}
+    except OSError:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -409,6 +417,23 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_TIER"
     ) == "core"
     spark = _fresh_session()
+
+    # Host-health preamble (VERDICT r16 #3): the r16 driver artifact was
+    # captured on a loaded host — uniform 1.35× with two >10× outliers
+    # that collapsed under solo re-bench — and adjudicating that cost a
+    # judge-side re-run. Record (a) the load average before/after and
+    # (b) a min-of-3 probe of the q1 anchor BEFORE the tier, so a
+    # contended artifact is mechanically discountable: probe >> its
+    # committed anchor (~0.5-0.6 s quiet-host, BASELINE.md §standing
+    # anchors) means the whole artifact carries that contention factor.
+    host_load = {"start": _host_load(), "cpus": os.cpu_count()}
+    anchor_probe: dict[str, object] = {"query": "q1_pricing_summary", "reps": 3}
+    try:
+        anchor_probe["sec"] = round(
+            _run_one(spark, QUERIES["q1_pricing_summary"].fn, sf_dir, 3), 4
+        )
+    except Exception as ex:  # noqa: BLE001  # probe failure must not kill the bench
+        anchor_probe["err"] = f"{type(ex).__name__}: {ex}"[:120]
 
     names = [n for n in (HEADLINE_CORE if core_tier else HEADLINE) if n in QUERIES]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -452,6 +477,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    host_load["end"] = _host_load()
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -459,6 +485,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "fixture_hashes": _fixture_hashes(sf_dir),
+        "host_load": host_load,
+        "anchor_probe": anchor_probe,
     }
     if core_tier:
         full["tier"] = "core"
@@ -494,6 +522,8 @@ def main() -> None:
         "n": len(timings),
         "errs": len(errors),
         "full": local_name,
+        "anchor": anchor_probe.get("sec"),
+        "load1": host_load["start"].get("load1"),
         "queries": compact_q,
     }
     for name in priority:

@@ -32,12 +32,22 @@ def materialize_result(
 ) -> DataFrame:
     """Copy a SMALL result through the driver so it survives the teardown
     of whatever it was computed from. Raises if the result is not small —
-    the contract that keeps this harness idiom out of data-sized paths."""
-    rows = df.collect()
-    if len(rows) > ceiling:
+    the contract that keeps this harness idiom out of data-sized paths.
+
+    Collects through ``limit(ceiling + 1)`` (ADVICE r16): a genuinely
+    data-sized result trips the guard at ceiling+1 rows instead of
+    OOMing the driver mid-``collect()`` before the check runs. When the
+    guard does not trip, the limit never truncated, so the probe IS the
+    complete row set and is returned directly (LIMIT's row-ORDER
+    nondeterminism is no looser than plain ``collect()`` on an
+    unordered plan, and a sorted parent keeps its order through
+    GlobalLimit).
+    """
+    probe = df.limit(ceiling + 1).collect()
+    if len(probe) > ceiling:
         raise ValueError(
-            f"materialize_result: {len(rows)} rows exceeds the "
-            f"{ceiling}-row driver-side ceiling — this result is "
-            "data-sized; persist it to parquet and re-read instead"
+            f"materialize_result: result exceeds the {ceiling}-row "
+            "driver-side ceiling — this result is data-sized; persist "
+            "it to parquet and re-read instead"
         )
-    return spark.createDataFrame(rows, schema=df.schema)
+    return spark.createDataFrame(probe, schema=df.schema)

@@ -39,6 +39,7 @@ __all__ = [
     "R16_ADDITIONS",
     "R16_REWRITTEN_RECERTS",
     "R17_ADDITIONS",
+    "R17_REWRITTEN_RECERTS",
     "R18_STALE_HEAD",
     "certification_order",
 ]
@@ -685,6 +686,35 @@ R18_STALE_HEAD: tuple[str, ...] = _r18_stale_head()
 # behind the r18 stale head via certification_order().
 R17_ADDITIONS: tuple[str, ...] = ()
 
+# Queries whose code (or a helper in their reference closure) changed
+# in round 17 AFTER the round-16 snapshot their evidence stands on.
+# Unlike r15/r16, this list is no longer hand-derived: the
+# QUERY_FINGERPRINTS.json ledger was bootstrapped at the exact commit
+# the r16 driver certified (22a1fc2), and tests/test_stale_by_code.py
+# FAILS if any query's HEAD fingerprint drifts from the ledger without
+# appearing here (or already holding an r17-window seat). Members
+# queue for the r18 window behind R18_STALE_HEAD.
+#
+# Current members were staled by the round-17 ADVICE fixes: the
+# materialize_result limit-probe rewrite (agg_hll_sketch_persist,
+# layout_compaction_roundtrip, join_aqe_skew_split, scan_orc_roundtrip,
+# scan_binaryfile_manifest, scan_partition_pruning_static) and the
+# rest_source.register() conf-side-effect fix (every rest_* query not
+# already holding an r17 seat). The detector surfaced all ten
+# mechanically; none were hand-derived.
+R17_REWRITTEN_RECERTS: tuple[str, ...] = (
+    "agg_hll_sketch_persist",
+    "join_aqe_skew_split",
+    "layout_compaction_roundtrip",
+    "rest_config_fanout_probe",
+    "rest_roundtrip_events",
+    "rest_scan_events",
+    "rest_stream_events",
+    "scan_binaryfile_manifest",
+    "scan_orc_roundtrip",
+    "scan_partition_pruning_static",
+)
+
 
 CERTIFICATION_FRONT: tuple[str, ...] = _r17_front()
 
@@ -702,6 +732,7 @@ def certification_order() -> list[str]:
     next_up: list[str] = []
     for n in (
         *R18_STALE_HEAD,
+        *R17_REWRITTEN_RECERTS,
         *R17_ADDITIONS,
         *R16_REWRITTEN_RECERTS,
         *R15_ADDITIONS,

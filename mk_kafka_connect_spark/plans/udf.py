@@ -685,8 +685,12 @@ def udf_pandas_iter_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         for etype, value in batches:
             w = etype.map(weights).fillna(1.0)
             raw = value * w
-            # half-away-from-zero, matching SQL round()
-            yield np.floor(raw * 100 + 0.5) / 100
+            # half-away-from-zero, matching SQL round(): sign-split so
+            # negative inputs round -0.125 -> -0.13, not the -0.12 that
+            # plain floor(x*100+0.5) (half-UP) would give (ADVICE r16;
+            # latent while event values are nonnegative, but the kernel
+            # should not depend on that)
+            yield np.sign(raw) * np.floor(np.abs(raw) * 100 + 0.5) / 100
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     from ..functions.exact import dec2, dsum

