@@ -1,6 +1,6 @@
 """Declared query plans. Importing this package populates the registry."""
 
-from . import advanced, analysis, curation, governance, graph, inference, layout, llm, relational, rest, scalar, streaming, textstats, tpch, udf, warehouse  # noqa: F401
+from . import advanced, analysis, curation, evaluation, governance, graph, inference, layout, llm, relational, rest, scalar, streaming, textstats, tpch, udf, warehouse  # noqa: F401
 from .registry import (
     CERTIFICATION_FRONT as _FRONT,
     QUERIES as _Q,

@@ -684,7 +684,12 @@ R18_STALE_HEAD: tuple[str, ...] = _r18_stale_head()
 
 # Round-17 additions: zero driver rows by definition; they queue
 # behind the r18 stale head via certification_order().
-R17_ADDITIONS: tuple[str, ...] = ()
+R17_ADDITIONS: tuple[str, ...] = (
+    "sim_eval_ndcg_mrr",
+    "docs_annotator_kappa",
+    "docs_distinct_ngrams",
+    "sim_eval_hard_negatives",
+)
 
 # Queries whose code (or a helper in their reference closure) changed
 # in round 17 AFTER the round-16 snapshot their evidence stands on.

@@ -122,6 +122,9 @@ ALLOWED = {
     "graph_pagerank)",
     "sim_knn_loo_eval": "200-row eval-slice broadcast; the exact "
     "|Q|x|C| evaluation tier (same posture as sim_topk_bruteforce)",
+    "sim_eval_ndcg_mrr": "embeds sim_topk_bruteforce (the exact |Q|x|C| "
+    "evaluation tier the metric is defined over) + a 10-row rank-gain "
+    "broadcast (the IDCG theta join on rank <= min(R,10))",
 }
 
 # Unpartitioned WindowExec (Spark logs "No Partition Defined ... moving

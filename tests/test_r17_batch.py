@@ -1,0 +1,144 @@
+"""Semantic contracts for the round-17 evaluation-family additions —
+properties the oracle comparison alone can't express: metric range and
+definitional invariants recomputed independently in plain Python/DuckDB
+(nDCG/MRR from a brute-force numpy ranking, kappa from a hand-counted
+contingency table, hard-negative label/bucket membership)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from mk_kafka_connect_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    return QUERIES[name].fn(spark, sf)
+
+
+def _emb():
+    return duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SF}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+
+
+def test_ndcg_mrr_match_numpy_recomputation(spark):
+    # Full independent replay: quantized-int cosine ranking in numpy,
+    # textbook DCG/IDCG with the same integer-scaled gains, MRR from the
+    # first same-label rank. Bit-for-bit against the Spark relation.
+    rows = {r["query_id"]: r for r in _run(spark, "sim_eval_ndcg_mrr").collect()}
+    data = _emb()
+    ids = np.array([r[0] for r in data])
+    V = np.array([[round(x * 10000) for x in r[1]] for r in data], dtype=np.int64)
+    labels = np.array([r[2] for r in data])
+    norms = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+    gains = {i: int(np.floor(1000000 / np.log2(i + 1) + 0.5)) for i in range(1, 11)}
+    for qpos in np.where(ids < 100)[0]:
+        cos = (V @ V[qpos]).astype(np.float64) / (norms * norms[qpos])
+        order = sorted(
+            [(i, cos[i]) for i in range(len(ids)) if i != qpos],
+            key=lambda t: (-t[1], ids[t[0]]),
+        )[:10]
+        rel = [1 if labels[i] == labels[qpos] else 0 for i, _ in order]
+        dcg = sum(r * gains[k + 1] for k, r in enumerate(rel))
+        n_relevant = int((labels == labels[qpos]).sum()) - 1
+        idcg = sum(gains[i] for i in range(1, min(n_relevant, 10) + 1))
+        mrr = 0.0 if 1 not in rel else 1.0 / (rel.index(1) + 1)
+        ndcg = 0.0 if idcg == 0 else dcg / idcg
+        row = rows[int(ids[qpos])]
+        assert row["n_rel_at_10"] == sum(rel)
+        assert row["mrr"] == mrr
+        assert row["ndcg_at_10"] == ndcg
+        assert 0.0 <= row["ndcg_at_10"] <= 1.0
+        assert 0.0 <= row["mrr"] <= 1.0
+
+
+def test_kappa_matches_hand_counted_contingency(spark):
+    docs = duckdb.sql(
+        f"SELECT lang, n_chars, len(string_split(text, ' ')) AS nw "
+        f"FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for lang, n_chars, nw in docs:
+        by_lang.setdefault(lang, []).append(
+            (1 if n_chars >= 600 else 0, 1 if nw >= 100 else 0)
+        )
+    rows = {r["lang"]: r for r in _run(spark, "docs_annotator_kappa").collect()}
+    assert set(rows) == set(by_lang)
+    for lang, flags in by_lang.items():
+        n = len(flags)
+        a1 = sum(a for a, _ in flags)
+        b1 = sum(b for _, b in flags)
+        agree = sum(1 for a, b in flags if a == b)
+        chance = a1 * b1 + (n - a1) * (n - b1)
+        denom = n * n - chance
+        kappa = 0.0 if denom == 0 else (n * agree - chance) / denom
+        row = rows[lang]
+        assert row["n_docs"] == n and row["n_agree"] == agree
+        assert row["po"] == agree / n
+        assert row["kappa"] == kappa
+        assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_distinct_ngrams_bounds_and_bigram_count_identity(spark):
+    # distinct ratios live in (0, 1]; within a source, bigram count =
+    # token count - doc count (each doc contributes len-1 bigrams).
+    per_doc = duckdb.sql(
+        rf"""
+        SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tokens FROM (
+          SELECT source, len(list_filter(
+            string_split_regex(text, '\s+'), w -> w <> '')) AS n_tok
+          FROM '{SF}/documents.parquet') GROUP BY source
+        """
+    ).fetchall()
+    stats = {s: (int(d), int(t)) for s, d, t in per_doc}
+    for r in _run(spark, "docs_distinct_ngrams").collect():
+        n_docs, n_tokens = stats[r["source"]]
+        assert r["n_tokens"] == n_tokens
+        assert r["n_bigrams"] == n_tokens - n_docs
+        assert 0.0 < r["distinct_1"] <= 1.0
+        assert 0.0 < r["distinct_2"] <= 1.0
+        assert r["n_distinct_tokens"] <= r["n_tokens"]
+        assert r["n_distinct_bigrams"] <= r["n_bigrams"]
+
+
+def test_hard_negatives_are_cross_label_bucket_mates_with_max_cosine(spark):
+    # Independent replay of the mining contract in numpy: same 4-plane
+    # signature, same quantized cosine — the reported hard negative must
+    # BE the argmax different-label bucket-mate, and margin must be the
+    # exact pos-minus-neg difference.
+    data = _emb()
+    ids = [r[0] for r in data]
+    V = np.array([[round(x * 10000) for x in r[1]] for r in data], dtype=np.int64)
+    labels = {r[0]: r[2] for r in data}
+    mixed = (np.arange(4 * 64, dtype=np.int64) * 2654435761) % (1 << 32)
+    W = np.where(mixed >= (1 << 31), 1, -1).astype(np.int64).reshape(4, 64)
+    bits = (V @ W.T > 0).astype(np.int64)
+    sigs = {ids[i]: int((bits[i] << np.arange(4)).sum()) for i in range(len(ids))}
+    norms = {ids[i]: float(np.sqrt((V[i] * V[i]).sum())) for i in range(len(ids))}
+    vec = {ids[i]: V[i] for i in range(len(ids))}
+
+    def cos(x, y):
+        return float(vec[x] @ vec[y]) / (norms[x] * norms[y])
+
+    out = {r["vec_id"]: r for r in _run(spark, "sim_eval_hard_negatives").collect()}
+    for i in ids:
+        mates = [j for j in ids if j != i and sigs[j] == sigs[i]]
+        negs = [(j, cos(i, j)) for j in mates if labels[j] != labels[i]]
+        poss = [(j, cos(i, j)) for j in mates if labels[j] == labels[i]]
+        if not negs:
+            assert i not in out
+            continue
+        best_neg = min(negs, key=lambda t: (-t[1], t[0]))
+        row = out[i]
+        assert row["hard_neg_id"] == best_neg[0]
+        assert row["hn_cosine"] == best_neg[1]
+        if poss:
+            best_pos = max(p for _, p in poss)
+            assert row["pos_cosine"] == best_pos
+            assert row["margin"] == best_pos - best_neg[1]
+        else:
+            assert row["pos_cosine"] is None and row["margin"] is None

@@ -167,11 +167,13 @@ def test_r18_stale_head_drains_the_pool():
 
 def test_stale_overflow_queues_directly_behind_window():
     # r18 priority: the r8-pool leftover first, then this round's
-    # never-certified additions.
+    # stale-by-code re-certs, then its never-certified additions.
+    from mk_kafka_connect_spark.plans.registry import R17_REWRITTEN_RECERTS
+
     order = certification_order()
     front = set(CERTIFICATION_FRONT)
     overflow: list[str] = []
-    for n in (*R18_STALE_HEAD, *R17_ADDITIONS):
+    for n in (*R18_STALE_HEAD, *R17_REWRITTEN_RECERTS, *R17_ADDITIONS):
         if n in QUERIES and n not in front and n not in overflow:
             overflow.append(n)
     behind = order[DRIVER_WINDOW : DRIVER_WINDOW + len(overflow)]
