@@ -115,13 +115,20 @@ def cosine_topk_bruteforce(
     """Per-query exact top-k by cosine (desc, id asc tie-break).
 
     Returns (query_id, neighbor_id, cosine, rank). Queries are expected to
-    be few (broadcast side); the corpus streams through unchanged."""
+    be few (broadcast side); the corpus streams through unchanged.
+
+    Pair scoring is the Arrow-vectorized int-cosine kernel (round 17;
+    formerly the interpreted ``cosine_expr`` HOF fold, which dominated
+    every brute-force-tier headliner — the kernel is bit-identical by
+    the same argument as everywhere else it scores pairs: exact int64
+    dot/norms, one IEEE sqrt-mul-divide in the same order)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
     )
+    cos = _pair_cosine_udf()
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -129,7 +136,7 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            cos(F.col("qv"), F.col("cv")).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -718,6 +718,15 @@ R17_REWRITTEN_RECERTS: tuple[str, ...] = (
     "scan_binaryfile_manifest",
     "scan_orc_roundtrip",
     "scan_partition_pruning_static",
+    # Staled by the round-17 cosine_topk_bruteforce Arrow-kernel swap
+    # (the 4.8x brute-force-tier speedup). Surfaced by the upgraded
+    # detector: sim_knn_loo_eval reaches the kernel through a CLOSURE
+    # CELL (it is defined inside a _register_* wrapper) and
+    # sim_recall_ivf_vs_exact through a DYNAMIC QUERIES["..."] lookup —
+    # the two resolution paths the first-cut tracker missed.
+    "sim_topk_bruteforce",
+    "sim_knn_loo_eval",
+    "sim_recall_ivf_vs_exact",
 )
 
 

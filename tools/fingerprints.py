@@ -45,6 +45,7 @@ import hashlib
 import inspect
 import json
 import os
+import re
 import sys
 import textwrap
 
@@ -88,7 +89,13 @@ def _referenced_names(src: str) -> list[tuple[str, str | None]]:
 
 
 def _closure_sources(fn) -> dict[str, str]:
-    """name -> source for fn plus its in-package reference closure."""
+    """name -> source for fn plus its in-package reference closure.
+
+    Names resolve through BOTH the function's module globals and its
+    closure cells (``co_freevars``): registry queries are typically
+    defined inside ``_register_*`` wrapper functions, so helpers they
+    call (round 17's first miss: ``cosine_topk_bruteforce`` inside
+    ``sim_knn_loo_eval``) arrive as cell references, not globals."""
     sources: dict[str, str] = {}
     seen: set[int] = set()
     # (qualifier, object) worklist; qualifier is a stable display name.
@@ -103,10 +110,17 @@ def _closure_sources(fn) -> dict[str, str]:
             continue
         key = f"{getattr(obj, '__module__', '?')}.{qual}"
         sources[key] = src
-        glb = getattr(obj, "__globals__", None)
-        if glb is None:  # a class: resolve names through its module
+        glb = dict(getattr(obj, "__globals__", None) or {})
+        if not glb:  # a class: resolve names through its module
             mod = sys.modules.get(getattr(obj, "__module__", ""), None)
-            glb = getattr(mod, "__dict__", {})
+            glb = dict(getattr(mod, "__dict__", {}))
+        cells = getattr(obj, "__closure__", None)
+        if cells:
+            for cname, cell in zip(obj.__code__.co_freevars, cells):
+                try:
+                    glb[cname] = cell.cell_contents
+                except ValueError:  # empty cell
+                    continue
         for name, attr in _referenced_names(src):
             target = glb.get(name)
             if target is None:
@@ -122,9 +136,35 @@ def _closure_sources(fn) -> dict[str, str]:
     return sources
 
 
-def query_fingerprint(fn) -> str:
-    parts = _closure_sources(fn)
-    blob = "\n".join(f"### {k}\n{parts[k]}" for k in sorted(parts))
+# Dynamic registry composition: queries like the recall/ndcg reports
+# call other queries via QUERIES["name"].fn and interpolate their
+# .oracle into an f-string at registration time — neither edge is
+# visible to static name resolution, so a component change would leave
+# the composed query's fingerprint unmoved. Chase the string literals.
+_REGISTRY_REF = re.compile(r"(?:_Q|QUERIES)\[\s*['\"]([A-Za-z0-9_]+)['\"]\s*\]")
+
+
+def _fingerprint_inputs(name, spec, registry, stack=()) -> list[str]:
+    if name in stack:  # cycle guard (mutual composition)
+        return [f"### cycle:{name}"]
+    parts = _closure_sources(spec.fn)
+    blob = [f"### {k}\n{parts[k]}" for k in sorted(parts)]
+    # the RESOLVED oracle (composed oracles embed component SQL) + tags
+    blob.append(f"### oracle:{name}\n{spec.oracle or ''}")
+    blob.append(f"### tags:{name}\n{tuple(spec.tags or ())!r}")
+    refs = sorted(
+        {m for src in parts.values() for m in _REGISTRY_REF.findall(src)}
+    )
+    for ref in refs:
+        if ref in registry and ref != name:
+            blob.extend(
+                _fingerprint_inputs(ref, registry[ref], registry, stack + (name,))
+            )
+    return blob
+
+
+def query_fingerprint(name, spec, registry) -> str:
+    blob = "\n".join(_fingerprint_inputs(name, spec, registry))
     return hashlib.sha256(blob.encode()).hexdigest()
 
 
@@ -132,7 +172,10 @@ def head_fingerprints() -> dict[str, str]:
     import __spark_entry__  # noqa: F401  (registers every query)
     from mk_kafka_connect_spark.plans.registry import QUERIES
 
-    return {name: query_fingerprint(spec.fn) for name, spec in QUERIES.items()}
+    return {
+        name: query_fingerprint(name, spec, QUERIES)
+        for name, spec in QUERIES.items()
+    }
 
 
 def load_ledger() -> dict:
