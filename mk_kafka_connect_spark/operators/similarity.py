@@ -276,6 +276,10 @@ def cosine_topk_sq8(
         .select(
             "query_id",
             "neighbor_id",
+            # Deliberately the native fold, not the Arrow kernel: the
+            # rescore set is rerank-sized (|Q| x rerank), too small to
+            # amortize another Python stage (measured +0.5-1.5 s in
+            # round 17; the kernel wins only on large pair volumes).
             cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -462,7 +466,13 @@ def embedding_near_dup_pairs(
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(
+                _pair_cosine_udf()(F.col("va"), F.col("vb")), F.lit(-2.0)
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -754,6 +764,10 @@ def cosine_topk_ivf_sq8(
         .select(
             "query_id",
             "neighbor_id",
+            # Deliberately the native fold, not the Arrow kernel: the
+            # rescore set is rerank-sized (|Q| x rerank), too small to
+            # amortize another Python stage (measured +0.5-1.5 s in
+            # round 17; the kernel wins only on large pair volumes).
             cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -909,6 +923,8 @@ def nearest_centroid_assign(
             id_col,
             "true_label",
             "cand_label",
+            # Native fold on purpose: K-centroid scoring is K pairs/row
+            # (tens), below the Arrow-stage amortization point.
             cosine_expr(F.col("qv"), F.col("cqv")).alias("cos"),
         )
     )
@@ -1127,6 +1143,10 @@ def cosine_topk_pq(
         .select(
             "query_id",
             "neighbor_id",
+            # Deliberately the native fold, not the Arrow kernel: the
+            # rescore set is rerank-sized (|Q| x rerank), too small to
+            # amortize another Python stage (measured +0.5-1.5 s in
+            # round 17; the kernel wins only on large pair volumes).
             cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -1190,6 +1210,10 @@ def cosine_topk_ivf_pq(
         .select(
             "query_id",
             "neighbor_id",
+            # Deliberately the native fold, not the Arrow kernel: the
+            # rescore set is rerank-sized (|Q| x rerank), too small to
+            # amortize another Python stage (measured +0.5-1.5 s in
+            # round 17; the kernel wins only on large pair volumes).
             cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))

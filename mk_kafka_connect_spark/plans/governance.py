@@ -575,6 +575,11 @@ def _register_semantic_kmeans() -> None:
     from pyspark.sql.window import Window
 
     def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+        # Deliberately the native HOF fold, NOT the Arrow pair kernel:
+        # measured in round 17, the k=8 pairs/row here are too few to
+        # amortize an Arrow stage per Lloyd round (the swap read ~+2 s
+        # at sf0.1); the kernel wins only on large pair volumes
+        # (brute-force |Q|x|C|, all-pairs ground truth).
         dist = emb.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "q",

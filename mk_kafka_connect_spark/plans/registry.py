@@ -727,6 +727,16 @@ R17_REWRITTEN_RECERTS: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_knn_loo_eval",
     "sim_recall_ivf_vs_exact",
+    # Staled by extending the Arrow-kernel swap to every remaining
+    # pair-scoring fold (SQ8/PQ exact rescores, the bounded all-pairs
+    # ground truth, nearest-centroid scoring, and the k-means Lloyd
+    # assign, which gained an exact-int squared-L2 kernel). The two PQ
+    # top-k queries drifted too but already hold r17-window seats.
+    "sim_topk_sq8",
+    "sim_topk_ivf_sq8",
+    "sim_nearest_centroid",
+    "dedup_embedding_cosine",
+    "dedup_semantic_kmeans",
 )
 
 
