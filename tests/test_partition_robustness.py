@@ -124,6 +124,13 @@ SENSITIVE = [
     "streaming_join_state_introspection",
     "udf_pandas_iter_scalar",
     "docs_ccnet_buckets",
+    # round-17 additions: the ranking/metric divisions and the pair
+    # cosines must be partition-order-independent by construction
+    # (integer-scaled gains/contingency sums, single final divisions)
+    "sim_eval_ndcg_mrr",
+    "docs_annotator_kappa",
+    "docs_distinct_ngrams",
+    "sim_eval_hard_negatives",
 ]
 
 SF = "/root/testdata/sf0.01"
