@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.bounded import bounded_window
 from ..functions.hashing import SQL_MD5_MOD, SQL_SHINGLES, SQL_WORDS, md5_mod, shingles, words
 from .curation import _lnq
 from .llm import _set_oracle as _patch_oracle
@@ -128,6 +129,95 @@ _NB_SCALE = 1_000_000  # int64 quantization of per-bucket log-ratios
 _NB_POS = "en"  # positive class: English documents
 
 
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out per-document NB score table shared by the confusion
+    matrix (docs_nb_quality_classifier) and the threshold-free AUC
+    report (docs_nb_quality_auc): (doc_id, y, score_q), where score_q =
+    prior_q + sum of per-bucket quantized log-likelihood ratios — an
+    exact int64 (order-independent sum of int64 terms), so every
+    downstream comparison and ranking is bit-equal in DuckDB.
+
+    Extracted round 17 from the classifier body (mechanically identical
+    up to the final select; the classifier's fingerprint drift is
+    ledgered in R17_REWRITTEN_RECERTS). Scale shape unchanged: model
+    fit is a 256-bucket groupBy with map-side partial aggregation,
+    model/totals/prior broadcast to the scorer, scoring is explode →
+    broadcast hash join → integer groupBy(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("lang") == _NB_POS).alias("y"),
+        (md5_mod(F.col("doc_id").cast("string")) % 10 < 8).alias("is_train"),
+    )
+    feats = docs.select(
+        "doc_id",
+        "y",
+        "is_train",
+        F.explode(words(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id", "y", "is_train", (md5_mod(F.col("w")) % _NB_B).alias("b")
+    )
+    train = feats.filter("is_train")
+    model = train.groupBy("b").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("cr"),
+    )
+    tot = model.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
+    prior = (
+        docs.filter("is_train")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n_neg"),
+        )
+        .select(
+            F.round(
+                (_lnq(F.col("n_pos") + 1) - _lnq(F.col("n_neg") + 1))
+                * _NB_SCALE,
+                0,
+            )
+            .cast("long")
+            .alias("prior_q")
+        )
+    )
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                _lnq(F.col("ct") + 1)
+                - _lnq(F.col("t_tot") + _NB_B)
+                - _lnq(F.col("cr") + 1)
+                + _lnq(F.col("r_tot") + _NB_B)
+            )
+            * _NB_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("lr_q"),
+    )
+    floor_q = tot.select(
+        F.round(
+            (_lnq(F.col("r_tot") + _NB_B) - _lnq(F.col("t_tot") + _NB_B))
+            * _NB_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("floor_q")
+    )
+    return (
+        feats.filter(~F.col("is_train"))
+        .join(F.broadcast(lr), "b", "left")
+        .crossJoin(F.broadcast(floor_q))
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum(F.coalesce(F.col("lr_q"), F.col("floor_q"))).alias("feat_q")
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id", "y", (F.col("prior_q") + F.col("feat_q")).alias("score_q")
+        )
+    )
+
+
 def _register_nb_classifier() -> None:
     @query(
         "docs_nb_quality_classifier",
@@ -165,85 +255,8 @@ def _register_nb_classifier() -> None:
         doc_id. Unseen-bucket features fall back to the Laplace floor
         via coalesce, not a dropped join row.
         """
-        docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            "text",
-            (F.col("lang") == _NB_POS).alias("y"),
-            (md5_mod(F.col("doc_id").cast("string")) % 10 < 8).alias(
-                "is_train"
-            ),
-        )
-        feats = docs.select(
-            "doc_id",
-            "y",
-            "is_train",
-            F.explode(words(F.col("text"))).alias("w"),
-        ).select(
-            "doc_id", "y", "is_train", (md5_mod(F.col("w")) % _NB_B).alias("b")
-        )
-        train = feats.filter("is_train")
-        model = train.groupBy("b").agg(
-            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("ct"),
-            F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("cr"),
-        )
-        tot = model.agg(
-            F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
-        )
-        prior = (
-            docs.filter("is_train")
-            .agg(
-                F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
-                F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("n_neg"),
-            )
-            .select(
-                F.round(
-                    (_lnq(F.col("n_pos") + 1) - _lnq(F.col("n_neg") + 1))
-                    * _NB_SCALE,
-                    0,
-                )
-                .cast("long")
-                .alias("prior_q")
-            )
-        )
-        lr = model.crossJoin(F.broadcast(tot)).select(
-            "b",
-            F.round(
-                (
-                    _lnq(F.col("ct") + 1)
-                    - _lnq(F.col("t_tot") + _NB_B)
-                    - _lnq(F.col("cr") + 1)
-                    + _lnq(F.col("r_tot") + _NB_B)
-                )
-                * _NB_SCALE,
-                0,
-            )
-            .cast("long")
-            .alias("lr_q"),
-        )
-        floor_q = tot.select(
-            F.round(
-                (_lnq(F.col("r_tot") + _NB_B) - _lnq(F.col("t_tot") + _NB_B))
-                * _NB_SCALE,
-                0,
-            )
-            .cast("long")
-            .alias("floor_q")
-        )
-        scored = (
-            feats.filter(~F.col("is_train"))
-            .join(F.broadcast(lr), "b", "left")
-            .crossJoin(F.broadcast(floor_q))
-            .groupBy("doc_id", "y")
-            .agg(
-                F.sum(F.coalesce(F.col("lr_q"), F.col("floor_q"))).alias(
-                    "feat_q"
-                )
-            )
-            .crossJoin(F.broadcast(prior))
-            .select(
-                "y",
-                (F.col("prior_q") + F.col("feat_q") > 0).alias("pred"),
-            )
+        scored = _nb_scored(spark, sf_dir).select(
+            "y", (F.col("score_q") > 0).alias("pred")
         )
         cm = scored.groupBy("y", "pred").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -262,7 +275,11 @@ def _register_nb_classifier() -> None:
 _register_nb_classifier()
 
 
-def _sql_nb_oracle() -> str:
+def _sql_nb_scored_prefix() -> str:
+    """The WITH-chain through the held-out ``scored`` (doc_id, y,
+    score_q) CTE — the oracle twin of ``_nb_scored``, shared by the
+    confusion-matrix and AUC oracles so the scoring replay cannot
+    drift between them."""
     lnq = "round(ln(CAST({x} AS DOUBLE)), 8)"
     bucket10 = f"({SQL_MD5_MOD('CAST(doc_id AS VARCHAR)')}) % 10"
     return f"""
@@ -306,7 +323,11 @@ def _sql_nb_oracle() -> str:
           + sum(coalesce(lr.lr_q, (SELECT floor_q FROM flr))) AS score_q
       FROM feats f LEFT JOIN lr USING (b)
       WHERE NOT f.is_train
-      GROUP BY f.doc_id, f.y),
+      GROUP BY f.doc_id, f.y)"""
+
+
+def _sql_nb_oracle() -> str:
+    return f"""{_sql_nb_scored_prefix()},
     cm AS (
       SELECT y AS actual, score_q > 0 AS predicted,
         CAST(count(*) AS BIGINT) AS n_docs
@@ -318,6 +339,103 @@ def _sql_nb_oracle() -> str:
 
 
 _patch_oracle("docs_nb_quality_classifier", _sql_nb_oracle())
+
+
+# ---------------------------------------------------------------------------
+# docs_nb_quality_auc — threshold-free classifier eval (exact AUC)
+# ---------------------------------------------------------------------------
+
+# Coarse score block for the distributed rank decomposition (the
+# events_mannwhitney_value device): prefix counts move block-to-block
+# through a bounded window over the small block table; within-block
+# order is a PARTITIONED window. Scores are ~1e6-scaled log-ratios, so
+# 1e7 blocks keep the block table tiny while bounding every partition.
+_AUC_BLK = 10_000_000
+
+
+@query(
+    "docs_nb_quality_auc",
+    oracle=f"""{_sql_nb_scored_prefix()},
+    per AS (
+      SELECT score_q,
+        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      FROM scored GROUP BY score_q),
+    w AS (
+      SELECT *, coalesce(sum(nn) OVER (ORDER BY score_q
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+      FROM per)
+    SELECT
+      CAST(sum(np) AS BIGINT) AS n_pos,
+      CAST(sum(nn) AS BIGINT) AS n_neg,
+      CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) AS u2,
+      CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE)
+        / (2 * sum(np) * sum(nn)) AS auc
+    FROM w
+    """,
+    tags=("text", "B15", "classifier", "evaluation", "auc"),
+)
+def docs_nb_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free evaluation of the NB quality classifier: exact
+    ROC AUC over the held-out scores via the rank statistic
+    (AUC = U/(n_pos*n_neg), U = #{pos>neg} + ties/2 — Hanley & McNeil
+    1982), the companion the confusion matrix can't provide because it
+    fixes the threshold at 0. Tie handling is exact: 2U = sum over
+    distinct scores of np*(2*neg_below + nn), all int64, so AUC is one
+    division of exact integers — bit-equal in DuckDB. (The synthetic
+    fixture's shared vocabulary makes the measured AUC near 0.5 by
+    construction; the contract test replays U in plain Python.)
+
+    Scale shape: the score table is doc-keyed (one row per held-out
+    doc from the shared _nb_scored path); per-score counts are a
+    groupBy with map-side combine; the rank prefix uses the
+    events_mannwhitney_value block decomposition — a bounded window
+    over the tiny coarse-block table plus a block-PARTITIONED window —
+    so no unpartitioned data-sized sort anywhere; the final statistic
+    is a plain aggregate."""
+    per = (
+        _nb_scored(spark, sf_dir)
+        .groupBy("score_q")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("np"),
+            F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("long").alias("nn"),
+        )
+    )
+    b = per.withColumn(
+        "_blk", F.floor(F.col("score_q") / _AUC_BLK).cast("long")
+    )
+    blocks = b.groupBy("_blk").agg(F.sum("nn").alias("_bt"))
+    wb = bounded_window("_blk", "_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior_neg = blocks.select(
+        "_blk", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_pt")
+    )
+    ww = (
+        Window.partitionBy("_blk")
+        .orderBy("score_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        b.join(prior_neg, "_blk")
+        .withColumn(
+            "neg_below",
+            F.col("_pt") + F.coalesce(F.sum("nn").over(ww), F.lit(0)),
+        )
+    )
+    return ranked.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("neg_below") + F.col("nn")))
+        .cast("long")
+        .alias("u2"),
+        (
+            F.sum(
+                F.col("np") * (2 * F.col("neg_below") + F.col("nn"))
+            ).cast("double")
+            / (2 * F.sum("np") * F.sum("nn"))
+        ).alias("auc"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -689,6 +689,8 @@ R17_ADDITIONS: tuple[str, ...] = (
     "docs_annotator_kappa",
     "docs_distinct_ngrams",
     "sim_eval_hard_negatives",
+    "docs_nb_quality_auc",
+    "streaming_dedup_within_watermark",
 )
 
 # Queries whose code (or a helper in their reference closure) changed
@@ -737,6 +739,11 @@ R17_REWRITTEN_RECERTS: tuple[str, ...] = (
     "sim_nearest_centroid",
     "dedup_embedding_cosine",
     "dedup_semantic_kmeans",
+    # Staled by extracting the shared _nb_scored helper (the held-out
+    # score table now feeding both the confusion matrix and the new
+    # docs_nb_quality_auc) — mechanically identical output, but the
+    # discipline is evidence-based.
+    "docs_nb_quality_classifier",
 )
 
 

@@ -99,6 +99,48 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "B13", "dedup", "watermark"),
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOUNDED-STATE streaming dedup (Spark 3.5+/4
+    ``dropDuplicatesWithinWatermark``): unlike plain dropDuplicates,
+    whose key state grows forever, this variant evicts a key's state
+    once the watermark passes its event time — the only dedup shape
+    whose state survives an unbounded 100 TB stream. Duplicates ARE
+    exercised here (not just in unit tests): the input is the event
+    stream unioned with itself, so every key arrives exactly twice at
+    the same event time — well inside the 10-minute watermark delay —
+    and the drained output must collapse back to the distinct relation
+    the oracle states. The duplicate-injection twin of
+    ``streaming_dedup``; the full eviction contract is pinned in the
+    multi-batch contract test (tests/test_r17_batch.py), where arrival
+    order is controlled: an in-horizon duplicate is dropped even at a
+    different event time, a sub-watermark late duplicate is dropped by
+    the late-data filter, and a re-arrival with a fresh event time
+    AFTER its key's state expired is re-emitted — the at-least-once
+    contract that bounded state buys.
+
+    Scale shape: one shuffle on the dedup key into the state store;
+    state size bounded by keys-per-watermark-window instead of total
+    keys."""
+    ev = SW.read_events_stream(spark, sf_dir).select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    dup = ev.unionAll(ev)
+    out = dup.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    drained = SW.run_to_memory(out, "append")
+    return drained.select("event_id", "user_id", "event_type")
+
+
+@query(
     "streaming_stream_static_join",
     oracle="""
     SELECT c_mktsegment, count(*) AS n,

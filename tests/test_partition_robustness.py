@@ -131,6 +131,8 @@ SENSITIVE = [
     "docs_annotator_kappa",
     "docs_distinct_ngrams",
     "sim_eval_hard_negatives",
+    "docs_nb_quality_auc",
+    "docs_nb_quality_classifier",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -104,6 +104,8 @@ ALLOWED = {
     "docs_dataset_card": "1-row corpus-totals broadcast (share denominators)",
     "docs_nb_quality_classifier": "1-row broadcasts (train-token totals, "
     "class prior, unseen-bucket Laplace floor, confusion-matrix total)",
+    "docs_nb_quality_auc": "same 1-row broadcasts via the shared "
+    "_nb_scored path (train-token totals, class prior, Laplace floor)",
     "docs_wordlm_xent": "1-row vocabulary-size broadcast (Laplace "
     "smoothing denominator V)",
     "docs_ccnet_buckets": "1-row vocabulary-size broadcast (shared "
@@ -162,6 +164,9 @@ SCAN_ALLOWED = {
     "legs both sides + union/intersection totals",
     "docs_nb_quality_classifier": "10 passes: train/test split legs × "
     "(token fit, class priors, score, confusion) — constant stages",
+    "docs_nb_quality_auc": "10 passes: the same shared _nb_scored "
+    "fit/score legs as the classifier, plus the rank-block prefix "
+    "re-reference — constant pipeline stages, never ∝ data",
     "docs_wordlm_xent": "8 passes: LM fit legs (unigram/bigram + totals) "
     "then the scoring pass — constant stages",
     "events_binseg_changepoints": "8 passes: level-0/1 segment-moment legs "

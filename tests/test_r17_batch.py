@@ -142,3 +142,108 @@ def test_hard_negatives_are_cross_label_bucket_mates_with_max_cosine(spark):
             assert row["margin"] == best_pos - best_neg[1]
         else:
             assert row["pos_cosine"] is None and row["margin"] is None
+
+
+def test_nb_auc_matches_python_rank_statistic(spark):
+    # Independent U-statistic replay: take the held-out score table from
+    # the ORACLE's scored CTE (DuckDB), compute AUC by brute-force pair
+    # counting in plain Python, and demand bit-equality with the Spark
+    # block-decomposed rank computation.
+    from mk_kafka_connect_spark.plans.governance import _sql_nb_scored_prefix
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    scored = con.execute(
+        _sql_nb_scored_prefix() + " SELECT y, score_q FROM scored"
+    ).fetchall()
+    pos = sorted(s for y, s in scored if y)
+    neg = sorted(s for y, s in scored if not y)
+    u2 = 0
+    for p in pos:  # brute-force: 2*U = 2*#{pos>neg} + #{ties}
+        for n in neg:
+            if p > n:
+                u2 += 2
+            elif p == n:
+                u2 += 1
+    row = _run(spark, "docs_nb_quality_auc").collect()[0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["u2"] == u2
+    assert row["auc"] == u2 / (2 * len(pos) * len(neg))
+    assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_dedup_within_watermark_eviction_contract(spark, tmp_path):
+    # Controlled multi-batch arrival order (maxFilesPerTrigger=1):
+    # (a) an in-horizon duplicate is dropped even at a different event
+    #     time; (b) a sub-watermark late duplicate is dropped by the
+    #     late-data filter; (c) a re-arrival with a fresh event time
+    #     AFTER its key's state expired is re-emitted (at-least-once).
+    import datetime as dt
+    import time
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.LongType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    name = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / fname))
+
+    def drained():
+        return sorted((r.k, str(r.ts)) for r in spark.table(name).collect())
+
+    def wait_for(pred, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred(drained()):
+                return True
+            time.sleep(0.5)
+        return False
+
+    write("f1", [(t0, 1), (t0, 2)])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        assert wait_for(lambda d: len(d) == 2), drained()
+        # (a) dup of k=1 at t0+2m (inside the 10-min horizon) must be
+        # dropped; k=3 at t0+60m advances the watermark to 12:50,
+        # expiring k=1/k=2 state.
+        write("f2", [(t0 + dt.timedelta(minutes=2), 1),
+                     (t0 + dt.timedelta(minutes=60), 3)])
+        assert wait_for(lambda d: len(d) == 3), drained()
+        assert (1, "2024-01-01 12:02:00") not in drained()
+        # (b) sub-watermark late duplicate: dropped by the late filter.
+        write("f3", [(t0, 2)])
+        # (c) fresh-event-time re-arrival after eviction: re-emitted.
+        write("f4", [(t0 + dt.timedelta(minutes=70), 1)])
+        assert wait_for(
+            lambda d: (1, "2024-01-01 13:10:00") in d and len(d) == 4
+        ), drained()
+        assert drained().count((2, "2024-01-01 12:00:00")) == 1
+    finally:
+        q.stop()
