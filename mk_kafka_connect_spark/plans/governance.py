@@ -678,6 +678,109 @@ _patch_oracle("docs_ccnet_buckets", _sql_ccnet_oracle())
 
 
 # ---------------------------------------------------------------------------
+# docs_doremi_mixture — excess-loss domain mixture weights (DoReMi-lite)
+# ---------------------------------------------------------------------------
+
+# exp() quantization scale for the mixture weights: round-8 on the
+# excess (the lnq device — absorbs cross-engine last-ulp differences in
+# the transcendental) then one exp quantized to int64 at 1e9, so the
+# weight normalization is a single division of exact integer sums.
+_DOREMI_SCALE = 1_000_000_000
+
+
+@query(
+    "docs_doremi_mixture",
+    oracle=f"""{_sql_wordlm_scored_ctes()},
+    src AS (
+      SELECT s.doc_id, d.source, s.n_bigrams, s.sum_q
+      FROM scored s JOIN documents d USING (doc_id)),
+    per AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        -CAST(sum(sum_q) AS DOUBLE) / (sum(n_bigrams) * {_LM_SCALE}) AS xent
+      FROM src GROUP BY source),
+    base AS (SELECT min(xent) AS ref_xent FROM per),
+    wq AS (
+      SELECT per.*, base.ref_xent,
+        CAST(round(exp(round(xent - base.ref_xent, 8))
+                   * {_DOREMI_SCALE}, 0) AS BIGINT) AS w_q
+      FROM per, base)
+    SELECT source, n_docs, n_bigrams, xent,
+      round(xent - ref_xent, 8) AS excess_xent,
+      CAST(w_q AS DOUBLE) / (SELECT sum(w_q) FROM wq) AS mix_weight
+    FROM wq
+    """,
+    tags=("text", "B15", "mixture", "doremi", "curation"),
+)
+def docs_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting by per-domain excess LM loss — the
+    DoReMi device (Xie et al. 2023) in its deterministic '-lite' form:
+    each source's mean bigram cross-entropy comes from the shared
+    exact-integer LM table (``_wordlm_scored``, the same table behind
+    docs_wordlm_xent and the CCNet buckets); excess = xent minus the
+    corpus-min domain's xent (the -lite simplification of DoReMi's
+    trained reference model); the mixture weight is one exponentiated-
+    gradient step, w_i = exp(excess_i) normalized over domains —
+    upweighting the domains the LM finds hardest, which is exactly the
+    signal DoReMi feeds the proxy-model loop.
+
+    Exactness: per-source sums are int64 (quantized log-probs); xent is
+    one division of exact ints; excess is round-8 quantized BEFORE the
+    exp (the lnq device — absorbs cross-engine last-ulp transcendental
+    differences) and the exp is quantized to int64 at 1e9, so the final
+    normalization is a single division of exact integer sums.
+
+    Scale shape: the LM fit is the shared hash-keyed groupBys; the
+    per-source rollup is a |sources|-key aggregate with map-side
+    combine; the reference xent and the weight total are total-frame
+    windows over the |sources|-row mixture relation (domain-bounded —
+    sources are a dimension, never data-sized — via bounded_window, so
+    the per-source pipeline runs in ONE pass instead of re-executing
+    the LM fit per scalar). One doc_id-keyed join attaches source
+    labels. Unchanged at 100 TB."""
+    scored = _wordlm_scored(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+            F.sum("sum_q").cast("long").alias("sum_q"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            (
+                -F.col("sum_q").cast("double")
+                / (F.col("n_bigrams") * _LM_SCALE)
+            ).alias("xent"),
+        )
+    )
+    w_all = bounded_window("source", "source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wq = per.withColumn("ref_xent", F.min("xent").over(w_all)).withColumn(
+        "w_q",
+        F.round(
+            F.exp(F.round(F.col("xent") - F.col("ref_xent"), 8))
+            * _DOREMI_SCALE,
+            0,
+        ).cast("long"),
+    )
+    return wq.withColumn("w_tot", F.sum("w_q").over(w_all)).select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        "xent",
+        F.round(F.col("xent") - F.col("ref_xent"), 8).alias("excess_xent"),
+        (F.col("w_q").cast("double") / F.col("w_tot")).alias("mix_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup_semantic_kmeans — SemDeDup: k-means clusters + within-cluster prune
 # ---------------------------------------------------------------------------
 

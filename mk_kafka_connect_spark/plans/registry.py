@@ -691,6 +691,7 @@ R17_ADDITIONS: tuple[str, ...] = (
     "sim_eval_hard_negatives",
     "docs_nb_quality_auc",
     "streaming_dedup_within_watermark",
+    "docs_doremi_mixture",
 )
 
 # Queries whose code (or a helper in their reference closure) changed

@@ -133,6 +133,7 @@ SENSITIVE = [
     "sim_eval_hard_negatives",
     "docs_nb_quality_auc",
     "docs_nb_quality_classifier",
+    "docs_doremi_mixture",
 ]
 
 SF = "/root/testdata/sf0.01"

@@ -106,6 +106,9 @@ ALLOWED = {
     "class prior, unseen-bucket Laplace floor, confusion-matrix total)",
     "docs_nb_quality_auc": "same 1-row broadcasts via the shared "
     "_nb_scored path (train-token totals, class prior, Laplace floor)",
+    "docs_doremi_mixture": "1-row broadcasts (shared LM vocabulary size, "
+    "reference-domain xent, weight-normalization total) onto the "
+    "|sources|-row mixture relation",
     "docs_wordlm_xent": "1-row vocabulary-size broadcast (Laplace "
     "smoothing denominator V)",
     "docs_ccnet_buckets": "1-row vocabulary-size broadcast (shared "

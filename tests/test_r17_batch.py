@@ -247,3 +247,40 @@ def test_dedup_within_watermark_eviction_contract(spark, tmp_path):
         assert drained().count((2, "2024-01-01 12:00:00")) == 1
     finally:
         q.stop()
+
+
+def test_doremi_mixture_replayed_in_python(spark):
+    # Independent replay: per-source xent from the ORACLE's shared LM
+    # scored CTE (DuckDB), then the -lite EG step in plain Python —
+    # bit-equal weights, sum-to-one, and hardest-domain-upweighted.
+    from mk_kafka_connect_spark.plans.governance import (
+        _DOREMI_SCALE,
+        _LM_SCALE,
+        _sql_wordlm_scored_ctes,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    per = con.execute(
+        _sql_wordlm_scored_ctes()
+        + """
+        SELECT d.source, CAST(count(*) AS BIGINT),
+          CAST(sum(s.n_bigrams) AS BIGINT), CAST(sum(s.sum_q) AS BIGINT)
+        FROM scored s JOIN documents d USING (doc_id) GROUP BY d.source
+        """
+    ).fetchall()
+    xent = {s: -sq / (nb * _LM_SCALE) for s, _, nb, sq in per}
+    ref = min(xent.values())
+    wq = {s: round(np.exp(round(x - ref, 8)) * _DOREMI_SCALE) for s, x in xent.items()}
+    tot = sum(wq.values())
+    rows = {r["source"]: r for r in _run(spark, "docs_doremi_mixture").collect()}
+    assert set(rows) == set(xent)
+    for s, r in rows.items():
+        assert r["xent"] == xent[s]
+        assert r["excess_xent"] == round(xent[s] - ref, 8)
+        assert r["mix_weight"] == wq[s] / tot
+    assert abs(sum(r["mix_weight"] for r in rows.values()) - 1.0) < 1e-12
+    hardest = max(xent, key=lambda s: xent[s])
+    assert rows[hardest]["mix_weight"] == max(r["mix_weight"] for r in rows.values())
