@@ -231,7 +231,7 @@ def cmd_refresh(round_no: int, certified_path: str) -> None:
         for n, r in rows.items()
         if isinstance(r, dict)
         and r.get("rows_match")
-        and r.get("schema_match") is not False
+        and r.get("schema_match")
         and not r.get("err")
     }
     ledger = load_ledger()
