@@ -41,6 +41,10 @@ __all__ = [
     "R17_ADDITIONS",
     "R17_REWRITTEN_RECERTS",
     "R18_STALE_HEAD",
+    "R9_STALE_FILL",
+    "R19_STALE_POOL",
+    "R18_ADDITIONS",
+    "R18_REWRITTEN_RECERTS",
     "certification_order",
 ]
 
@@ -748,21 +752,132 @@ R17_REWRITTEN_RECERTS: tuple[str, ...] = (
 )
 
 
-CERTIFICATION_FRONT: tuple[str, ...] = _r17_front()
+# ---------------------------------------------------------------------------
+# Round-18 rotation (VERDICT r17 "Next round" #1). CORRECTNESS_r17
+# certified exactly _r17_front() 50/50 green — flipping every r16
+# "local-only" query to driver-certified, re-certifying the 9
+# stale-by-code R16_REWRITTEN_RECERTS, and consuming 30 r8-pool
+# backfills. The r18 window pins the 37-query priority head — the 11
+# R18_STALE_HEAD (the r8-pool leftover: the last queries anywhere with
+# 8-round-old evidence), the 19 stale-by-code R17_REWRITTEN_RECERTS
+# (current-code rows for the Arrow-kernel-swapped sim family and the
+# ADVICE-r17 fix closures), and the 7 never-certified R17_ADDITIONS —
+# then backfills its 13 remaining slots from the 49-query r9-evidence
+# pool (after r17, the oldest evidence anywhere) in registration
+# order. The 30 pool queries that do not fit are staged as
+# R19_STALE_POOL, scheduled across the r19/r20 windows so the r9 pool
+# provably drains to zero, exactly as the r8 pool did. Derivations
+# recomputed from CORRECTNESS_r01–r17 by
+# tests/test_registry_rotation.py.
+# ---------------------------------------------------------------------------
+
+# Queries whose newest green driver row is round 9 (recomputed from
+# the artifacts by tests/test_registry_rotation.py), in registration
+# order. Six of them double as R17_REWRITTEN_RECERTS members and ride
+# the recert head instead of the fill.
+R9_STALE_FILL: tuple[str, ...] = (
+    "cdc_scd2_history",
+    "join_skew_salted",
+    "agg_approx_quantiles",
+    "agg_hll_sketch_merge",
+    "agg_heavy_hitters",
+    "join_lateral_topk",
+    "dedup_minhash_incremental",
+    "dedup_clusters",
+    "sim_topk_lsh",
+    "sim_topk_ivf_sq8",
+    "emb_covariance",
+    "multimodal_resize",
+    "docs_decontaminate_lsh",
+    "docs_stratified_sample",
+    "docs_chunk_overlap",
+    "docs_pack_sequences",
+    "docs_quality_topfrac_by_lang",
+    "emb_label_centroids",
+    "sim_nearest_centroid",
+    "dedup_embedding_clusters",
+    "docs_ngram_topk",
+    "pipeline_training_data_v2",
+    "text_pii_redact",
+    "docs_balance_strata",
+    "docs_weighted_sample",
+    "sim_topk_sq8",
+    "multimodal_ahash",
+    "docs_tfidf_topterms",
+    "docs_epoch_mixture",
+    "join_range_binned",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "agg_approx_distinct",
+    "profile_orders",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "events_gapfill_hourly",
+    "events_anomaly_zscore",
+    "events_gapfill_locf",
+    "events_rollup_multires",
+    "rest_scan_events",
+    "rest_stream_events",
+    "rest_roundtrip_events",
+    "kafka_file_roundtrip",
+    "transform_smt_chain",
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_join",
+    "streaming_dedup_then_window",
+    "udf_pandas_grouped_agg",
+)
+
+
+def _r18_front() -> tuple[str, ...]:
+    head = list(R18_STALE_HEAD)
+    head += [n for n in R17_REWRITTEN_RECERTS if n not in head]
+    head += [n for n in R17_ADDITIONS if n not in head]
+    fill = [n for n in R9_STALE_FILL if n not in head]
+    return tuple((head + fill)[:DRIVER_WINDOW])
+
+
+# The r9-pool leftover after the r18 fill — pinned at the head of the
+# r19 queue (VERDICT r17 "Next round" #4): 30 queries, so r19's window
+# consumes all of them with 20 slots left for r18 stale-by-code
+# re-certs and additions. The r9 pool is gone by r19, one round ahead
+# of the two-round schedule ledgered in COVERAGE.md.
+R19_STALE_POOL: tuple[str, ...] = tuple(
+    n for n in R9_STALE_FILL if n not in _r18_front()
+)
+
+
+# Round-18 additions: zero driver rows by definition; they queue
+# behind R19_STALE_POOL via certification_order().
+R18_ADDITIONS: tuple[str, ...] = ()
+
+# Queries whose code (or a helper in their reference closure) changed
+# in round 18 AFTER the round-17 evidence stamped in
+# QUERY_FINGERPRINTS.json. Derived mechanically: after any source
+# change, `python tools/fingerprints.py check` lists the drifted
+# queries, and tests/test_stale_by_code.py FAILS unless each one holds
+# an r18-window seat or appears here. Members queue for the r19 window
+# behind R19_STALE_POOL.
+R18_REWRITTEN_RECERTS: tuple[str, ...] = ()
+
+
+CERTIFICATION_FRONT: tuple[str, ...] = _r18_front()
 
 
 def certification_order() -> list[str]:
     """Registry names with CERTIFICATION_FRONT pinned to the front.
 
-    The r18 window head is already staged directly behind it: the
-    r8-evidence pool leftover that did not fit the r17 fill
-    (R18_STALE_HEAD — the last queries anywhere with 8-round-old
-    evidence), then this round's never-certified additions; everything
-    else follows in registration order.
+    The r19 window head is already staged directly behind it: the
+    r9-evidence pool leftover that did not fit the r18 fill
+    (R19_STALE_POOL — after r18, the oldest evidence anywhere), then
+    this round's stale-by-code re-certs and never-certified additions;
+    everything else follows in registration order.
     """
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up: list[str] = []
     for n in (
+        *R19_STALE_POOL,
+        *R18_REWRITTEN_RECERTS,
+        *R18_ADDITIONS,
         *R18_STALE_HEAD,
         *R17_REWRITTEN_RECERTS,
         *R17_ADDITIONS,

@@ -10,13 +10,14 @@ shared-helper edit like round 16's ``materialize_result`` swap is
 caught even when the query body is untouched).
 
 The ledger was bootstrapped at commit 22a1fc2 — the exact code the r16
-driver certified AND the code the ledgered end-of-r16 full-registry
-strict-parity run verified 345/345 against the DuckDB oracles. Any
+driver certified — and re-stamped each round from the new CORRECTNESS
+artifact (r17: the 50-query window, refreshed at the unchanged
+end-of-r17 code the driver ran). Any
 query whose HEAD fingerprint differs from its ledgered one has
 certification evidence from older code and MUST hold a pending
-re-certification seat: the r17 window (CERTIFICATION_FRONT), the
-staged r18 queue (R18_STALE_HEAD), this round's derived recert list
-(R17_REWRITTEN_RECERTS), or — for brand-new queries — R17_ADDITIONS.
+re-certification seat: the r18 window (CERTIFICATION_FRONT), the
+staged r19 queue (R19_STALE_POOL), this round's derived recert list
+(R18_REWRITTEN_RECERTS), or — for brand-new queries — R18_ADDITIONS.
 Forgetting to queue a touched query now fails CI instead of waiting
 for a judge to notice.
 
@@ -35,8 +36,9 @@ from mk_kafka_connect_spark.plans.registry import (
     CERTIFICATION_FRONT,
     QUERIES,
     R17_ADDITIONS,
-    R17_REWRITTEN_RECERTS,
-    R18_STALE_HEAD,
+    R18_ADDITIONS,
+    R18_REWRITTEN_RECERTS,
+    R19_STALE_POOL,
 )
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -49,10 +51,14 @@ def test_ledger_covers_every_query():
     ledger = fingerprints.load_ledger()
     assert ledger, "QUERY_FINGERPRINTS.json missing — run fingerprints.py bootstrap"
     unledgered = [
-        n for n in QUERIES if n not in ledger and n not in set(R17_ADDITIONS)
+        n
+        for n in QUERIES
+        if n not in ledger
+        and n not in set(R17_ADDITIONS)
+        and n not in set(R18_ADDITIONS)
     ]
     assert not unledgered, (
-        f"queries with no ledgered fingerprint and no R17_ADDITIONS seat: "
+        f"queries with no ledgered fingerprint and no addition seat: "
         f"{unledgered}"
     )
 
@@ -60,9 +66,9 @@ def test_ledger_covers_every_query():
 def test_drifted_queries_hold_a_pending_recert_seat():
     pending = (
         set(CERTIFICATION_FRONT)
-        | set(R18_STALE_HEAD)
-        | set(R17_REWRITTEN_RECERTS)
-        | set(R17_ADDITIONS)
+        | set(R19_STALE_POOL)
+        | set(R18_REWRITTEN_RECERTS)
+        | set(R18_ADDITIONS)
     )
     stranded = {
         name: row["reason"]
@@ -71,17 +77,17 @@ def test_drifted_queries_hold_a_pending_recert_seat():
     }
     assert not stranded, (
         "stale-by-code queries with no pending re-certification seat "
-        f"(add them to R17_REWRITTEN_RECERTS): {sorted(stranded)}"
+        f"(add them to R18_REWRITTEN_RECERTS): {sorted(stranded)}"
     )
 
 
 def test_recert_list_members_actually_drifted():
     # The inverse guard — the r16 failure mode of listing an untouched
-    # query. A seat in R17_REWRITTEN_RECERTS asserts the code changed;
+    # query. A seat in R18_REWRITTEN_RECERTS asserts the code changed;
     # if the fingerprint still matches the ledger, the listing is wrong
     # (or the ledger refresh already consumed it — then drop the seat).
     drifted = set(fingerprints.drifted())
-    phantom = [n for n in R17_REWRITTEN_RECERTS if n not in drifted]
+    phantom = [n for n in R18_REWRITTEN_RECERTS if n not in drifted]
     assert not phantom, (
-        f"R17_REWRITTEN_RECERTS entries whose code never drifted: {phantom}"
+        f"R18_REWRITTEN_RECERTS entries whose code never drifted: {phantom}"
     )
