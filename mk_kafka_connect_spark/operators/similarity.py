@@ -88,19 +88,34 @@ def _pair_cosine_udf():
     norms are exact, the float64 sqrt/divide are single IEEE ops in the
     same order. ~50× the throughput of the interpreted HOF fold on the
     per-pair hot path (the arrays are already materialized next to each
-    other, so this is pure numpy row-wise work)."""
+    other, so this is pure numpy row-wise work).
+
+    Degenerate pairs — a NULL vector or a zero-norm vector — score SQL
+    NULL, matching the DuckDB oracle (NULL propagation; division by
+    zero is NULL there). The naive kernel instead CRASHED on NULL rows
+    (ragged ndarray) and emitted IEEE NaN on zero norms, which Spark's
+    descending sort ranks FIRST while NULL ranks last — a latent top-k
+    inversion if a degenerate vector ever enters a fixture (ADVICE
+    r17). NaN in the returned float64 Series crosses Arrow as null."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         if a.empty:
             return pd.Series([], dtype="float64")
-        A = np.array(a.tolist(), dtype=np.int64)
-        B = np.array(b.tolist(), dtype=np.int64)
-        dot = (A * B).sum(axis=1).astype(np.float64)
-        na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
-        nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
-        return pd.Series(dot / (na * nb))
+        valid = (a.notna() & b.notna()).to_numpy()
+        out = np.full(len(a), np.nan)
+        if valid.any():
+            A = np.array(a[valid].tolist(), dtype=np.int64)
+            B = np.array(b[valid].tolist(), dtype=np.int64)
+            dot = (A * B).sum(axis=1).astype(np.float64)
+            na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+            denom = na * nb
+            res = np.full(len(A), np.nan)
+            np.divide(dot, denom, out=res, where=denom != 0.0)
+            out[valid] = res
+        return pd.Series(out)
 
     return _cos
 

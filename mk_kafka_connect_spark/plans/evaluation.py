@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..operators import similarity as S
 from ..operators.similarity import quantize
-from .llm import _SQL_QUANT, _sql_cos, _sql_hsig
+from .llm import _BF_QUERY_CAP, _SQL_QUANT, _sql_cos, _sql_hsig
 from .registry import QUERIES as _Q
 from .registry import query
 
@@ -76,7 +76,7 @@ def _register_ndcg_report() -> None:
             CAST(count(*) AS BIGINT) AS n_relevant
           FROM embeddings q JOIN embeddings c
             ON q.label = c.label AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 100
+          WHERE q.vec_id < {_BF_QUERY_CAP}
           GROUP BY q.vec_id),
         idcg AS (
           SELECT n.query_id, CAST(sum(g.g) AS BIGINT) AS idcg_scaled
@@ -150,7 +150,7 @@ def _register_ndcg_report() -> None:
             F.count(F.lit(1)).cast("long").alias("n_label")
         )
         nrel = (
-            emb.filter(F.col("vec_id") < 100)
+            emb.filter(F.col("vec_id") < _BF_QUERY_CAP)
             .join(F.broadcast(label_counts), "label")
             .select(
                 F.col("vec_id").alias("query_id"),
@@ -208,7 +208,7 @@ _register_ndcg_report()
         CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
       FROM flags GROUP BY lang)
     SELECT lang, n AS n_docs, agree AS n_agree,
-      CAST(agree AS DOUBLE) / n AS po,
+      CASE WHEN n = 0 THEN 0.0 ELSE CAST(agree AS DOUBLE) / n END AS po,
       CASE WHEN n * n - a1 * b1 - (n - a1) * (n - b1) = 0 THEN 0.0
            ELSE CAST(n * agree - a1 * b1 - (n - a1) * (n - b1) AS DOUBLE)
                 / (n * n - a1 * b1 - (n - a1) * (n - b1))
@@ -257,7 +257,9 @@ def docs_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n.alias("n_docs"),
         agree.alias("n_agree"),
-        (agree.cast("double") / n).alias("po"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(agree.cast("double") / n)
+        .alias("po"),
         F.when(denom == 0, F.lit(0.0))
         .otherwise((n * agree - chance).cast("double") / denom)
         .alias("kappa"),
@@ -292,9 +294,11 @@ def docs_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(count(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
       FROM bg GROUP BY source)
     SELECT u.source, n_tokens, n_distinct_tokens,
-      CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS distinct_1,
+      CASE WHEN n_tokens = 0 THEN 0.0
+           ELSE CAST(n_distinct_tokens AS DOUBLE) / n_tokens END AS distinct_1,
       n_bigrams, n_distinct_bigrams,
-      CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS distinct_2
+      CASE WHEN n_bigrams = 0 THEN 0.0
+           ELSE CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams END AS distinct_2
     FROM uni u JOIN bi USING (source)
     """,
     tags=("text", "B15", "evaluation", "diversity"),
@@ -345,14 +349,14 @@ def docs_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "n_distinct_tokens",
-        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias(
-            "distinct_1"
-        ),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"))
+        .alias("distinct_1"),
         "n_bigrams",
         "n_distinct_bigrams",
-        (
-            F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
-        ).alias("distinct_2"),
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"))
+        .alias("distinct_2"),
     )
 
 

@@ -508,6 +508,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search.
 # ---------------------------------------------------------------------------
 
+# Query-batch cap for the brute-force evaluation tier: the query set is
+# vec_id < _BF_QUERY_CAP. Shared by sim_topk_bruteforce (both the Spark
+# body and the oracle) and the ranking-metric layer built on its
+# ranking relation (sim_eval_ndcg_mrr's IDCG normalizer), so changing
+# the batch in one place cannot silently desynchronize the others
+# (ADVICE r17).
+_BF_QUERY_CAP = 100
+
 _SQL_QUANT = "list_transform({e}, x -> CAST(round(x * 10000) AS BIGINT))"
 _SQL_DOT = "CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)"
 _SQL_NORM = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
@@ -517,7 +525,7 @@ _SQL_NORM = "sqrt(CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE))"
     "sim_topk_bruteforce",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, {_SQL_QUANT.format(e='embedding')} AS qv
-               FROM embeddings WHERE vec_id < 100),
+               FROM embeddings WHERE vec_id < {_BF_QUERY_CAP}),
     c AS (SELECT vec_id AS neighbor_id, {_SQL_QUANT.format(e='embedding')} AS cv
           FROM embeddings),
     scored AS (
@@ -540,7 +548,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH variant accelerates."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_bruteforce(
-        emb, emb.filter(F.col("vec_id") < 100), k=10
+        emb, emb.filter(F.col("vec_id") < _BF_QUERY_CAP), k=10
     )
 
 

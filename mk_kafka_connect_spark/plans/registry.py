@@ -857,7 +857,16 @@ R18_ADDITIONS: tuple[str, ...] = ()
 # queries, and tests/test_stale_by_code.py FAILS unless each one holds
 # an r18-window seat or appears here. Members queue for the r19 window
 # behind R19_STALE_POOL.
-R18_REWRITTEN_RECERTS: tuple[str, ...] = ()
+#
+# Current members were staled by the round-18 ADVICE fix hardening the
+# Arrow pair-cosine kernel (null/zero-norm pairs now score SQL NULL
+# like the DuckDB oracle instead of crashing/NaN): the detector
+# surfaced every kernel consumer; all but these two already hold r18
+# seats (window or R19_STALE_POOL).
+R18_REWRITTEN_RECERTS: tuple[str, ...] = (
+    "dedup_embedding_lsh",
+    "sim_topk_ivf",
+)
 
 
 CERTIFICATION_FRONT: tuple[str, ...] = _r18_front()

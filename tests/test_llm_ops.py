@@ -380,3 +380,34 @@ def test_ivf_pq_topk_vs_plain_ivf(spark):
     rec_plain = sum(len(e[q] & p[q]) / len(e[q]) for q in e) / len(e)
     assert rec >= 0.6, f"IVF+PQ recall too low: {rec:.2f}"
     assert rec >= rec_plain - 0.1, f"PQ shortlist lost too much: {rec:.2f} vs {rec_plain:.2f}"
+
+
+def test_pair_cosine_kernel_guards_degenerate_vectors(spark):
+    """ADVICE r17: a NULL or zero-norm vector through the Arrow pair-
+    cosine kernel must score SQL NULL — matching the DuckDB oracle's
+    NULL propagation / NULL-on-division-by-zero — not IEEE NaN (which
+    Spark's descending sort ranks FIRST, silently inverting top-k) and
+    not a ragged-ndarray crash. Degenerate neighbors therefore rank
+    LAST in every top-k built on the kernel, in both engines."""
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0, 3.0, 5.0]),
+        (2, [-1.0, 2.0, -3.0, 4.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+        (4, None),  # NULL vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    ).collect()
+    by_rank = {r.rank: r for r in sorted(out, key=lambda r: r.rank)}
+    # Real neighbors first, best match (vec 1) on top.
+    assert by_rank[1].neighbor_id == 1
+    assert all(
+        by_rank[r].cosine is not None for r in (1, 2)
+    ), "real pairs must keep real scores"
+    # Degenerate neighbors present but ranked last with NULL cosine —
+    # the DuckDB ordering (NULLS LAST) and value (NULL) exactly.
+    tail = [by_rank[r] for r in (3, 4)]
+    assert sorted(t.neighbor_id for t in tail) == [3, 4]
+    assert all(t.cosine is None for t in tail), "degenerate pairs must be NULL, not NaN"
