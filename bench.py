@@ -402,6 +402,30 @@ def _fixture_hashes(sf_dir: str) -> dict[str, str]:
     return hashes
 
 
+# Contention thresholds (VERDICT r17 #2): r16 AND r17 both shipped their
+# official artifact from a loaded host, and each cost a judge-side solo
+# re-bench to adjudicate phantom outliers. The preamble made contention
+# *visible*; the stamp makes it *refusable* — when the start load or the
+# anchor probe crosses a threshold the artifact carries
+# `"contended": true` and a stderr warning tells the operator to re-run
+# once the host is quiet. Thresholds per the verdict: load1 > 1.5, or
+# probe > 1.5x the ~0.6 s quiet-host standing anchor (BASELINE.md
+# §Round-16 standing anchors).
+CONTENTION_LOAD1 = 1.5
+Q1_QUIET_ANCHOR_SEC = 0.6
+CONTENTION_ANCHOR_FACTOR = 1.5
+
+
+def _contended(load1: float | None, probe_sec: object) -> bool:
+    return bool(
+        (load1 or 0.0) > CONTENTION_LOAD1
+        or (
+            isinstance(probe_sec, (int, float))
+            and probe_sec > CONTENTION_ANCHOR_FACTOR * Q1_QUIET_ANCHOR_SEC
+        )
+    )
+
+
 def _host_load() -> dict[str, float]:
     try:
         l1, l5, l15 = os.getloadavg()
@@ -434,6 +458,18 @@ def main() -> None:
         )
     except Exception as ex:  # noqa: BLE001  # probe failure must not kill the bench
         anchor_probe["err"] = f"{type(ex).__name__}: {ex}"[:120]
+
+    probe_sec = anchor_probe.get("sec")
+    contended = _contended(host_load["start"].get("load1"), probe_sec)
+    if contended:
+        print(
+            "bench: WARNING host is contended "
+            f"(load1={host_load['start'].get('load1')}, "
+            f"anchor_probe={probe_sec}s vs ~{_Q1_QUIET_ANCHOR_SEC}s quiet) — "
+            "artifact will be stamped contended; re-run on a quiet host "
+            "before committing it as the round's official number",
+            file=sys.stderr,
+        )
 
     names = [n for n in (HEADLINE_CORE if core_tier else HEADLINE) if n in QUERIES]
     extra = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -488,6 +524,8 @@ def main() -> None:
         "host_load": host_load,
         "anchor_probe": anchor_probe,
     }
+    if contended:
+        full["contended"] = True
     if core_tier:
         full["tier"] = "core"
     if errors:
@@ -526,6 +564,8 @@ def main() -> None:
         "load1": host_load["start"].get("load1"),
         "queries": compact_q,
     }
+    if contended:
+        base["contended"] = True
     for name in priority:
         compact_q[name] = round(timings[name], 2)
         if len(json.dumps(base, separators=(",", ":"))) > PRINT_BUDGET:

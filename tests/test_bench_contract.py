@@ -46,3 +46,18 @@ def test_committed_artifact_carries_the_preamble():
     assert probe.get("sec") or probe.get("err")
     hl = art["host_load"]
     assert "start" in hl and "end" in hl and hl.get("cpus")
+
+
+def test_contention_stamp_thresholds():
+    """VERDICT r17 #2: the artifact must self-declare contention so the
+    judge can refuse it instead of re-benching phantom outliers. Loaded
+    host OR slow anchor probe => contended; quiet host and healthy
+    probe => not."""
+    b = _bench_module()
+    assert b._contended(2.0, 0.5) is True  # loaded host, fast probe
+    assert b._contended(0.4, 1.2) is True  # quiet load, slow probe
+    assert b._contended(0.4, 0.7) is False  # both healthy
+    assert b._contended(None, None) is False  # probe errored: no claim
+    # Thresholds are the documented verdict values.
+    assert b.CONTENTION_LOAD1 == 1.5
+    assert b.CONTENTION_ANCHOR_FACTOR * b.Q1_QUIET_ANCHOR_SEC == 1.5 * 0.6
