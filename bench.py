@@ -465,7 +465,7 @@ def main() -> None:
         print(
             "bench: WARNING host is contended "
             f"(load1={host_load['start'].get('load1')}, "
-            f"anchor_probe={probe_sec}s vs ~{_Q1_QUIET_ANCHOR_SEC}s quiet) — "
+            f"anchor_probe={probe_sec}s vs ~{Q1_QUIET_ANCHOR_SEC}s quiet) — "
             "artifact will be stamped contended; re-run on a quiet host "
             "before committing it as the round's official number",
             file=sys.stderr,

@@ -848,7 +848,12 @@ R19_STALE_POOL: tuple[str, ...] = tuple(
 
 # Round-18 additions: zero driver rows by definition; they queue
 # behind R19_STALE_POOL via certification_order().
-R18_ADDITIONS: tuple[str, ...] = ()
+R18_ADDITIONS: tuple[str, ...] = (
+    "docs_dedup_impact_report",
+    "docs_pii_prevalence",
+    "docs_nb_threshold_sweep",
+    "emb_quantization_error",
+)
 
 # Queries whose code (or a helper in their reference closure) changed
 # in round 18 AFTER the round-17 evidence stamped in

@@ -46,6 +46,8 @@ ALLOWED = {
     "subquery_correlated_scalar": "decorrelated scalar may plan as 1-row broadcast",
     "docs_vocab_coverage": "1-row corpus-token-total broadcast",
     "docs_balance_strata": "1-row min-stratum-cap broadcast",
+    "docs_nb_threshold_sweep": "7-row threshold-ladder broadcast (the "
+    "operating-point sweep is a constant-sized expansion by design)",
     "docs_tfidf_topterms": "1-row corpus-doc-count broadcast",
     "docs_weighted_sample": "1-row max-weight broadcast",
     "docs_good_turing": "1-row corpus-totals broadcast (n_tokens, vocab, "
