@@ -134,6 +134,13 @@ SENSITIVE = [
     "docs_nb_quality_auc",
     "docs_nb_quality_classifier",
     "docs_doremi_mixture",
+    # round-18 additions: impact/prevalence/sweep are integer-count
+    # aggregations with one guarded division; the quantization report's
+    # per-row int64-scaled doubles make its label means order-independent
+    "docs_dedup_impact_report",
+    "docs_pii_prevalence",
+    "docs_nb_threshold_sweep",
+    "emb_quantization_error",
 ]
 
 SF = "/root/testdata/sf0.01"
