@@ -408,11 +408,16 @@ def _fixture_hashes(sf_dir: str) -> dict[str, str]:
 # *visible*; the stamp makes it *refusable* — when the start load or the
 # anchor probe crosses a threshold the artifact carries
 # `"contended": true` and a stderr warning tells the operator to re-run
-# once the host is quiet. Thresholds per the verdict: load1 > 1.5, or
-# probe > 1.5x the ~0.6 s quiet-host standing anchor (BASELINE.md
-# §Round-16 standing anchors).
+# once the host is quiet. Load threshold per the verdict: load1 > 1.5.
+# The probe reference is the COLD-probe standing value, not the warm
+# in-session 0.52 s anchor: the probe runs as the first query of a
+# fresh session, and r18 measurement showed a quiet host reads
+# 0.74-1.0 s cold (while r17's probe read 0.76 s under load1 6.14 —
+# the load check, not the probe, caught that one). 1.5x the ~0.8 s
+# cold standing value keeps the probe as a burst detector without
+# false-stamping quiet hosts.
 CONTENTION_LOAD1 = 1.5
-Q1_QUIET_ANCHOR_SEC = 0.6
+Q1_QUIET_ANCHOR_SEC = 0.8  # cold-probe standing value (re-measured r18)
 CONTENTION_ANCHOR_FACTOR = 1.5
 
 

@@ -55,9 +55,10 @@ def test_contention_stamp_thresholds():
     probe => not."""
     b = _bench_module()
     assert b._contended(2.0, 0.5) is True  # loaded host, fast probe
-    assert b._contended(0.4, 1.2) is True  # quiet load, slow probe
-    assert b._contended(0.4, 0.7) is False  # both healthy
+    assert b._contended(0.4, 1.5) is True  # quiet load, slow probe (burst)
+    assert b._contended(0.4, 1.0) is False  # quiet-host cold probe range
     assert b._contended(None, None) is False  # probe errored: no claim
-    # Thresholds are the documented verdict values.
+    # Load threshold is the verdict value; the probe reference is the
+    # cold-probe standing value re-measured in r18 (see bench.py).
     assert b.CONTENTION_LOAD1 == 1.5
-    assert b.CONTENTION_ANCHOR_FACTOR * b.Q1_QUIET_ANCHOR_SEC == 1.5 * 0.6
+    assert b.CONTENTION_ANCHOR_FACTOR * b.Q1_QUIET_ANCHOR_SEC == 1.5 * 0.8
