@@ -299,6 +299,39 @@ def simhash_near_dups(
     return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
 
 
+def _filtered_shingle_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """(doc, s) distinct-shingle relation with the stop-shingle cap
+    applied, materialized ONCE (localCheckpoint inside the query body).
+
+    The exact-tier pair queries consume this relation four ways (the
+    frequency model, the per-doc sizes, and both sides of the shingle
+    self-join); without the checkpoint Spark re-derives the scan +
+    shingle Generate per consumer — measured 6 documents scans / 4
+    frequency aggregates in the r18 before-plan of dedup_ngram_jaccard.
+    One explode + one materialization is the guide §2.4/§5
+    persist-between-superstages shape; the downstream self-join then
+    reuses one shuffle exchange for both sides (identical subtrees)."""
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
+    )
+    if max_shingle_freq is None:
+        return ex.localCheckpoint(eager=False)
+    ex = ex.localCheckpoint(eager=False)
+    freq_ok = (
+        ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= max_shingle_freq)
+        .select("s")
+    )
+    return ex.join(freq_ok, "s").localCheckpoint(eager=False)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -319,17 +352,7 @@ def ngram_jaccard_pairs(
     the dominant cost is the pair group-by after the join, and the
     interpreted char-fold adds ~20%; string keys kept.)
     Returns (id_a, id_b, jaccard)."""
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
-    )
-    if max_shingle_freq is not None:
-        freq_ok = (
-            ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_shingle_freq)
-            .select("s")
-        )
-        ex = ex.join(freq_ok, "s")
+    ex = _filtered_shingle_relation(df, text_col, id_col, n, max_shingle_freq)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (
@@ -376,9 +399,21 @@ def connected_components(
     # against it, and without the checkpoint each round would re-run the
     # entire upstream pipeline that produced the pairs (e.g. the full
     # MinHash signature computation — measured 4× the whole operator).
+    # Symmetrize in ONE pass over the pair relation (explode of the two
+    # orientations) — the union-of-two-selects form derived the whole
+    # upstream pair pipeline twice before the checkpoint could help.
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -571,19 +606,10 @@ def ngram_containment_pairs(
     for pairs where EITHER direction reaches ``threshold``.
 
     Same shingle-key self-join shape and ``max_shingle_freq`` skew
-    guard as :func:`ngram_jaccard_pairs`; only the normalization
-    differs, so scale posture is identical."""
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
-    )
-    if max_shingle_freq is not None:
-        freq_ok = (
-            ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_shingle_freq)
-            .select("s")
-        )
-        ex = ex.join(freq_ok, "s")
+    guard as :func:`ngram_jaccard_pairs` (including its single-derivation
+    checkpoint); only the normalization differs, so scale posture is
+    identical."""
+    ex = _filtered_shingle_relation(df, text_col, id_col, n, max_shingle_freq)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (

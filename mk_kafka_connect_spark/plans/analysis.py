@@ -465,10 +465,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
+    # Both endpoints in ONE pass per round (explode, not a unionAll that
+    # reads the checkpointed edge list twice), and an early fixpoint
+    # exit: peeling is monotone, so an unchanged edge count means every
+    # remaining unrolled round is the identity — the oracle's fixed
+    # 8-round CTE chain computes the same fixpoint (asserted stable at
+    # round 6 on the fixture in tests). The count is free: the eager
+    # checkpoint just materialized the RDD.
+    n_edges = edges.count()
     for _ in range(_KCORE_ROUNDS):
         deg = (
-            edges.select(F.col("a").alias("node"))
-            .unionAll(edges.select(F.col("b").alias("node")))
+            edges.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -479,9 +486,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
+        n_next = edges.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
     deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -1146,9 +1156,19 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") >= _LPA_MIN_ORDERS)
         .select("a", "b")
     )
+    # Both orientations in ONE pass over the edge build (explode) — the
+    # unionAll form re-ran the orders⋈lineitem groupBy/HAVING pipeline
+    # once per branch before the checkpoint could help.
     ed = (
-        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .localCheckpoint(eager=True)
     )
     labels = ed.select(F.col("u").alias("node")).distinct().select(

@@ -721,15 +721,25 @@ def _register_stage_funnel() -> None:
         from ..operators.text import fingerprint, gopher_quality_flags
 
         d = load_table(spark, sf_dir, "documents")
+        # Materialize each funnel stage ONCE: the per-stage counting
+        # union re-derives every stage's full prefix (the r18
+        # before-plan ran the Gopher gate 3× and the fingerprint 2× —
+        # 6 documents scans for a 4-row result). Checkpointing the
+        # gate survivors and the dedup survivors is the guide §2.4/§5
+        # persist-between-superstages discipline; each stage's pipeline
+        # now runs exactly once per invocation.
         passed = (
             gopher_quality_flags(d, "text")
             .filter(F.col("pass_gopher"))
             .select("doc_id", "text")
+            .localCheckpoint(eager=False)
         )
         fp = fingerprint(passed, "text")
         canon = fp.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
-        dd = fp.join(canon.select("doc_id"), "doc_id", "left_semi").select(
-            "doc_id", "text"
+        dd = (
+            fp.join(canon.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=False)
         )
         pairs = D_ops.minhash_near_dups(
             dd, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.7
@@ -1326,9 +1336,12 @@ def _register_dsir() -> None:
                 F.concat(words(F.col("text")), shingles("text", 2))
             ).alias("g"),
         )
+        # Materialize the hashed feature relation ONCE: the class-model
+        # fit and the scoring pass both consumed it before (two
+        # explode + md5 passes over the corpus in the r18 before-plan).
         feats = grams.select(
             "doc_id", "source", (md5_mod(F.col("g")) % _DSIR_B).alias("b")
-        )
+        ).localCheckpoint(eager=False)
         is_t = F.col("source") == _DSIR_TARGET
         model = feats.groupBy("b").agg(
             F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
@@ -1576,7 +1589,14 @@ def _register_mutual_knn() -> None:
         banding is."""
         from .registry import QUERIES as _QQ
 
-        pairs = _QQ["dedup_embedding_lsh"].fn(spark, sf_dir)
+        # Materialize the verified pair set ONCE: it feeds both
+        # orientations of the symmetrization, and each orientation would
+        # otherwise re-run the entire LSH candidate + Arrow-cosine
+        # pipeline (Spark shares no subtrees across union branches) —
+        # the r18 before-plan showed the embeddings scan + kernel ×4.
+        pairs = _QQ["dedup_embedding_lsh"].fn(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
         sym = pairs.select(
             F.col("id_a").alias("src"),
             F.col("id_b").alias("dst"),
@@ -1591,10 +1611,13 @@ def _register_mutual_knn() -> None:
         w = Window.partitionBy("src").orderBy(
             F.desc("cosine"), F.asc("dst")
         )
+        # best feeds both sides of the reciprocity join — checkpoint the
+        # node-sized best-edge relation so the argmax window runs once.
         best = (
             sym.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("src", "dst", "cosine")
+            .localCheckpoint(eager=False)
         )
         other = best.select(
             F.col("src").alias("_osrc"), F.col("dst").alias("_odst")

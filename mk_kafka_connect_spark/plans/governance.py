@@ -452,6 +452,12 @@ def _wordlm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
+    # Materialize the hashed bigram relation ONCE: it feeds the bigram
+    # model, the first-word model, and the scoring join — three
+    # derivations of the explode + double-md5 pass in the r18
+    # before-plan. The checkpointed result below is likewise consumed
+    # twice by every caller (xent/ccnet/doremi join it back to its own
+    # rollup), so both materializations are guide §2.4/§5 shapes.
     ex = docs.filter(F.size(words(F.col("text"))) >= 2).select(
         "doc_id",
         "lang",
@@ -461,7 +467,7 @@ def _wordlm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         md5_mod(F.col("bg")).alias("h12"),
         md5_mod(F.substring_index(F.col("bg"), " ", 1)).alias("h1"),
-    )
+    ).localCheckpoint(eager=False)
     c12 = ex.groupBy("h12").agg(F.count(F.lit(1)).alias("c12"))
     c1 = ex.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))
@@ -485,6 +491,7 @@ def _wordlm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum("lnp_q").alias("sum_q"),
         )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -871,8 +878,17 @@ def _register_semantic_kmeans() -> None:
         grown ~sqrt(n) so clusters stay bounded); at 100 TB raise k and
         the same plan holds. Cites SURVEY.md §2.B15 (dedup family);
         reference has no semantic dedup — this is LLM-pipeline surface."""
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", quantize(F.col("embedding")).alias("q")
+        # Materialize the quantized corpus ONCE: the Lloyd chain and the
+        # final assignment each re-derived the scan + quantize per
+        # round, and the final assignment's plan embedded the ENTIRE
+        # chain again for each of its three consumers (self-join a/b +
+        # keep join) — 12 embeddings scans in the r18 before-plan.
+        # Checkpointing emb, the 8-row centroid table per round, and fin
+        # runs each Lloyd stage exactly once (guide §2.4/§5).
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+            .localCheckpoint(eager=False)
         )
         seeds = (
             emb.select(
@@ -889,8 +905,8 @@ def _register_semantic_kmeans() -> None:
             F.col("q").alias("c"),
         )
         for _ in range(_SEM_ITERS):
-            cents = _update(_assign(emb, cents))
-        fin = _assign(emb, cents)
+            cents = _update(_assign(emb, cents)).localCheckpoint(eager=False)
+        fin = _assign(emb, cents).localCheckpoint(eager=False)
         a, b = fin.alias("a"), fin.alias("b")
         pairs = (
             a.join(
@@ -1270,13 +1286,34 @@ def _register_fellegi_sunter() -> None:
             (F.col("band_a") == F.col("band_b")).alias("g2"),
             (F.col("ka") == F.col("kb")).alias("tm"),
         )
-        stats = cand.agg(
-            F.sum(F.when(F.col("tm"), 1).otherwise(0)).alias("md"),
-            F.sum(F.when(F.col("tm") & F.col("g1"), 1).otherwise(0)).alias("mn1"),
-            F.sum(F.when(F.col("tm") & F.col("g2"), 1).otherwise(0)).alias("mn2"),
-            F.sum(F.when(~F.col("tm"), 1).otherwise(0)).alias("ud"),
-            F.sum(F.when(~F.col("tm") & F.col("g1"), 1).otherwise(0)).alias("un1"),
-            F.sum(F.when(~F.col("tm") & F.col("g2"), 1).otherwise(0)).alias("un2"),
+        # ONE pass over the blocked pair relation: everything downstream
+        # (the m/u stats, the per-pair score, the final classification
+        # matrix) is a function of the agreement PATTERN (g1, g2, tm)
+        # alone, so aggregate the Σ|block|² candidate join to its ≤8
+        # pattern counts first. The previous shape consumed `cand`
+        # twice (stats + scoring) and re-ran the blocked self-join +
+        # md5 noise derivation per consumer (guide §1.2 step 1: fix the
+        # distributed algorithm — the pair enumeration IS the cost).
+        patterns = (
+            cand.groupBy("g1", "g2", "tm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=False)
+        )
+        stats = patterns.agg(
+            F.sum(F.when(F.col("tm"), F.col("n")).otherwise(0)).alias("md"),
+            F.sum(
+                F.when(F.col("tm") & F.col("g1"), F.col("n")).otherwise(0)
+            ).alias("mn1"),
+            F.sum(
+                F.when(F.col("tm") & F.col("g2"), F.col("n")).otherwise(0)
+            ).alias("mn2"),
+            F.sum(F.when(~F.col("tm"), F.col("n")).otherwise(0)).alias("ud"),
+            F.sum(
+                F.when(~F.col("tm") & F.col("g1"), F.col("n")).otherwise(0)
+            ).alias("un1"),
+            F.sum(
+                F.when(~F.col("tm") & F.col("g2"), F.col("n")).otherwise(0)
+            ).alias("un2"),
         )
 
         def agree_w(mn, un):
@@ -1315,8 +1352,9 @@ def _register_fellegi_sunter() -> None:
             agree_w("mn2", "un2").alias("w2a"),
             disagree_w("mn2", "un2").alias("w2d"),
         )
-        scored = cand.crossJoin(F.broadcast(weights)).select(
+        scored = patterns.crossJoin(F.broadcast(weights)).select(
             "tm",
+            "n",
             (
                 F.when(F.col("g1"), F.col("w1a")).otherwise(F.col("w1d"))
                 + F.when(F.col("g2"), F.col("w2a")).otherwise(F.col("w2d"))
@@ -1324,6 +1362,7 @@ def _register_fellegi_sunter() -> None:
         )
         classified = scored.select(
             "tm",
+            "n",
             F.when(F.col("score_q") >= _FS_T_HI, "match")
             .when(F.col("score_q") > _FS_T_LO, "possible")
             .otherwise("non_match")
@@ -1331,7 +1370,7 @@ def _register_fellegi_sunter() -> None:
         )
         return (
             classified.groupBy("classification", F.col("tm").alias("is_true_match"))
-            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .agg(F.sum("n").cast("long").alias("n_pairs"))
         )
 
 
@@ -2367,11 +2406,20 @@ def _register_textrank() -> None:
             md5_mod(F.substring_index(F.col("bg"), " ", 1)).alias("h1"),
             md5_mod(F.substring_index(F.col("bg"), " ", -1)).alias("h2"),
         ).filter(F.col("h1") != F.col("h2"))
+        # Both directions in ONE pass over the bigram explode (the
+        # unionAll form re-ran the explode + double-md5 per branch).
         edges = bg.select(
-            F.col("h1").alias("src"), F.col("h2").alias("dst")
-        ).unionAll(
-            bg.select(F.col("h2").alias("src"), F.col("h1").alias("dst"))
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("h1").alias("src"), F.col("h2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("h2").alias("src"), F.col("h1").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
         pr = pagerank(edges, iterations=_TR_ITER)
         wmap = (
             docs.select(F.explode(words(F.col("text"))).alias("w"))

@@ -248,9 +248,21 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # Both orientations in ONE pass over the pair aggregate (explode of
+    # the two orientations) — the unionAll form re-ran the distinct +
+    # self-join + groupBy pipeline once per branch.
     directed = pairs.select(
-        F.col("s").alias("z"), F.col("t").alias("n"), "w"
-    ).unionAll(pairs.select(F.col("t").alias("z"), F.col("s").alias("n"), "w"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("z"), F.col("t").alias("n"), F.col("w")
+                ),
+                F.struct(
+                    F.col("t").alias("z"), F.col("s").alias("n"), F.col("w")
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.z", "_d.n", "_d.w")
     wk = W.partitionBy("z").orderBy(F.desc("w"), F.asc("n"))
     knn = (
         directed.withColumn("rk", F.row_number().over(wk))
@@ -334,9 +346,15 @@ def graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V|² — then a hash anti-join against the edge set and two
     node-sized degree joins. Global top-k is a TakeOrdered."""
     edges = _knn_edges(spark, sf_dir)
-    adj = edges.select(F.col("s").alias("z"), F.col("t").alias("n")).unionAll(
-        edges.select(F.col("t").alias("z"), F.col("s").alias("n"))
-    )
+    # One pass over the checkpointed edge list for both orientations.
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("z"), F.col("t").alias("n")),
+                F.struct(F.col("t").alias("z"), F.col("s").alias("n")),
+            )
+        ).alias("_a")
+    ).select("_a.z", "_a.n")
     deg = adj.groupBy(F.col("z").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -441,9 +459,15 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     of operators/graph.py::pagerank). No collect: the seed is a 1-row
     aggregate cross-joined in."""
     edges = _knn_edges(spark, sf_dir)
-    adj = edges.select(F.col("s").alias("z"), F.col("t").alias("n")).unionAll(
-        edges.select(F.col("t").alias("z"), F.col("s").alias("n"))
-    ).localCheckpoint(eager=True)
+    # One pass over the checkpointed edge list for both orientations.
+    adj = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("z"), F.col("t").alias("n")),
+                F.struct(F.col("t").alias("z"), F.col("s").alias("n")),
+            )
+        ).alias("_a")
+    ).select("_a.z", "_a.n").localCheckpoint(eager=True)
     seed = adj.agg(F.min("z").alias("node")).withColumn("level", F.lit(0))
     visited = seed.localCheckpoint(eager=True)
     frontier = visited
@@ -527,11 +551,16 @@ def _register_assortativity() -> None:
         edges by node key (shuffle hash joins), moments are one plain
         aggregate; no global window, no sort, no collect."""
         edges = _knn_edges(spark, sf_dir)
+        # One pass over the checkpointed edge list for both endpoints;
+        # deg feeds three consumers (both half-joins + n_nodes), so the
+        # node-sized table is materialized once.
         deg = (
-            edges.select(F.col("s").alias("node"))
-            .unionAll(edges.select(F.col("t").alias("node")))
+            edges.select(
+                F.explode(F.array(F.col("s"), F.col("t"))).alias("node")
+            )
             .groupBy("node")
             .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .localCheckpoint(eager=False)
         )
         half = (
             edges.join(deg.withColumnRenamed("node", "s"), "s")
@@ -546,14 +575,20 @@ def _register_assortativity() -> None:
                 (F.col("ds") - 1).alias("x"), (F.col("dt") - 1).alias("y")
             )
         )
-        stubs = half.unionAll(
-            half.select(F.col("y").alias("x"), F.col("x").alias("y"))
-        )
-        s = stubs.agg(
-            F.count(F.lit(1)).cast("long").alias("m"),
-            F.sum("x").cast("long").alias("sx"),
-            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        # The stub moments fold over `half` ONCE: stubs = half ∪ swapped
+        # means m = 2·|half|, Sx = Σx+Σy, Sxx = Σx²+Σy², Sxy = 2·Σxy —
+        # exact integer identities, so the unionAll (which re-ran the
+        # degree joins per branch) is unnecessary.
+        s = half.agg(
+            (F.count(F.lit(1)) * 2).cast("long").alias("m"),
+            (F.sum("x") + F.sum("y")).cast("long").alias("sx"),
+            (
+                F.sum(F.col("x") * F.col("x"))
+                + F.sum(F.col("y") * F.col("y"))
+            )
+            .cast("long")
+            .alias("sxx"),
+            (F.sum(F.col("x") * F.col("y")) * 2).cast("long").alias("sxy"),
         )
         n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         md = F.col("m").cast("double")

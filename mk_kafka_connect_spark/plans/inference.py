@@ -844,6 +844,10 @@ def _register_theil_sen() -> None:
         prefix device over 256-cents/day bands; everything upstream
         (the per-day aggregate) is one keyed shuffle of the orders
         table with map-side combine."""
+        # Materialize the calendar-bounded day table ONCE (≤ ~2.4k rows):
+        # it feeds both sides of the pair self-join AND the OLS moment
+        # aggregate — three orders scans + day aggregates in the r18
+        # before-plan (guide §2.4/§5).
         day = (
             load_table(spark, sf_dir, "orders")
             .groupBy(
@@ -852,6 +856,7 @@ def _register_theil_sen() -> None:
                 ).alias("d")
             )
             .agg(F.sum(dec2("o_totalprice") * 100).cast("long").alias("c"))
+            .localCheckpoint(eager=False)
         )
         a = day.select(F.col("d").alias("du"), F.col("c").alias("cu"))
         b = day.select(F.col("d").alias("dv"), F.col("c").alias("cv"))
@@ -868,12 +873,22 @@ def _register_theil_sen() -> None:
                 ).alias("slope")
             )
         )
-        m = pairs.agg(
-            F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.floor((F.count(F.lit(1)) + 1) / 2).cast("long").alias("k1"),
-            (F.floor(F.count(F.lit(1)) / 2) + 1).cast("long").alias("k2"),
+        # ONE pass over the O(days²) pair relation: the slope counts are
+        # a sufficient statistic for the order-statistic selection, so
+        # the pair total (and the two median ranks) derive from the
+        # checkpointed count table instead of a second broadcast
+        # nested-loop pass (the r18 before-plan enumerated the ~3M
+        # pairs twice — once for m, once for sc).
+        sc = (
+            pairs.groupBy("slope")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False)
         )
-        sc = pairs.groupBy("slope").agg(F.count(F.lit(1)).alias("cnt"))
+        m = sc.agg(
+            F.sum("cnt").cast("long").alias("n_pairs"),
+            F.floor((F.sum("cnt") + 1) / 2).cast("long").alias("k1"),
+            (F.floor(F.sum("cnt") / 2) + 1).cast("long").alias("k2"),
+        )
         blk = sc.withColumn(
             "_blk", F.floor(F.col("slope") / _TS_BLK).cast("long")
         )

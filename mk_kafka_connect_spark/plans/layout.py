@@ -201,9 +201,16 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             x, y = nx, ny
         return pd.Series(hd)
 
+    # Materialize the keyed relation ONCE: the three layout rankings
+    # (natural / zorder / hilbert) each consume it twice (block counts +
+    # the ranked join), and the three predicate aggregates below each
+    # re-derived all of that — the r18 before-plan ran the scan + Morton
+    # interleave + Hilbert Arrow kernel up to 9×. One scan, one kernel
+    # pass (guide §2.4/§5; §4: pass the Python stage's output on, don't
+    # recompute it).
     keyed = zed.withColumn("z", z).withColumn(
         "hd", _hilbert(F.col("s_ok"), F.col("s_pk"))
-    )
+    ).localCheckpoint(eager=False)
 
     def grouped(df: DataFrame, layout: str, blk, order_cols: list) -> DataFrame:
         # Global rank WITHOUT a single-partition sort: the two-phase
@@ -279,16 +286,25 @@ def layout_zorder_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orderkey_only": (F.col("max_ok") >= _OK_LO) & (F.col("min_ok") <= _OK_HI),
         "partkey_only": (F.col("max_pk") >= _PK_LO) & (F.col("min_pk") <= _PK_HI),
     }
-    parts = [
-        stats.groupBy("layout").agg(
-            F.count(F.lit(1)).alias("n_groups"),
-            F.sum(F.when(cond, 1).otherwise(0)).alias("n_overlap"),
-        ).withColumn("predicate", F.lit(name))
-        for name, cond in preds.items()
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # All three predicate counts in ONE aggregate over the row-group
+    # stats, then stack to (layout, predicate) rows — the previous
+    # one-aggregate-per-predicate union re-derived the whole stats
+    # relation (and its upstream rankings) three times.
+    one = stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_ov_{name}")
+            for name, cond in preds.items()
+        ],
+    )
+    stack_args = ", ".join(f"'{name}', _ov_{name}" for name in preds)
+    out = one.select(
+        "layout",
+        "n_groups",
+        F.expr(
+            f"stack({len(preds)}, {stack_args}) AS (predicate, n_overlap)"
+        ),
+    )
     return out.select(
         "layout",
         "predicate",

@@ -871,6 +871,35 @@ R18_ADDITIONS: tuple[str, ...] = (
 R18_REWRITTEN_RECERTS: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "sim_topk_ivf",
+    # Staled by the round-18 optimization batch 1 (single-derivation
+    # restructures: shared checkpointed shingle/edge/LM relations,
+    # explode-instead-of-unionAll symmetrizations, sufficient-statistic
+    # aggregates for Fellegi-Sunter/Theil-Sen/assortativity/bigram
+    # rarity). Every member re-verified against its DuckDB oracle at
+    # sf0.01 this round (tools/parity_check.py, 25/25 green) before the
+    # batch was committed; the driver rows queue here for r19. The
+    # other batch-1 queries (dedup_clusters, dedup_embedding_clusters,
+    # dedup_split_leakage, dedup_semantic_kmeans, docs_doremi_mixture,
+    # docs_nb_quality_auc, graph_triangles) already hold r18-window or
+    # pool seats.
+    "basket_brand_affinity",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "docs_ccnet_buckets",
+    "docs_char_bigram_rarity",
+    "docs_dsir_importance",
+    "docs_textrank_keywords",
+    "docs_wordlm_xent",
+    "er_fellegi_sunter",
+    "graph_assortativity",
+    "graph_bfs_levels",
+    "graph_communities_lpa",
+    "graph_kcore",
+    "graph_linkpred",
+    "layout_zorder_pruning_stats",
+    "orders_theil_sen",
+    "pipeline_stage_funnel",
+    "sim_mutual_knn",
 )
 
 

@@ -295,20 +295,35 @@ def docs_char_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    model = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # Pre-aggregate the bigram occurrences to per-(doc, bigram) counts
+    # and materialize that ONCE: the model fit and the scoring join both
+    # consumed the raw explode before (two scan + substring-transform
+    # passes in the r18 before-plan), and every per-doc aggregate below
+    # is a weighted sum over the (doc, bigram) relation — same exact
+    # integers, one explode, and the scoring join input shrinks from
+    # per-occurrence to per-distinct-bigram rows (guide §2.3: aggregate
+    # before you shuffle; §2.4/§5: materialize the shared diamond).
+    bgc = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c_db"))
+        .localCheckpoint(eager=False)
+    )
+    model = bgc.groupBy("b").agg(F.sum("c_db").alias("c"))
     n = model.agg(F.sum("c").alias("n_total"))
     scored = (
-        bg.join(F.broadcast(model), "b")
+        bgc.join(F.broadcast(model), "b")
         .crossJoin(F.broadcast(n))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.countDistinct("b").alias("n_distinct"),
+            F.sum("c_db").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
             F.sum(
-                F.when(F.col("c") * 10000 < F.col("n_total"), 1).otherwise(0)
+                F.when(
+                    F.col("c") * 10000 < F.col("n_total"), F.col("c_db")
+                ).otherwise(0)
             ).alias("n_rare"),
             F.sum(
-                (F.col("n_total") / F.col("c")).cast("long")
+                (F.col("n_total") / F.col("c")).cast("long") * F.col("c_db")
             ).alias("rarity_score"),
         )
     )

@@ -194,12 +194,8 @@ SCAN_ALLOWED = {
     # the static count overstates executed scans.
     "graph_triangles": "edges/oriented/deg re-referenced through 3 "
     "equi-joins; ReusedExchange=21 verified in the final plan",
-    "layout_zorder_pruning_stats": "per-layout pruning legs over the same "
-    "file stats; exchange-reused",
     "orders_conformal_interval": "calibration/score legs re-reference the "
     "same residual relation; exchange-reused",
-    "sim_mutual_knn": "both kNN directions re-reference the same scored "
-    "pair relation; exchange-reused",
     "dedup_semantic_kmeans": "one assignment leg per Lloyd round over the "
     "same embedding relation (k-round constant); exchange-reused",
 }
@@ -299,12 +295,14 @@ def test_no_unexpected_scale_smells(spark, name):
 # subtrees non-identical (e.g. a nondeterministic expression sneaks
 # in), reuse silently stops and the static scan count becomes real
 # executed work; this test would catch that as a missing ReusedExchange.
+# r18: sim_mutual_knn and layout_zorder_pruning_stats left this list —
+# their shared relations are now localCheckpoint-materialized inside the
+# query body (single derivation by construction), so there is no
+# duplicated exchange left to reuse and no over-scan to excuse.
 _REUSE_BACKED = [
     "graph_triangles",
-    "sim_mutual_knn",
     "orders_conformal_interval",
     "dedup_semantic_kmeans",
-    "layout_zorder_pruning_stats",
 ]
 
 
