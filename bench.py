@@ -515,6 +515,24 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception:  # noqa: BLE001
             pass
+        # Between-queries hygiene, OUTSIDE every timed region: drop the
+        # Python-side refs to the previous query's DataFrames (py4j keeps
+        # the JVM objects alive until then) and force one JVM GC so the
+        # ContextCleaner reclaims its localCheckpoint blocks NOW rather
+        # than at the next organic old-gen collection. Without this, a
+        # long bench session accumulates dead checkpoint blocks and later
+        # queries pay their storage/GC pressure (observed r18: 4x
+        # degradation in mid-run windows, fully reproducible as normal
+        # when the same window ran in a fresh session). This times the
+        # computation, not the neighbor's garbage — the same reasoning as
+        # the guide's noop-sink discipline (§1.4).
+        try:
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

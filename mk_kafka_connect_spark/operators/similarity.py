@@ -61,6 +61,15 @@ def quantize(col, scale: int = QUANT):
     return F.transform(col, lambda x: F.round(x * scale).cast("long"))
 
 
+def _qvec(vec_col: str, quantized: bool):
+    """The quantized-vector expression for an input column: the column
+    itself when the caller pre-quantized (the r18 shared-corpus shape —
+    one scan + quantize pass, localCheckpoint'ed in the query body, fed
+    to trainer and index alike), else ``quantize``d here. The produced
+    longs are identical either way, so results are bit-equal."""
+    return F.col(vec_col) if quantized else quantize(F.col(vec_col))
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -126,6 +135,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    quantized: bool = False,
 ) -> DataFrame:
     """Per-query exact top-k by cosine (desc, id asc tie-break).
 
@@ -138,10 +148,10 @@ def cosine_topk_bruteforce(
     the same argument as everywhere else it scores pairs: exact int64
     dot/norms, one IEEE sqrt-mul-divide in the same order)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _qvec(vec_col, quantized).alias("cv")
     )
     cos = _pair_cosine_udf()
     scored = (
@@ -239,6 +249,7 @@ def cosine_topk_sq8(
     vec_col: str = "embedding",
     k: int = 10,
     rerank: int = 30,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k via an SQ8 FLAT index (FAISS-style): the corpus
     is scanned in the COMPRESSED domain — per-vector int8 scalar
@@ -255,10 +266,10 @@ def cosine_topk_sq8(
     the approx score's tie-break is the neighbor id, so the candidate
     set — and hence the exact-rescored result — is reproducible."""
     q_full = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
     )
     c_full = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _qvec(vec_col, quantized).alias("cv")
     )
     pack = _sq8_pack_udf()
     qc = q_full.select("query_id", pack("qv").alias("q8q"))
@@ -331,7 +342,12 @@ def _hyperplane_sig_udf(num_planes: int, dims: int):
 
 
 def hyperplane_signatures(
-    df: DataFrame, id_col: str, raw_vec_col: str, num_planes: int = 16, dims: int = 64
+    df: DataFrame,
+    id_col: str,
+    raw_vec_col: str,
+    num_planes: int = 16,
+    dims: int = 64,
+    quantized: bool = False,
 ) -> DataFrame:
     """(id, sig) — deterministic random-hyperplane signature (int,
     num_planes bits) per row: bit p = (Σ_i w_pi · q_i) > 0 over the
@@ -346,9 +362,9 @@ def hyperplane_signatures(
     # projection). -1 cannot collide with a real signature (sigs ≥ 0).
     return df.select(
         F.col(id_col),
-        F.coalesce(sig(quantize(F.col(raw_vec_col))), F.lit(-1).cast("long")).alias(
-            "sig"
-        ),
+        F.coalesce(
+            sig(_qvec(raw_vec_col, quantized)), F.lit(-1).cast("long")
+        ).alias("sig"),
     )
 
 
@@ -403,6 +419,7 @@ def cosine_topk_lsh(
     num_planes: int = 16,
     hamming_radius: int = 4,
     dims: int = 64,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only corpus buckets whose hyperplane
     signature is within ``hamming_radius`` of the query's.
@@ -428,6 +445,7 @@ def cosine_topk_lsh(
         vec_col,
         num_planes,
         dims,
+        quantized=quantized,
     ).select("query_id", F.col("sig").alias("qsig"))
     csig = hyperplane_signatures(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
@@ -435,6 +453,7 @@ def cosine_topk_lsh(
         vec_col,
         num_planes,
         dims,
+        quantized=quantized,
     ).select("neighbor_id", F.col("sig").alias("csig"))
     masks = hamming_ball_masks(num_planes, hamming_radius)
     probes = _expand_ball(qsig, "qsig", masks).select("query_id", "probe_sig")
@@ -450,10 +469,10 @@ def cosine_topk_lsh(
     # Phase 2 — exact rescoring: join the vectors back by id and score
     # with the vectorized pair cosine.
     qv = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
     )
     cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _qvec(vec_col, quantized).alias("cv")
     )
     cos = _pair_cosine_udf()
     scored = (
@@ -471,12 +490,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     id_cap: int | None = None,
+    quantized: bool = False,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact, quantized). O(n²·d) —
     bounded here by ``id_cap``; the scale path is LSH-bucket-then-verify
     (same signatures as cosine_topk_lsh restricted to hamming ≤ 2)."""
     base = df if id_cap is None else df.filter(F.col(id_col) < id_cap)
-    v = base.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    v = base.select(F.col(id_col).alias("id"), _qvec(vec_col, quantized).alias("v"))
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
@@ -500,6 +520,7 @@ def embedding_near_dup_lsh(
     num_planes: int = 16,
     hamming_radius: int = 2,
     dims: int = 64,
+    quantized: bool = False,
 ) -> DataFrame:
     """Near-dup pairs at scale: bucket-then-verify with hyperplane LSH.
 
@@ -515,13 +536,14 @@ def embedding_near_dup_lsh(
 
     Vectors are joined back by id AFTER candidate generation (probe rows
     carry two longs, never the dims-long array)."""
-    v = df.select(F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("v"))
+    v = df.select(F.col(id_col).alias("id"), _qvec(vec_col, quantized).alias("v"))
     sigs = hyperplane_signatures(
         df.select(F.col(id_col).alias("id"), F.col(vec_col)),
         "id",
         vec_col,
         num_planes,
         dims,
+        quantized=quantized,
     )
     masks = hamming_ball_masks(num_planes, hamming_radius)
     probes = _expand_ball(
@@ -558,6 +580,7 @@ def train_ivf_centroids(
     num_cells: int = 8,
     iters: int = 2,
     sample_mod: int = 1,
+    quantized: bool = False,
 ) -> np.ndarray:
     """Deterministic IVF training: seed centroids are the ``num_cells``
     corpus vectors with the smallest Knuth-mix hash of their id
@@ -578,7 +601,7 @@ def train_ivf_centroids(
     corpus size — not a data materialization.
     """
     base = corpus.select(
-        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("id"), _qvec(vec_col, quantized).alias("qv")
     ).withColumn(
         "_h", F.pmod(F.col("id").cast("long") * F.lit(2654435761), F.lit(4294967296))
     )
@@ -659,6 +682,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to inverted lists once,
     probe each query's ``nprobe`` nearest cells, rescore exactly.
@@ -673,7 +697,7 @@ def cosine_topk_ivf(
     of brute force — recall measured in tests, like the LSH path."""
     celled = assign_ivf_cells(
         corpus.select(
-            F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+            F.col(id_col).alias("neighbor_id"), _qvec(vec_col, quantized).alias("cv")
         ),
         centroids,
         vec_col="cv",
@@ -683,7 +707,7 @@ def cosine_topk_ivf(
     probes = (
         assign_ivf_cells(
             queries.select(
-                F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+                F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
             ),
             centroids,
             vec_col="qv",
@@ -716,6 +740,7 @@ def cosine_topk_ivf_sq8(
     k: int = 10,
     nprobe: int = 4,
     rerank: int = 30,
+    quantized: bool = False,
 ) -> DataFrame:
     """IVF + SQ8 composite top-k — the two ANN tiers stacked the way a
     100 TB deployment stacks them (FAISS ``IVFx,SQ8``): the IVF coarse
@@ -736,7 +761,7 @@ def cosine_topk_ivf_sq8(
     quantization, id tie-breaks on both cuts), so the whole funnel is
     SQL-replayable and hash-checked like its siblings."""
     c_full = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _qvec(vec_col, quantized).alias("cv")
     )
     celled = assign_ivf_cells(c_full, centroids, vec_col="cv", quantized=True, nprobe=1)
     # The inverted lists carry ONLY (id, cell, int8 code) — binary-packed
@@ -747,7 +772,7 @@ def cosine_topk_ivf_sq8(
     pack = _sq8_pack_udf()
     celled8 = celled.select("neighbor_id", "cell", pack("cv").alias("q8c"))
     q_full = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
     )
     probes = assign_ivf_cells(
         q_full, centroids, vec_col="qv", quantized=True, nprobe=nprobe
@@ -970,6 +995,7 @@ def train_pq_codebooks(
     num_sub: int = 4,
     codes_per_sub: int = 16,
     iters: int = 1,
+    quantized: bool = False,
 ) -> np.ndarray:
     """Deterministic product-quantization training (FAISS ``PQ4x4``
     shape): the vector splits into ``num_sub`` contiguous subspaces and
@@ -985,7 +1011,7 @@ def train_pq_codebooks(
     centroids this is model-parameter extraction: K·dims longs total,
     KBs regardless of corpus size."""
     base = corpus.select(
-        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("id"), _qvec(vec_col, quantized).alias("qv")
     ).withColumn(
         "_h", F.pmod(F.col("id").cast("long") * F.lit(2654435761), F.lit(4294967296))
     )
@@ -1114,6 +1140,7 @@ def cosine_topk_pq(
     vec_col: str = "embedding",
     k: int = 10,
     rerank: int = 30,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k via a PRODUCT-QUANTIZED flat index (FAISS
     ``PQ``): the corpus scan reads ``num_sub`` BYTES per vector (4 B
@@ -1126,10 +1153,10 @@ def cosine_topk_pq(
     stable-argmin encoding, id tie-breaks), so the full pipeline —
     training included — replays in SQL for the driver's value hash."""
     q_full = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
     )
     c_full = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _qvec(vec_col, quantized).alias("cv")
     )
     pack = _pq_pack_udf()
     cc = (
@@ -1179,6 +1206,7 @@ def cosine_topk_ivf_pq(
     k: int = 10,
     nprobe: int = 4,
     rerank: int = 60,
+    quantized: bool = False,
 ) -> DataFrame:
     """The production-default ANN index (FAISS ``IVFx,PQy``): the IVF
     coarse quantizer prunes WHICH vectors each query compares against
@@ -1189,10 +1217,10 @@ def cosine_topk_ivf_pq(
     by ~nprobe/num_cells. Same determinism guarantees as both parents —
     the full pipeline (both trainings included) replays in SQL."""
     c_full = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), _qvec(vec_col, quantized).alias("cv")
     )
     q_full = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
     )
     pack = _pq_pack_udf()
     celled = assign_ivf_cells(c_full, centroids, vec_col="cv", quantized=True, nprobe=1)
@@ -1245,6 +1273,7 @@ def mmr_rerank(
     pool: int = 20,
     lam_num: int = 7,
     lam_den: int = 10,
+    quantized: bool = False,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance diversified top-k (Carbonell & Goldstein
     1998): greedily pick k results from a pool-sized relevance shortlist,
@@ -1265,10 +1294,10 @@ def mmr_rerank(
     Arrow batch over pool<=20 rows (pool^2 dots in one numpy matmul) —
     sequential by nature, but over model-sized state, never corpus rows."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"), _qvec(vec_col, quantized).alias("qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("cand_id"), quantize(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("cand_id"), _qvec(vec_col, quantized).alias("cv")
     )
     scored = (
         F.broadcast(q)

@@ -204,3 +204,85 @@ def exact_quantile_distributed(
     k = target - rank_before
     row = remaining.orderBy("_v").limit(k).agg(F.max("_v").alias("_v")).collect()
     return row[0]["_v"] if row and row[0]["_v"] is not None else None
+
+
+def exact_quantiles_distributed(
+    df,
+    col: str,
+    qs: dict[str, float],
+    buckets: int = 2048,
+    max_refine: int = 6,
+) -> dict[str, float | None]:
+    """Several exact quantiles of one column, sharing the passes that do
+    not depend on q (r18: ``agg_quantiles_distributed`` ran 4 separate
+    descents = 4 count/min/max passes + 4 identical full-range
+    histograms over the same column).
+
+    The count/min/max pass and the FIRST histogram pass are functions of
+    the column alone, so they run ONCE here; each quantile then locates
+    its target bucket in the shared histogram and continues the
+    per-quantile radix descent exactly as :func:`exact_quantile_distributed`
+    does from its second refinement on (same bucket arithmetic, same
+    ≤4096 early stop, same final TakeOrdered selection) — so each
+    returned value is bit-identical to the single-quantile function's.
+    Subsequent per-quantile passes filter to the narrowed value range,
+    which parquet min/max row-group stats prune at the scan."""
+    n, lo0, hi0 = df.agg(
+        F.count(col), F.min(col).cast("double"), F.max(col).cast("double")
+    ).collect()[0]
+    if n == 0:
+        return {name: None for name in qs}
+
+    def _hist(lo: float, hi: float) -> dict[int, int]:
+        width = (hi - lo) / buckets
+        bucket = F.least(
+            F.lit(buckets - 1),
+            F.floor(
+                (F.col(col).cast("double") - F.lit(lo)) / F.lit(width)
+            ).cast("int"),
+        )
+        return {
+            r["b"]: r["c"]
+            for r in df.where((F.col(col) >= lo) & (F.col(col) <= hi))
+            .groupBy(bucket.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    hist0 = _hist(lo0, hi0) if lo0 != hi0 else None
+
+    out: dict[str, float | None] = {}
+    for name, q in qs.items():
+        target = max(1, math.ceil(q * n))
+        rank_before, lo, hi = 0, lo0, hi0
+        hist = hist0
+        for pass_no in range(max_refine):
+            if lo == hi:
+                break
+            if hist is None:  # passes after the shared first one
+                hist = _hist(lo, hi)
+            width = (hi - lo) / buckets
+            run = rank_before
+            located = 0
+            for b in range(buckets):
+                c = hist.get(b, 0)
+                if run + c >= target:
+                    new_lo = lo + b * width
+                    new_hi = hi if b == buckets - 1 else lo + (b + 1) * width
+                    rank_before, lo, hi, located = run, new_lo, new_hi, c
+                    break
+                run += c
+            else:  # pragma: no cover - target <= n guarantees a bucket
+                break
+            hist = None
+            if located <= 4096:
+                break
+        remaining = df.where((F.col(col) >= lo) & (F.col(col) <= hi)).select(
+            F.col(col).cast("double").alias("_v")
+        )
+        k = target - rank_before
+        row = (
+            remaining.orderBy("_v").limit(k).agg(F.max("_v").alias("_v")).collect()
+        )
+        out[name] = row[0]["_v"] if row and row[0]["_v"] is not None else None
+    return out

@@ -1496,13 +1496,18 @@ def agg_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the rank-k value is pinned, then one ordered selection over
     the narrowed remnant. No task ever materializes the column. Same
     quantile_disc semantics as the oracle, exact to the last bit."""
-    from ..operators.sketch import exact_quantile_distributed
+    from ..operators.sketch import exact_quantiles_distributed
 
     li = load_table(spark, sf_dir, "lineitem")
-    vals = {
-        name: exact_quantile_distributed(li, "l_extendedprice", q=q)
-        for name, q in [("p10", 0.1), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
-    }
+    # The 4 descents share their q-independent passes (one count/min/max
+    # + one full-range histogram instead of four of each — guide §1.2
+    # step 1); per-quantile refinement passes are unchanged and each
+    # value is bit-identical to the single-quantile descent's.
+    vals = exact_quantiles_distributed(
+        li,
+        "l_extendedprice",
+        {"p10": 0.1, "p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
     return spark.createDataFrame(
         [(vals["p10"], vals["p50"], vals["p90"], vals["p99"])],
         "p10 double, p50 double, p90 double, p99 double",

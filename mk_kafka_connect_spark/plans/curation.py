@@ -78,10 +78,15 @@ def docs_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-uses the scan partitioning. No window, no all-pairs anything —
     the same 100 TB shape as the MinHash signature pass."""
     d = load_table(spark, sf_dir, "documents")
+    # Materialize the (doc, shingle-hash) relation ONCE: the document-
+    # frequency model and the scoring join both consume it (two scan +
+    # explode + md5 passes in the r18 before-plan — guide §2.4/§5).
     ex = d.select(
         "doc_id",
         F.explode(F.array_distinct(shingles("text", 3))).alias("_s"),
-    ).select("doc_id", md5_mod(F.col("_s")).alias("h"))
+    ).select("doc_id", md5_mod(F.col("_s")).alias("h")).localCheckpoint(
+        eager=False
+    )
     dfreq = ex.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         ex.join(dfreq, "h")

@@ -23,8 +23,13 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..operators import similarity as S
-from ..operators.similarity import quantize
-from .llm import _BF_QUERY_CAP, _SQL_QUANT, _sql_cos, _sql_hsig
+from .llm import (
+    _BF_QUERY_CAP,
+    _SQL_QUANT,
+    _quantized_embeddings,
+    _sql_cos,
+    _sql_hsig,
+)
 from .registry import QUERIES as _Q
 from .registry import query
 
@@ -420,10 +425,14 @@ def sim_eval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed pivot aggregate resolve both sides in one pass over the
     pair relation, so the pair subtree is never re-executed. All keys
     data-sized; no driver work."""
+    # One scan+quantize pass shared by the signature stage and both
+    # vector join-backs (identical subtrees under different aliases do
+    # not share across joins — the before-plan quantized the corpus 3x).
+    embq = _quantized_embeddings(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    sl = S.hyperplane_signatures(emb, "vec_id", "embedding", num_planes=4).join(
-        emb.select("vec_id", "label"), "vec_id"
-    )
+    sl = S.hyperplane_signatures(
+        embq, "vec_id", "embedding", num_planes=4, quantized=True
+    ).join(emb.select("vec_id", "label"), "vec_id")
     a = sl.select(
         F.col("vec_id").alias("id"), F.col("label").alias("la"), "sig"
     )
@@ -436,7 +445,7 @@ def sim_eval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("sig") == F.col("sig_b")) & (F.col("id") != F.col("nid")))
         .select("id", "nid", (F.col("la") == F.col("lb")).alias("is_pos"))
     )
-    v = emb.select(F.col("vec_id"), quantize(F.col("embedding")).alias("qv"))
+    v = embq.select(F.col("vec_id"), F.col("embedding").alias("qv"))
     cos = S._pair_cosine_udf()
     pairs = (
         cand.join(v.select(F.col("vec_id").alias("id"), F.col("qv").alias("va")), "id")

@@ -2533,9 +2533,19 @@ def _register_knn_loo() -> None:
         neighbor-id tie-break fixes the top-k set; votes are integer
         counts with (count desc, label asc) argmax; accuracy is one
         shared division."""
-        emb = load_table(spark, sf_dir, "embeddings")
+        # One scan + quantize pass shared by the corpus side, the query
+        # side, and both label joins (the r18 before-plan derived the
+        # embeddings scan 4x); quantized longs are identical, so the
+        # ranking — and the vote — is bit-equal.
+        from .llm import _quantized_embeddings
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        ).localCheckpoint(eager=False)
+        embq = _quantized_embeddings(spark, sf_dir)
         topk = cosine_topk_bruteforce(
-            emb, emb.filter(F.col("vec_id") < _KNN_NQ), k=_KNN_K
+            embq, embq.filter(F.col("vec_id") < _KNN_NQ), k=_KNN_K,
+            quantized=True,
         )
         labels = emb.select("vec_id", "label")
         votes = (

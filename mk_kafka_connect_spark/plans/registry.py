@@ -900,6 +900,16 @@ R18_REWRITTEN_RECERTS: tuple[str, ...] = (
     "orders_theil_sen",
     "pipeline_stage_funnel",
     "sim_mutual_knn",
+    # Staled by the round-18 optimization batch 2 (shared quantized-
+    # corpus checkpoint threaded through the sim family's operators via
+    # quantized=True; shared-pass multi-quantile descent; boilerplate
+    # shingle-relation checkpoint) — parity-gated 18/18 green at sf0.01
+    # before commit. The other batch-2 members already hold r18 seats.
+    "agg_quantiles_distributed",
+    "docs_boilerplate_fraction",
+    "sim_mmr_rerank",
+    "sim_topk_ivf_pq",
+    "sim_topk_pq",
 )
 
 

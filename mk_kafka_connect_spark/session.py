@@ -43,7 +43,19 @@ DEFAULT_CONFIG: dict[str, str] = {
     # but maxPartitionBytes governs scan-task granularity at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
+    # localCheckpoint blocks (the engine's single-derivation shape for
+    # shared subtrees) are reclaimed by the ContextCleaner only after a
+    # JVM GC enqueues their weak references — and a large mostly-idle
+    # heap can go tens of minutes without one, so a long-lived session
+    # running many queries accumulates dead checkpoint blocks until
+    # storage pressure throttles everything (observed r18: a 231-query
+    # bench session degraded 4x mid-run). Default 30min; 1min bounds the
+    # garbage to about a query's worth. Same reasoning for any
+    # long-running production driver with checkpoint-heavy queries.
+    "spark.cleaner.periodicGC.interval": "1min",
     "spark.ui.enabled": "false",
 }
 
