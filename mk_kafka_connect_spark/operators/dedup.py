@@ -207,6 +207,12 @@ def minhash_near_dups(
             )
         ).alias("band"),
     ).select(id_col, "sig", "band.band_idx", "band.band_key")
+    # Materialize the banded signatures once: the self-join's probe and
+    # build sides are separate subtrees to Catalyst (the build side
+    # becomes its own BroadcastExchange, so there is no ReusedExchange),
+    # and without this the whole signature pipeline — shingle explode,
+    # per-shingle hash, 32 min-aggregates — evaluates twice per query.
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     est = (
         F.size(
@@ -279,6 +285,8 @@ def simhash_near_dups(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_key")
+    # Single derivation for both self-join sides (see minhash_near_dups).
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -512,6 +520,9 @@ def verbatim_span_pairs(
         df.select(F.col(id_col).alias("doc"), sampled_hashes(F.col(text_col)).alias("_hs"))
         .select("doc", F.explode("_hs").alias("h"))
         .distinct()
+        # Materialize once: both self-join sides would otherwise re-run
+        # the Arrow convolution kernel over the full corpus.
+        .localCheckpoint(eager=False)
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

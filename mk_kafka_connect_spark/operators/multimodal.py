@@ -237,6 +237,9 @@ def ahash_near_dups(bin_df: DataFrame, max_hamming: int = 6) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "ahash_hi", "ahash_lo", "band.band_idx", "band.band_key")
+    # Single derivation for both self-join sides: the fingerprint pass
+    # (payload decode + 64-cell grid math) would otherwise run twice.
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -437,6 +440,9 @@ def phash_near_dups(
             )
         ).alias("band"),
     ).select("doc_id", "phash_hi", "phash_lo", "band.band_idx", "band.band_key")
+    # Single derivation for both self-join sides: the DCT fingerprint
+    # pass would otherwise run twice (see ahash_near_dups).
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

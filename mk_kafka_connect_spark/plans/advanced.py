@@ -1467,9 +1467,18 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.date_trunc("day", "_last_ship") + F.expr("INTERVAL 1 DAY")).alias("d1"),
         )
     )
-    deltas = spans.select(F.col("d0").alias("day"), F.lit(1).cast("long").alias("delta")).unionAll(
-        spans.select(F.col("d1").alias("day"), F.lit(-1).cast("long").alias("delta"))
-    )
+    # Explode instead of unionAll: the union's two branches each
+    # re-derived the orders⋈lineitem span aggregate (Spark shares no
+    # subtrees across union branches); one explode emits both deltas
+    # from a single derivation.
+    deltas = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d0").alias("day"), F.lit(1).cast("long").alias("delta")),
+                F.struct(F.col("d1").alias("day"), F.lit(-1).cast("long").alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.day", "e.delta")
     byday = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
     w = bounded_window("day", "day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return byday.select("day", F.sum("net").over(w).alias("n_open"))

@@ -1386,6 +1386,10 @@ def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavier-keyed form rides the distributed-selection machinery of
     agg_quantiles_distributed instead of full sorts."""
     ev = load_table(spark, sf_dir, "events")
+    # r18 optimization note: checkpointing v and dev was MEASURED SLOWER
+    # (min-of-runs 0.84 s → 1.10 s at sf0.1) — the re-derived subtrees
+    # are a narrow projected scan and one broadcast join, cheaper than
+    # materializing them; the grouped window sorts dominate either way.
     v = ev.select(
         "event_type",
         "event_id",
@@ -1582,6 +1586,9 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,2)")
             .alias("rev"),
         )
+        # The (nation, year) cube feeds both year slices; materialize it
+        # once so the orders⋈customer join + aggregate run once.
+        .localCheckpoint(eager=False)
     )
     y1 = per.filter(F.col("yr") == _BRIDGE_Y1).select(
         "nation",

@@ -152,6 +152,9 @@ def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     key both sides are already partitioned by. Output is
     epoch-count-sized (8 rows)."""
     d = load_table(spark, sf_dir, "documents")
+    # eh feeds the min-epoch aggregate AND the join-back; materialize the
+    # distinct (epoch, hash) relation once so the shingle explode +
+    # distinct shuffle run once, not twice.
     eh = (
         d.select(
             (F.col("doc_id") % _NOVELTY_EPOCHS).alias("epoch"),
@@ -159,6 +162,7 @@ def docs_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("epoch", md5_mod(F.col("_s")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     first = eh.groupBy("h").agg(F.min("epoch").alias("first_epoch"))
     novel = F.sum(
@@ -523,26 +527,54 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast when small (nation/region/customer) and hash-join
     otherwise; the 7 audits are independent plan branches unioned into
     a 7-row report."""
-    out = None
+    # Fused per CHILD TABLE (was: one scan + join + agg per EDGE — the
+    # three lineitem audits each re-read the fact table; 42 Exchanges).
+    # All of a child's FK edges ride ONE scan: chained left joins
+    # against the (distinct) parent key sets cannot multiply rows, one
+    # aggregate emits every edge's orphan count, and an explode unpivots
+    # to the same per-edge report rows.
+    by_child: dict[str, list[tuple[str, str, str]]] = {}
     for ct, ck, pt, pk in _FK_EDGES:
-        child = load_table(spark, sf_dir, ct)
-        parent = load_table(spark, sf_dir, pt).select(
-            F.col(pk).alias("_pk")
-        ).distinct()
-        j = child.select(F.col(ck).alias("_ck")).join(
-            parent, F.col("_ck") == F.col("_pk"), "left"
+        by_child.setdefault(ct, []).append((ck, pt, pk))
+    out = None
+    for ct, edges in by_child.items():
+        j = load_table(spark, sf_dir, ct).select(
+            *[F.col(ck).alias(f"_ck{i}") for i, (ck, _, _) in enumerate(edges)]
         )
-        orphans = F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
-        row = j.agg(
+        for i, (_ck, pt, pk) in enumerate(edges):
+            parent = load_table(spark, sf_dir, pt).select(
+                F.col(pk).alias(f"_pk{i}")
+            ).distinct()
+            j = j.join(parent, F.col(f"_ck{i}") == F.col(f"_pk{i}"), "left")
+        agg = j.agg(
             F.count(F.lit(1)).alias("n_child_rows"),
-            orphans.alias("n_orphans"),
-        ).select(
-            F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("fk"),
-            "n_child_rows",
-            "n_orphans",
-            (F.col("n_orphans") == 0).alias("ref_intact"),
+            *[
+                F.sum(F.when(F.col(f"_pk{i}").isNull(), 1).otherwise(0)).alias(
+                    f"_orph{i}"
+                )
+                for i in range(len(edges))
+            ],
         )
-        out = row if out is None else out.unionByName(row)
+        rows = agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("fk"),
+                            F.col("n_child_rows"),
+                            F.col(f"_orph{i}").alias("n_orphans"),
+                        )
+                        for i, (ck, pt, pk) in enumerate(edges)
+                    ]
+                )
+            ).alias("e")
+        ).select(
+            "e.fk",
+            "e.n_child_rows",
+            "e.n_orphans",
+            (F.col("e.n_orphans") == 0).alias("ref_intact"),
+        )
+        out = rows if out is None else out.unionByName(rows)
     return out
 
 
@@ -1477,32 +1509,65 @@ def _register_matryoshka() -> None:
         sampled query batch exactly as here."""
         from ..operators.similarity import _dot, quantize
 
+        # Single-derivation restructure (was: one corpus quantize +
+        # crossJoin PER budget, and the 4-branch union then re-derived
+        # for the recall join-back — 8 corpus passes, 28 Exchanges).
+        # Now: quantize once (checkpoint), ONE crossJoin computing the
+        # four prefix dots as exact int64 SEGMENT sums (dot over the
+        # first 16 dims = dot over dims 1-8 + dot over dims 9-16 —
+        # integer addition is associative, so the budget dots are
+        # bit-identical to the sliced form), explode to (budget, dot)
+        # rows, one window. tops (|Q|·k·|budgets| rows) checkpoints so
+        # the self-recall join does not replay the ranking.
         v = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", quantize(F.col("embedding")).alias("v")
         )
         q = v.filter(F.col("vec_id") < _MRL_NQ).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
         )
-        tops = None
-        for d in _MRL_DIMS:
-            pairs = v.crossJoin(F.broadcast(q)).filter(
-                F.col("vec_id") != F.col("query_id")
-            )
-            scored = pairs.select(
-                F.lit(d).alias("dim_budget"),
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
+        pairs = v.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        seg_cols, prev = [], 0
+        for i, d in enumerate(_MRL_DIMS):
+            seg_cols.append(
                 _dot(
-                    F.slice(F.col("qv"), 1, d), F.slice(F.col("v"), 1, d)
-                ).alias("dot"),
+                    F.slice(F.col("qv"), prev + 1, d - prev),
+                    F.slice(F.col("v"), prev + 1, d - prev),
+                ).alias(f"_s{i}")
             )
-            w = Window.partitionBy("query_id", "dim_budget").orderBy(
-                F.desc("dot"), F.asc("neighbor_id")
+            prev = d
+        segs = pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), *seg_cols
+        )
+        budget_structs = []
+        for i, d in enumerate(_MRL_DIMS):
+            dot_d = F.col("_s0")
+            for j in range(1, i + 1):
+                dot_d = dot_d + F.col(f"_s{j}")
+            budget_structs.append(
+                F.struct(
+                    F.lit(d).alias("dim_budget"), dot_d.alias("dot")
+                )
             )
-            top = scored.withColumn("rn", F.row_number().over(w)).filter(
-                F.col("rn") <= _MRL_K
-            )
-            tops = top if tops is None else tops.unionByName(top)
+        scored = segs.select(
+            "query_id",
+            "neighbor_id",
+            F.explode(F.array(*budget_structs)).alias("bd"),
+        ).select(
+            F.col("bd.dim_budget").alias("dim_budget"),
+            "query_id",
+            "neighbor_id",
+            F.col("bd.dot").alias("dot"),
+        )
+        w = Window.partitionBy("query_id", "dim_budget").orderBy(
+            F.desc("dot"), F.asc("neighbor_id")
+        )
+        tops = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _MRL_K)
+            .localCheckpoint(eager=False)
+        )
         base = tops.filter(F.col("dim_budget") == max(_MRL_DIMS)).select(
             "query_id", "neighbor_id", F.lit(1).alias("_hit")
         )

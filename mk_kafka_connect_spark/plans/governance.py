@@ -149,6 +149,10 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == _NB_POS).alias("y"),
         (md5_mod(F.col("doc_id").cast("string")) % 10 < 8).alias("is_train"),
     )
+    # feats (the corpus word explode) feeds the model fit AND the
+    # held-out scorer; model (256 rows) feeds tot, lr and floor_q.
+    # Materialized once each, the explode runs once instead of four
+    # times (lr, tot-inside-lr, floor_q→tot, scorer).
     feats = docs.select(
         "doc_id",
         "y",
@@ -156,12 +160,12 @@ def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(words(F.col("text"))).alias("w"),
     ).select(
         "doc_id", "y", "is_train", (md5_mod(F.col("w")) % _NB_B).alias("b")
-    )
+    ).localCheckpoint(eager=False)
     train = feats.filter("is_train")
     model = train.groupBy("b").agg(
         F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("cr"),
-    )
+    ).localCheckpoint(eager=False)
     tot = model.agg(F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot"))
     prior = (
         docs.filter("is_train")
@@ -1491,6 +1495,11 @@ def _register_binseg() -> None:
             F.count(F.lit(1)).alias("y")
         )
         wi = bounded_window("h", F.asc("h"))
+        # idx (the events scan collapsed to the bounded hourly series)
+        # feeds tot, the level-0 candidate scan, and the level-1 re-side
+        # pass; cp0 feeds level0 and the side assignment; seg feeds
+        # segtot and cand1. Materialized once each, the fact-table scan
+        # runs once instead of five times (54 Exchanges before).
         idx = hourly.select(
             "h",
             "y",
@@ -1500,7 +1509,7 @@ def _register_binseg() -> None:
                     Window.unboundedPreceding, Window.currentRow
                 )
             ).alias("sl"),
-        )
+        ).localCheckpoint(eager=False)
         tot = idx.agg(
             F.max("i").alias("n"), F.sum("y").alias("s")
         )
@@ -1525,6 +1534,7 @@ def _register_binseg() -> None:
             )
             .orderBy(F.desc("gain"), F.asc("i"))
             .limit(1)
+            .localCheckpoint(eager=False)
         )
         level0 = cp0.select(
             F.lit(0).cast("long").alias("level"),
@@ -1550,7 +1560,7 @@ def _register_binseg() -> None:
             F.sum("y").over(
                 ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ).alias("lsl"),
-        )
+        ).localCheckpoint(eager=False)
         segtot = seg.groupBy("side").agg(
             F.max("li").alias("ln"), F.max("lsl").alias("ls")
         )
@@ -1685,10 +1695,17 @@ def _register_wordpiece() -> None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
+        # occ feeds the vocab fit AND the final stats join; dw feeds the
+        # piece explode AND the segmentation kernel; by_role is scanned
+        # twice (initial/continuation top-100, each a driver collect).
+        # Materialize each once: the corpus explode and the piece
+        # explode run once per query, not 3-4 times.
         occ = docs.select(
             "doc_id", F.explode(words(F.col("text"))).alias("w")
-        ).filter(F.length("w") > 0)
-        dw = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        ).filter(F.length("w") > 0).localCheckpoint(eager=False)
+        dw = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+            eager=False
+        )
         pieces = dw.select(
             "cnt",
             F.explode(
@@ -1707,7 +1724,7 @@ def _register_wordpiece() -> None:
         )
         by_role = pieces.groupBy("initial", "piece").agg(
             F.sum("cnt").alias("n")
-        )
+        ).localCheckpoint(eager=False)
         vinit = (
             by_role.filter("initial")
             .orderBy(F.desc("n"), F.asc("piece"))
@@ -2181,10 +2198,16 @@ def _register_unigram_mdl() -> None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
+        # Same single-derivation shape as docs_wordpiece_fertility: occ
+        # feeds the vocab fit and the final stats join, dw feeds the
+        # piece explode and the Viterbi kernel, vocab is consumed by the
+        # totals and two driver collects.
         occ = docs.select(
             "doc_id", F.explode(words(F.col("text"))).alias("w")
-        ).filter(F.length("w") > 0)
-        dw = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        ).filter(F.length("w") > 0).localCheckpoint(eager=False)
+        dw = occ.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint(
+            eager=False
+        )
         pieces = dw.select(
             "cnt",
             F.explode(
@@ -2201,6 +2224,7 @@ def _register_unigram_mdl() -> None:
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.desc("n"), F.asc("piece"))
             .limit(_MDL_TOPV)
+            .localCheckpoint(eager=False)
         )
         tot = vocab.agg(F.sum("n").alias("t"), F.count(F.lit(1)).alias("v"))
         scored_vocab = vocab.crossJoin(F.broadcast(tot)).select(

@@ -81,7 +81,15 @@ def docs_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(shingles("text", 3)).alias("word")
     )
     wc = ex.groupBy("word").agg(F.count("*").alias("r"))
-    fof = wc.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    # fof feeds three consumers (totals, the shifted N_{r+1} relation,
+    # and the report rows); materialize the O(max count)-row table once
+    # so the trigram explode + two aggregates derive once, not three
+    # times.
+    fof = (
+        wc.groupBy("r")
+        .agg(F.count("*").cast("long").alias("n_r"))
+        .localCheckpoint(eager=False)
+    )
     tot = fof.agg(
         F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
         F.sum("n_r").cast("long").alias("vocab_size"),
@@ -499,10 +507,19 @@ def _register_conformal() -> None:
         tiny (priority, band) table, band-partitioned within-window),
         so the calibration set is never sorted in one partition; the
         5-row model/q-hat tables broadcast to the test scan."""
-        o = load_table(spark, sf_dir, "orders").select(
-            "o_orderpriority",
-            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
-            (md5_mod(F.col("o_orderkey").cast("string")) % 10).alias("sp"),
+        # Single-derivation shape: o (scan + md5 split) feeds the train
+        # aggregate, the calibration residuals, and the test scan — and
+        # the tiny tr/nc/qh relations are each consumed by 2-3 joins.
+        # Un-checkpointed, the final 4-way join re-derived the whole
+        # chain per branch (82 Exchanges in the before plan).
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderpriority",
+                (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+                (md5_mod(F.col("o_orderkey").cast("string")) % 10).alias("sp"),
+            )
+            .localCheckpoint(eager=False)
         )
         tr = (
             o.filter(F.col("sp") < 6)
@@ -511,6 +528,7 @@ def _register_conformal() -> None:
                 F.count("*").cast("long").alias("n_tr"),
                 F.sum("cents").cast("long").alias("s_tr"),
             )
+            .localCheckpoint(eager=False)
         )
         cal = (
             o.filter(F.col("sp").isin(6, 7))
@@ -521,13 +539,14 @@ def _register_conformal() -> None:
                     "r"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
         nc = cal.groupBy("o_orderpriority").agg(
             F.count("*").cast("long").alias("n_cal"),
             F.ceil(_CF_ALPHA_NUM * (F.count("*") + 1) / 10.0)
             .cast("long")
             .alias("k_rank"),
-        )
+        ).localCheckpoint(eager=False)
         rc = cal.groupBy("o_orderpriority", "r").agg(
             F.count("*").alias("cnt")
         )
@@ -560,6 +579,7 @@ def _register_conformal() -> None:
             .filter(F.col("cr") >= F.col("k_rank"))
             .groupBy("o_orderpriority")
             .agg(F.min("r").alias("qhat"))
+            .localCheckpoint(eager=False)
         )
         te = (
             o.filter(F.col("sp") >= 8)

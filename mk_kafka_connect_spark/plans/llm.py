@@ -1276,7 +1276,10 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pass_gopher"))
         .select("doc_id", "source", "text", "n_words")
     )
-    fp = fingerprint(passed, "text")
+    # fp feeds the canonical-id aggregate AND the semi-join's left side;
+    # materialize it once so the scan + quality gate + fingerprint run
+    # once, not twice.
+    fp = fingerprint(passed, "text").localCheckpoint(eager=False)
     canon = fp.groupBy("fp_md5").agg(F.min("doc_id").alias("doc_id"))
     dd = fp.join(canon.select("doc_id"), "doc_id", "left_semi")
     return (

@@ -910,6 +910,34 @@ R18_REWRITTEN_RECERTS: tuple[str, ...] = (
     "sim_mmr_rerank",
     "sim_topk_ivf_pq",
     "sim_topk_pq",
+    # Staled by the round-18 optimization batch 3 (single-derivation
+    # restructures for the remaining multi-consumer plans: banded
+    # self-join operators now materialize their fingerprint relation
+    # once; iterative PageRank checkpoints node-sized state per round;
+    # the conformal/binseg/NB/MDL/WordPiece/collocation/Good-Turing/
+    # novelty/bridge/MAD/backlog/attribution/matryoshka/referential
+    # query bodies materialize shared subtrees once — plus the
+    # matryoshka one-pass segment-dot and the per-child-table FK-audit
+    # fusion, both exact-integer-equivalent). Every member parity-gated
+    # at sf0.01 before commit (31/31 green incl. seat-holding
+    # consumers); driver rows queue for r19.
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_verbatim_spans",
+    "docs_collocations_lift",
+    "docs_good_turing",
+    "docs_ngram_novelty_curve",
+    "docs_unigram_mdl",
+    "docs_wordpiece_fertility",
+    "dq_referential_orphans",
+    "emb_matryoshka_recall",
+    "events_binseg_changepoints",
+    "events_mad_anomaly",
+    "graph_pagerank",
+    "orders_conformal_interval",
+    "orders_open_backlog",
+    "orders_revenue_bridge",
+    "pipeline_training_data",
 )
 
 

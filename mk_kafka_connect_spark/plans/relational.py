@@ -1697,10 +1697,15 @@ def events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_p", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # The purchase-attributed relation feeds BOTH model rollups (the
+    # union below); materialize it once — purchases only, so the
+    # checkpoint is small — instead of re-running the scan + window per
+    # branch.
     p = (
         u.withColumn("lt", F.last("touch", ignorenulls=True).over(w))
         .withColumn("ft", F.first("touch", ignorenulls=True).over(w))
         .where(F.col("is_p") == 1)
+        .localCheckpoint(eager=False)
     )
 
     def roll(model: str, col: str) -> DataFrame:

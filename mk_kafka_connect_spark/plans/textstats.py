@@ -161,9 +161,18 @@ def docs_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is a TakeOrdered over the surviving candidates, never a full
     sort."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(F.split(F.col("text"), " ").alias("w"))
+    # Single-derivation shape: words (scan + split) feeds the unigram
+    # AND bigram explodes; uc feeds the total and both member-word join
+    # sides; the grouped bigram counts feed the candidate set and the
+    # corpus bigram total (sum of group counts == pre-filter row count,
+    # exactly). Un-checkpointed, the corpus was re-split five times.
+    words = d.select(F.split(F.col("text"), " ").alias("w")).localCheckpoint(
+        eager=False
+    )
     uni = words.select(F.explode("w").alias("word"))
-    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    uc = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )
     bi = words.select(
         F.explode(
             F.expr(
@@ -172,14 +181,13 @@ def docs_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram")
     )
-    bc = (
-        bi.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= _COLL_MIN_COUNT)
-    )
+    bc_all = bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    ).localCheckpoint(eager=False)
+    bc = bc_all.filter(F.col("c_ab") >= _COLL_MIN_COUNT)
     d38 = "decimal(38,0)"
     n_uni = uc.agg(F.sum("c").cast(d38).alias("n_uni"))
-    n_bi = bi.groupBy().agg(F.count(F.lit(1)).cast(d38).alias("n_bi"))
+    n_bi = bc_all.agg(F.sum("c_ab").cast(d38).alias("n_bi"))
     a = uc.select(F.col("word").alias("_wa"), F.col("c").alias("c_a"))
     b = uc.select(F.col("word").alias("_wb"), F.col("c").alias("c_b"))
     scored = (
