@@ -1894,10 +1894,14 @@ def _register_kmv() -> None:
             .filter(F.col("event_type").isin(A, B))
             .select("event_type", "user_id")
         )
+        # pairs feeds the per-type counts AND the sketch ranking; the
+        # <=2k-row sketch feeds the union and both membership sides.
+        # Materialize each once so the scan + distinct shuffle run once,
+        # not four times.
         pairs = ev.select(
             "event_type",
             md5_mod(F.col("user_id").cast("string")).alias("h"),
-        ).distinct()
+        ).distinct().localCheckpoint(eager=False)
         stats = pairs.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n")
         )
@@ -1906,6 +1910,7 @@ def _register_kmv() -> None:
             pairs.withColumn("rn", F.row_number().over(wsk))
             .filter(F.col("rn") <= K)
             .select("event_type", "h")
+            .localCheckpoint(eager=False)
         )
         u = sk.select("h").distinct().orderBy("h").limit(K)
         ska = sk.filter(F.col("event_type") == A).select(

@@ -938,6 +938,10 @@ R18_REWRITTEN_RECERTS: tuple[str, ...] = (
     "orders_open_backlog",
     "orders_revenue_bridge",
     "pipeline_training_data",
+    # Batch-3 continuation: the KMV sketch's distinct pair relation and
+    # <=2k-row sketch now materialize once (were derived 4x / 3x).
+    # Parity-gated at sf0.01 before commit.
+    "agg_kmv_set_sketch",
 )
 
 
