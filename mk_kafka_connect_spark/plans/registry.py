@@ -942,6 +942,24 @@ R18_REWRITTEN_RECERTS: tuple[str, ...] = (
     # <=2k-row sketch now materialize once (were derived 4x / 3x).
     # Parity-gated at sf0.01 before commit.
     "agg_kmv_set_sketch",
+    # Round-19 tracer upgrade (ADVICE r18 low + medium): the detector
+    # now resolves function-local imports (`from ..operators.x import
+    # helper` inside a query body) and the `_QQ` registry alias, which
+    # surfaced six r18-optimized queries whose stale-by-code drift the
+    # old tracer could not see (their operators/components changed in
+    # r18 batches; the queries themselves held no seat). All six were
+    # parity-gated at sf0.01 with their batches before commit; the
+    # driver rows queue here. The other three ADVICE-named queries
+    # (docs_decontamination_report, sim_hybrid_rrf after the _QQ fix,
+    # and docs_neardup_overlap_matrix's sibling) were adjudicated by
+    # diffing their full new-tracer closure blobs between the evidence
+    # commit and HEAD: byte-identical, so their evidence stands.
+    "dedup_lsh_recall_report",
+    "dedup_split_leakage",
+    "docs_neardup_overlap_matrix",
+    "graph_triangles",
+    "multimodal_ahash_neardup",
+    "multimodal_phash_neardup",
 )
 
 

@@ -91,3 +91,61 @@ def test_recert_list_members_actually_drifted():
     assert not phantom, (
         f"R18_REWRITTEN_RECERTS entries whose code never drifted: {phantom}"
     )
+
+
+def test_local_imports_join_the_closure():
+    # ADVICE r18 (low): `from ..operators.multimodal import
+    # ahash_near_dups` INSIDE the query body was invisible to the
+    # round-18 tracer (it resolved names only through module globals
+    # and closure cells), so tests here silently passed while r18
+    # changed that operator. The upgraded tracer walks Import/
+    # ImportFrom nodes in the function body; this pins the fix with the
+    # exact query that slipped through.
+    import inspect
+
+    from mk_kafka_connect_spark.operators import multimodal
+
+    srcs = fingerprints._closure_sources(QUERIES["multimodal_ahash_neardup"].fn)
+    blob = "\n".join(srcs.values())
+    assert inspect.getsource(multimodal.ahash_near_dups) in blob, (
+        "function-local import not traced into the fingerprint closure"
+    )
+
+
+def test_qq_registry_alias_is_chased():
+    # ADVICE r18 (medium): composed queries that index the registry via
+    # the body-local `_QQ` alias (docs_neardup_overlap_matrix →
+    # dedup_minhash_lsh) never had their components folded into the
+    # fingerprint because _REGISTRY_REF only matched `_Q[`/`QUERIES[`.
+    name = "docs_neardup_overlap_matrix"
+    blob = "\n".join(
+        fingerprints._fingerprint_inputs(name, QUERIES[name], QUERIES)
+    )
+    assert "def dedup_minhash_lsh" in blob, (
+        "_QQ[...] component reference not chased into the fingerprint"
+    )
+
+
+def test_registry_ref_regex_covers_every_alias_in_package():
+    # Mechanical guard for the alias set itself: find every
+    # `<alias>["name"].fn / .oracle` indexing expression in the package
+    # source and assert _REGISTRY_REF matches it, so a NEW alias
+    # (tomorrow's `_QQQ`) cannot silently reopen the hole.
+    import re
+
+    pkg_dir = os.path.join(REPO, "mk_kafka_connect_spark")
+    idx = re.compile(
+        r"([A-Za-z_][A-Za-z0-9_]*)\[\s*['\"][A-Za-z0-9_]+['\"]\s*\]\s*\.\s*(?:fn|oracle)"
+    )
+    uncovered = set()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            src = open(os.path.join(root, f)).read()
+            for m in idx.finditer(src):
+                if not fingerprints._REGISTRY_REF.match(m.group(0)):
+                    uncovered.add(m.group(1))
+    assert not uncovered, (
+        f"registry-indexing aliases invisible to _REGISTRY_REF: {uncovered}"
+    )

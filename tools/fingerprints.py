@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import ast
 import hashlib
+import importlib
+import importlib.util
 import inspect
 import json
 import os
@@ -68,17 +70,13 @@ def _in_package(obj) -> bool:
     return bool(mod) and (mod == PACKAGE or mod.startswith(PACKAGE + "."))
 
 
-def _referenced_names(src: str) -> list[tuple[str, str | None]]:
-    """(name, attr) pairs referenced in ``src``.
+def _referenced_names(tree: ast.AST) -> list[tuple[str, str | None]]:
+    """(name, attr) pairs referenced in ``tree``.
 
     ``(name, None)`` for bare ``Name`` loads; ``(base, attr)`` for
     single-hop ``base.attr`` attribute loads (module aliases like
     ``SW.run_to_memory`` and class attributes).
     """
-    try:
-        tree = ast.parse(src)
-    except SyntaxError:
-        return []
     pairs: list[tuple[str, str | None]] = []
     for node in ast.walk(tree):
         if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
@@ -88,14 +86,83 @@ def _referenced_names(src: str) -> list[tuple[str, str | None]]:
     return pairs
 
 
+def _import_module(name: str):
+    """Resolve a module by name; import only in-package modules.
+
+    Everything under ``mk_kafka_connect_spark`` is already importable
+    (and normally already imported via ``__spark_entry__``); anything
+    else is looked up in ``sys.modules`` only, because out-of-package
+    objects are filtered by ``_in_package`` anyway.
+    """
+    mod = sys.modules.get(name)
+    if mod is None and (name == PACKAGE or name.startswith(PACKAGE + ".")):
+        try:
+            mod = importlib.import_module(name)
+        except Exception:
+            return None
+    return mod
+
+
+def _local_import_namespace(obj, tree: ast.AST) -> dict[str, object]:
+    """name -> object for imports INSIDE ``obj``'s source (ADVICE r18).
+
+    Queries frequently do ``from ..operators.x import helper`` inside
+    the function body; those bindings are invisible to module globals
+    and closure cells, so the round-18 tracer silently skipped them
+    (``multimodal_ahash_neardup`` et al. kept green fingerprints while
+    their operators changed). Walk Import/ImportFrom nodes and resolve
+    them the way the interpreter would, relative to the function's own
+    module, so locally imported helpers join the closure.
+    """
+    ns: dict[str, object] = {}
+    mod_name = getattr(obj, "__module__", "") or ""
+    mod = sys.modules.get(mod_name)
+    pkg = getattr(mod, "__package__", None) or mod_name.rpartition(".")[0]
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.asname:
+                    target = _import_module(alias.name)
+                    if target is not None:
+                        ns[alias.asname] = target
+                else:
+                    top = alias.name.split(".")[0]
+                    _import_module(alias.name)  # ensure submodule attrs exist
+                    target = _import_module(top)
+                    if target is not None:
+                        ns[top] = target
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                rel = "." * node.level + (node.module or "")
+                try:
+                    resolved = importlib.util.resolve_name(rel, pkg)
+                except (ImportError, ValueError):
+                    continue
+            else:
+                resolved = node.module or ""
+            from_mod = _import_module(resolved)
+            if from_mod is None:
+                continue
+            for alias in node.names:
+                target = getattr(from_mod, alias.name, None)
+                if target is None:
+                    target = _import_module(f"{resolved}.{alias.name}")
+                if target is not None:
+                    ns[alias.asname or alias.name] = target
+    return ns
+
+
 def _closure_sources(fn) -> dict[str, str]:
     """name -> source for fn plus its in-package reference closure.
 
-    Names resolve through BOTH the function's module globals and its
-    closure cells (``co_freevars``): registry queries are typically
-    defined inside ``_register_*`` wrapper functions, so helpers they
-    call (round 17's first miss: ``cosine_topk_bruteforce`` inside
-    ``sim_knn_loo_eval``) arrive as cell references, not globals."""
+    Names resolve through the function's module globals, its closure
+    cells (``co_freevars``) — registry queries are typically defined
+    inside ``_register_*`` wrapper functions, so helpers they call
+    (round 17's first miss: ``cosine_topk_bruteforce`` inside
+    ``sim_knn_loo_eval``) arrive as cell references, not globals — and
+    imports written INSIDE the function body (round 18's miss:
+    ``from ..operators.multimodal import ahash_near_dups`` in the query
+    body left the operator outside the fingerprint)."""
     sources: dict[str, str] = {}
     seen: set[int] = set()
     # (qualifier, object) worklist; qualifier is a stable display name.
@@ -110,6 +177,12 @@ def _closure_sources(fn) -> dict[str, str]:
             continue
         key = f"{getattr(obj, '__module__', '?')}.{qual}"
         sources[key] = src
+        try:
+            tree: ast.AST | None = ast.parse(src)
+        except SyntaxError:
+            tree = None
+        if tree is None:
+            continue
         glb = dict(getattr(obj, "__globals__", None) or {})
         if not glb:  # a class: resolve names through its module
             mod = sys.modules.get(getattr(obj, "__module__", ""), None)
@@ -121,7 +194,9 @@ def _closure_sources(fn) -> dict[str, str]:
                     glb[cname] = cell.cell_contents
                 except ValueError:  # empty cell
                     continue
-        for name, attr in _referenced_names(src):
+        # Function-local imports shadow globals inside the body.
+        glb.update(_local_import_namespace(obj, tree))
+        for name, attr in _referenced_names(tree):
             target = glb.get(name)
             if target is None:
                 continue
@@ -141,7 +216,11 @@ def _closure_sources(fn) -> dict[str, str]:
 # .oracle into an f-string at registration time — neither edge is
 # visible to static name resolution, so a component change would leave
 # the composed query's fingerprint unmoved. Chase the string literals.
-_REGISTRY_REF = re.compile(r"(?:_Q|QUERIES)\[\s*['\"]([A-Za-z0-9_]+)['\"]\s*\]")
+# The alias set is checked by tests/test_stale_by_code.py against the
+# package source (round 19: the `_QQ` body-local alias was invisible,
+# leaving docs_neardup_overlap_matrix/docs_decontamination_report/
+# sim_hybrid_rrf unmoved while their components changed).
+_REGISTRY_REF = re.compile(r"(?:_QQ|_Q|QUERIES)\[\s*['\"]([A-Za-z0-9_]+)['\"]\s*\]")
 
 
 def _fingerprint_inputs(name, spec, registry, stack=()) -> list[str]:
@@ -248,6 +327,50 @@ def cmd_refresh(round_no: int, certified_path: str) -> None:
     print(f"refreshed {len(green)} fingerprints at round {round_no}")
 
 
+def cmd_rebase(round_no: int, old_path: str) -> None:
+    """Re-stamp PURE tracer-coverage flips after a tracer upgrade.
+
+    When the fingerprint TRACER itself improves (round 19: function-
+    local imports joined the closure), every query whose closure grew
+    flips its hash with zero code change. ``--old`` must be the output
+    of ``dump`` run with the UPGRADED tracer inside a git worktree at
+    the commit the evidence round certified. A ledger entry is
+    re-stamped (fingerprint updated, evidence round preserved) ONLY
+    when the old-commit fingerprint equals the HEAD fingerprint — i.e.
+    the full closure, as measured by the new tracer, is byte-identical
+    to what the driver certified. Anything else is genuinely stale and
+    is left for a re-certification seat.
+    """
+    with open(old_path) as f:
+        old = json.load(f)
+    ledger = load_ledger()
+    head = head_fingerprints()
+    restamped, left = [], []
+    for name, row in sorted(ledger.items()):
+        if row.get("evidence_round") != round_no:
+            continue
+        if row["fingerprint"] == head.get(name):
+            continue  # not drifted
+        if old.get(name) == head.get(name):
+            ledger[name] = {"fingerprint": head[name], "evidence_round": round_no}
+            restamped.append(name)
+        else:
+            left.append(name)
+    with open(LEDGER, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"re-stamped {len(restamped)} coverage-only flips at round {round_no}")
+    if left:
+        print(f"left {len(left)} genuinely stale (need recert seats): {left}")
+
+
+def cmd_dump(out_path: str) -> None:
+    with open(out_path, "w") as f:
+        json.dump(head_fingerprints(), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"dumped to {out_path}")
+
+
 def cmd_check() -> int:
     d = drifted()
     if not d:
@@ -268,11 +391,20 @@ if __name__ == "__main__":
     r = sub.add_parser("refresh")
     r.add_argument("--round", type=int, required=True)
     r.add_argument("--certified", required=True)
+    rb = sub.add_parser("rebase")
+    rb.add_argument("--round", type=int, required=True)
+    rb.add_argument("--old", required=True)
+    d = sub.add_parser("dump")
+    d.add_argument("--out", required=True)
     sub.add_parser("check")
     args = p.parse_args()
     if args.cmd == "bootstrap":
         cmd_bootstrap(args.round)
     elif args.cmd == "refresh":
         cmd_refresh(args.round, args.certified)
+    elif args.cmd == "rebase":
+        cmd_rebase(args.round, args.old)
+    elif args.cmd == "dump":
+        cmd_dump(args.out)
     else:
         raise SystemExit(cmd_check())
