@@ -802,9 +802,7 @@ _SEM_TAU = 0.4  # within-cluster cosine prune threshold (see docstring)
 
 
 def _register_semantic_kmeans() -> None:
-    from ..functions.bounded import bounded_window
     from ..operators.similarity import cosine_expr, quantize
-    from pyspark.sql.window import Window
 
     def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
         # Deliberately the native HOF fold, NOT the Arrow pair kernel:
@@ -812,21 +810,38 @@ def _register_semantic_kmeans() -> None:
         # amortize an Arrow stage per Lloyd round (the swap read ~+2 s
         # at sf0.1); the kernel wins only on large pair volumes
         # (brute-force |Q|x|C|, all-pairs ground truth).
-        dist = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            "q",
-            "j",
-            F.aggregate(
-                F.zip_with("q", "c", lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
+        #
+        # r19: the argmin is a PURE MAP, not a k-fanout crossJoin + a
+        # vec_id-partitioned rank-1 window — that window shuffled the
+        # FULL corpus (vec_id, q, j) once per Lloyd round (3 corpus
+        # shuffles at k=8/64 dims; guide §2.4 remove-shuffles). The k
+        # centroids arrive as ONE broadcast row (``cs_row``) carrying a
+        # sorted array<struct<j,c>> — broadcast DATA, not the
+        # 8x64-literal expression tree that fell out of codegen when
+        # measured in r18 — and min(struct(d, j)) is exactly the
+        # window's ORDER BY d, j rank-1 row (both fields non-null, j
+        # unique).
+        best = F.array_min(
+            F.transform(
+                "cs",
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with("q", s["c"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    s["j"].alias("j"),
+                ),
+            )
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "j")
-        return (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("vec_id", "q", "j")
+        return emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "q", best["j"].alias("j")
+        )
+
+    def _cs_row(cents: DataFrame) -> DataFrame:
+        # (j, c) table -> ONE row holding the j-sorted centroid array.
+        return cents.agg(
+            F.sort_array(F.collect_list(F.struct("j", "c"))).alias("cs")
         )
 
     def _update(assign: DataFrame) -> DataFrame:
@@ -874,10 +889,11 @@ def _register_semantic_kmeans() -> None:
         the certified exact-int-dot / sqrt·sqrt expression.
 
         Scale shape: each Lloyd round is one k-row broadcast against
-        the corpus (map-side argmin via a vec_id-partitioned rank-1
-        window -> WindowGroupLimit) plus a 64-column map-side-combinable
-        groupBy(j) — the corpus never shuffles by anything finer than
-        the k cluster ids. The prune self-join is keyed by cluster
+        the corpus (argmin is a pure per-row map over the broadcast
+        centroid array — the corpus is never shuffled for assignment)
+        plus a 64-column map-side-combinable groupBy(j) whose shuffle
+        carries k rows per map task — the corpus never shuffles by
+        anything finer than the k cluster ids. The prune self-join is keyed by cluster
         (SemDeDup's documented cost: cluster-size-bounded pairs, with k
         grown ~sqrt(n) so clusters stay bounded); at 100 TB raise k and
         the same plan holds. Cites SURVEY.md §2.B15 (dedup family);
@@ -887,8 +903,16 @@ def _register_semantic_kmeans() -> None:
         # round, and the final assignment's plan embedded the ENTIRE
         # chain again for each of its three consumers (self-join a/b +
         # keep join) — 12 embeddings scans in the r18 before-plan.
-        # Checkpointing emb, the 8-row centroid table per round, and fin
-        # runs each Lloyd stage exactly once (guide §2.4/§5).
+        # Checkpointing emb and fin runs each Lloyd stage exactly once
+        # (guide §2.4/§5). r19 A/B notes: dropping the per-round
+        # checkpoints entirely (full Lloyd chain nested into fin's one
+        # materialization) measured NEUTRAL-to-slower — per-job
+        # execution totals ~1.6 s while build wall time stays ~3-4 s,
+        # i.e. the cost is driver-side AQE planning per stage, and the
+        # deep nested plan makes each replan bigger. Checkpointing the
+        # ONE-ROW cs relation per round keeps every plan shallow at a
+        # trivial materialization cost, and measured best (min-of-4
+        # 2.91 s vs 3.39 s for the window form).
         emb = (
             load_table(spark, sf_dir, "embeddings")
             .select("vec_id", quantize(F.col("embedding")).alias("q"))
@@ -903,14 +927,28 @@ def _register_semantic_kmeans() -> None:
             .orderBy("h", "vec_id")
             .limit(_SEM_K)
         )
-        wseed = bounded_window("vec_id", F.asc("h"), F.asc("vec_id"))
-        cents = seeds.select(
-            (F.row_number().over(wseed) - 1).cast("long").alias("j"),
-            F.col("q").alias("c"),
+        # Seed ranks come from ONE sorted-collect over the k TakeOrdered
+        # rows (array position == the former row_number()-1 over
+        # ORDER BY h, vec_id: (h, vec_id) is unique, sort_array on the
+        # struct orders by exactly those fields first) — the rank-window
+        # stage the old form spent on 8 rows is gone.
+        cs = seeds.agg(
+            F.sort_array(F.collect_list(F.struct("h", "vec_id", "q"))).alias(
+                "s8"
+            )
+        ).select(
+            F.transform(
+                "s8",
+                lambda s, i: F.struct(
+                    i.cast("long").alias("j"), s["q"].alias("c")
+                ),
+            ).alias("cs")
         )
         for _ in range(_SEM_ITERS):
-            cents = _update(_assign(emb, cents)).localCheckpoint(eager=False)
-        fin = _assign(emb, cents).localCheckpoint(eager=False)
+            cs = _cs_row(_update(_assign(emb, cs))).localCheckpoint(
+                eager=False
+            )
+        fin = _assign(emb, cs).localCheckpoint(eager=False)
         a, b = fin.alias("a"), fin.alias("b")
         pairs = (
             a.join(

@@ -43,6 +43,7 @@ __all__ = [
     "R18_STALE_HEAD",
     "R9_STALE_FILL",
     "R19_STALE_POOL",
+    "R19_REWRITTEN_RECERTS",
     "R18_ADDITIONS",
     "R18_REWRITTEN_RECERTS",
     "certification_order",
@@ -963,6 +964,23 @@ R18_REWRITTEN_RECERTS: tuple[str, ...] = (
 )
 
 
+# Queries whose code changed in round 19 (the second optimization
+# round) AFTER the round-18 evidence in QUERY_FINGERPRINTS.json.
+# Derived mechanically (tools/fingerprints.py check) after each r19
+# optimization batch; every member is parity-gated at sf0.01 (and the
+# restructure pinned by a focused test in tests/test_r19_optim.py)
+# before its commit. Members are pinned INTO the r19 window by
+# _r19_front() below — their new code gets driver rows this round.
+R19_REWRITTEN_RECERTS: tuple[str, ...] = (
+    # Lloyd assignment is a pure map over a broadcast centroid-array
+    # row (was: k-fanout crossJoin + vec_id-partitioned rank-1 window
+    # = one full-corpus shuffle per round); seed ranks from one
+    # sorted-collect; per-round checkpoint moved to the 1-row cs
+    # relation.
+    "dedup_semantic_kmeans",
+)
+
+
 CERTIFICATION_FRONT: tuple[str, ...] = _r18_front()
 
 
@@ -978,6 +996,7 @@ def certification_order() -> list[str]:
     front = [n for n in CERTIFICATION_FRONT if n in QUERIES]
     next_up: list[str] = []
     for n in (
+        *R19_REWRITTEN_RECERTS,
         *R19_STALE_POOL,
         *R18_REWRITTEN_RECERTS,
         *R18_ADDITIONS,

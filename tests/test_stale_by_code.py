@@ -38,6 +38,7 @@ from mk_kafka_connect_spark.plans.registry import (
     R17_ADDITIONS,
     R18_ADDITIONS,
     R18_REWRITTEN_RECERTS,
+    R19_REWRITTEN_RECERTS,
     R19_STALE_POOL,
 )
 
@@ -68,6 +69,7 @@ def test_drifted_queries_hold_a_pending_recert_seat():
         set(CERTIFICATION_FRONT)
         | set(R19_STALE_POOL)
         | set(R18_REWRITTEN_RECERTS)
+        | set(R19_REWRITTEN_RECERTS)
         | set(R18_ADDITIONS)
     )
     stranded = {
