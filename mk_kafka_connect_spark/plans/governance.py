@@ -2482,7 +2482,13 @@ def _register_textrank() -> None:
                 )
             ).alias("_e")
         ).select("_e.src", "_e.dst")
-        pr = pagerank(edges, iterations=_TR_ITER)
+        # r19: the co-occurrence graph is a MULTIGRAPH (edge repetition
+        # IS the weight), so the kernel collapses it to (src, dst, w)
+        # once and iterates over distinct pairs — exactly equal (see
+        # pagerank's distributivity note), but the three iteration
+        # joins and the degree aggregate run on the distinct-bigram
+        # relation instead of the full corpus-sized instance list.
+        pr = pagerank(edges, iterations=_TR_ITER, collapse_multiedges=True)
         wmap = (
             docs.select(F.explode(words(F.col("text"))).alias("w"))
             .filter(F.length("w") > 0)

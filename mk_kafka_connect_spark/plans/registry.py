@@ -978,6 +978,15 @@ R19_REWRITTEN_RECERTS: tuple[str, ...] = (
     # sorted-collect; per-round checkpoint moved to the 1-row cs
     # relation.
     "dedup_semantic_kmeans",
+    # pagerank() gained collapse_multiedges (TextRank's co-occurrence
+    # multigraph pre-aggregates to (src, dst, w) once; iterations run
+    # distinct-pair-sized, contributions scaled by w — exactly equal
+    # by distributivity). graph_pagerank's plan is byte-unchanged
+    # (flag off) but its fingerprint covers the operator source; both
+    # already queued in R18_REWRITTEN_RECERTS, listed here because the
+    # r19 diff touches them again.
+    "docs_textrank_keywords",
+    "graph_pagerank",
 )
 
 

@@ -110,3 +110,26 @@ def test_kmeans_seed_sortedcollect_equals_rank_window(spark):
     )
     new = {(r.j, tuple(r.c)) for r in new_rows}
     assert old == new
+
+
+def test_pagerank_collapse_multiedges_exactly_equal(spark):
+    # docs_textrank_keywords r19: PageRank over the instance-level
+    # multigraph must equal PageRank over the (src, dst, w=count)
+    # collapse — S(v) = Σ_instances pr(u)//deg(u)
+    # = Σ_pairs w·(pr(u)//deg(u)) and deg(u) = Σ w, all integer.
+    from mk_kafka_connect_spark.operators.graph import pagerank
+
+    # a multigraph with skewed multiplicities, fed both directions
+    raw = [(1, 2)] * 5 + [(2, 3)] * 2 + [(1, 3)] * 1 + [(3, 4)] * 7
+    both = raw + [(b, a) for a, b in raw]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    plain = {
+        (r.node, r.pr) for r in pagerank(edges, iterations=3).collect()
+    }
+    collapsed = {
+        (r.node, r.pr)
+        for r in pagerank(
+            edges, iterations=3, collapse_multiedges=True
+        ).collect()
+    }
+    assert plain == collapsed
